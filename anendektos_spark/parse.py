@@ -1,0 +1,179 @@
+"""The vectorized parse stage: spec → pure Catalyst column plan.
+
+Replaces the reference's six hand-written per-line generators
+(conn.d:58-197 …) with ONE generic compiler from a declarative column spec
+(schemas.py) to Spark column expressions. Everything is JVM-side
+whole-stage-codegen'd except IP normalization (addrs.py, Arrow-batched).
+
+Contract reproduced (SURVEY.md §1.3):
+- comment/blank skip: lines empty or starting with ``#`` are silently
+  dropped (conn.d:66-68 pattern) — they are not rejects.
+- tokenization: strip then positional split on the dialect separator
+  (conn.d:63).
+- per-column sentinel → null / empty-array mapping (kind table in
+  schemas.py).
+- row-drop on bad numeric/addr value: the row goes to the rejects channel
+  with the first failing column named, mirroring
+  ``errorf("Processing <field> on line %d")`` + continue (conn.d:73-78).
+- rows whose token count differs from the spec are rejected with reason
+  ``field_count`` (the reference would crash on a short line — D
+  RangeError is unrecoverable — so per-row rejection is the documented
+  rebuild policy).
+
+Scale notes: the output keeps (conv_id, turn_idx) lineage so any row is
+attributable without a global ordinal; no shuffle happens here — parsing
+is a pure narrow map over the scan, so it pipelines with the source read
+and with downstream filters under AQE.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .addrs import normalize_addr, normalize_addr_array, validate_addr_passthrough
+from .dialect import Dialect
+from .schemas import SINKS, Col, Kind
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+_INT_RE = r"^[+-]?\d+$"
+
+
+@dataclass(frozen=True)
+class ParseOptions:
+    # "normalize": canonicalize via Arrow UDF (reference-faithful).
+    # "passthrough": regex shape-check only, zero Python — for producers
+    # that already emit canonical text.
+    addr_mode: str = "normalize"
+
+
+def _strip(col: Column) -> Column:
+    # D strip() removes all leading/trailing whitespace incl. \t
+    # (conn.d:63); Spark trim() is space-only, so use a regex.
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def comment_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop blank and ``#``-comment lines (conn.d:66-68)."""
+    t = _strip(F.col(text_col))
+    return df.filter((F.length(t) > 0) & (~t.startswith("#")))
+
+
+def _strict_int(tok: Column) -> Column:
+    lng = F.when(tok.rlike(_INT_RE), tok.cast("long"))
+    return F.when(lng.between(INT32_MIN, INT32_MAX), lng.cast("int"))
+
+
+def _compile_column(
+    c: Col, tok: Column, d: Dialect, opts: ParseOptions
+) -> tuple[Column, Column | None]:
+    """Return (value_expr, bad_expr or None). bad==True drops the row."""
+    unset, empty = F.lit(d.unset_field), F.lit(d.empty_field)
+    ss = re.escape(d.set_separator)
+    empty_arr = F.array().cast("array<string>")
+
+    def norm(col: Column) -> Column:
+        if opts.addr_mode == "passthrough":
+            return validate_addr_passthrough(col)
+        return normalize_addr(col)
+
+    def norm_arr(col: Column) -> Column:
+        if opts.addr_mode == "passthrough":
+            return F.transform(col, validate_addr_passthrough)
+        return normalize_addr_array(col)
+
+    k = c.kind
+    if k == Kind.STR:
+        return tok, None
+    if k == Kind.STR_NULL:
+        return F.when(tok != unset, tok), None
+    if k == Kind.INT:
+        v = _strict_int(tok)
+        return v, v.isNull()
+    if k == Kind.INT_NULL:
+        v = F.when(tok != unset, _strict_int(tok))
+        return v, (tok != unset) & v.isNull()
+    if k == Kind.DBL:
+        v = tok.cast("double")
+        return v, v.isNull()
+    if k == Kind.DBL_NULL:
+        v = F.when(tok != unset, tok.cast("double"))
+        return v, (tok != unset) & v.isNull()
+    if k == Kind.ADDR:
+        v = norm(tok)
+        return v, v.isNull()
+    if k == Kind.BOOL_TF:
+        return F.when(tok == unset, F.lit(None).cast("boolean")).otherwise(tok != "F"), None
+    if k == Kind.BOOL_01:
+        return F.when(tok == unset, F.lit(None).cast("boolean")).otherwise(tok != "0"), None
+    if k == Kind.ARR_STR_UNSET:
+        return F.when(tok == unset, empty_arr).otherwise(F.split(tok, ss, -1)), None
+    if k == Kind.ARR_STR_EMPTY:
+        return F.when(tok == empty, empty_arr).otherwise(F.split(tok, ss, -1)), None
+    if k == Kind.ARR_STR_BOTH:
+        return (
+            F.when((tok == unset) | (tok == empty), empty_arr).otherwise(F.split(tok, ss, -1)),
+            None,
+        )
+    if k == Kind.ARR_DBL_UNSET:
+        v = F.when(tok == unset, F.array().cast("array<double>")).otherwise(
+            F.transform(F.split(tok, ss, -1), lambda x: x.cast("double"))
+        )
+        return v, F.exists(v, lambda x: x.isNull())
+    if k == Kind.ARR_ADDR_UNSET:
+        v = F.when(tok == unset, empty_arr).otherwise(norm_arr(F.split(tok, ss, -1)))
+        return v, F.exists(v, lambda x: x.isNull())
+    if k == Kind.ARR_ADDR_NULL:
+        v = F.when(tok != unset, norm_arr(F.split(tok, ss, -1)))
+        return v, (tok != unset) & F.exists(v, lambda x: x.isNull())
+    raise ValueError(f"unknown kind {k}")
+
+
+def parse_sink(
+    df: DataFrame,
+    tool: str,
+    dialect: Dialect | None = None,
+    text_col: str = "text",
+    opts: ParseOptions | None = None,
+) -> DataFrame:
+    """Compile the sink's spec over ``df`` (already routed to ``tool``).
+
+    Input: transcripts-shaped rows. Output: lineage columns
+    (conv_id, turn_idx, role, tool, src_ts) + every spec column +
+    ``reject_reason`` (null ⇔ row is good). Callers split on
+    ``reject_reason.isNull()``; see route.py.
+    """
+    dialect = dialect or Dialect()
+    opts = opts or ParseOptions()
+    spec = SINKS[tool]
+    n = len(spec)
+
+    df = comment_filter(df, text_col)
+    toks = F.split(_strip(F.col(text_col)), re.escape(dialect.separator), -1)
+    df = df.withColumn("_toks", toks)
+
+    values: list[Column] = []
+    bads: list[Column] = []
+    for i, c in enumerate(spec):
+        tok = F.col("_toks").getItem(i)
+        v, bad = _compile_column(c, tok, dialect, opts)
+        values.append(v.alias(c.name))
+        if bad is not None:
+            bads.append(F.when(bad, F.lit(f"bad_{c.name}")))
+
+    field_count_bad = F.size(F.col("_toks")) != F.lit(n)
+    reasons = F.array_compact(F.array(F.when(field_count_bad, F.lit("field_count")), *bads))
+    reason = F.when(F.size(reasons) > 0, F.element_at(reasons, 1))
+
+    return df.select(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("tool"),
+        F.col("ts").alias("src_ts"),
+        F.col(text_col).alias("text"),
+        *values,
+        reason.alias("reject_reason"),
+    )

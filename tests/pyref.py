@@ -1,0 +1,96 @@
+"""Independent pure-Python oracle for the parse semantics.
+
+Implements the reference's per-line extraction contract (SURVEY.md §1.3)
+imperatively, row at a time, like the reference itself — deliberately a
+different code path from the Spark column plan so a shared bug is
+unlikely. Used only in tests.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from anendektos_spark.dialect import Dialect
+from anendektos_spark.schemas import SINKS, Kind
+
+INT32 = 2**31
+
+
+def _int_strict(s: str) -> int:
+    v = int(s)  # raises on non-integer, like D to!int
+    if not (-INT32 <= v < INT32):
+        raise ValueError("overflow")
+    return v
+
+
+def _addr(s: str) -> str:
+    return ipaddress.ip_address(s).compressed
+
+
+def parse_line(tool: str, line: str, d: Dialect | None = None) -> dict | None:
+    """Returns the record dict, or None if the row is dropped."""
+    d = d or Dialect()
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    toks = line.split(d.separator)
+    spec = SINKS[tool]
+    if len(toks) != len(spec):
+        return None
+    rec: dict = {}
+    try:
+        for i, c in enumerate(spec):
+            t = toks[i]
+            k = c.kind
+            if k == Kind.STR:
+                rec[c.name] = t
+            elif k == Kind.STR_NULL:
+                rec[c.name] = None if t == d.unset_field else t
+            elif k == Kind.INT:
+                rec[c.name] = _int_strict(t)
+            elif k == Kind.INT_NULL:
+                rec[c.name] = None if t == d.unset_field else _int_strict(t)
+            elif k == Kind.DBL:
+                rec[c.name] = float(t)
+            elif k == Kind.DBL_NULL:
+                rec[c.name] = None if t == d.unset_field else float(t)
+            elif k == Kind.ADDR:
+                rec[c.name] = _addr(t)
+            elif k == Kind.BOOL_TF:
+                rec[c.name] = None if t == d.unset_field else (t != "F")
+            elif k == Kind.BOOL_01:
+                rec[c.name] = None if t == d.unset_field else (t != "0")
+            elif k == Kind.ARR_STR_UNSET:
+                rec[c.name] = [] if t == d.unset_field else t.split(d.set_separator)
+            elif k == Kind.ARR_STR_EMPTY:
+                rec[c.name] = [] if t == d.empty_field else t.split(d.set_separator)
+            elif k == Kind.ARR_STR_BOTH:
+                rec[c.name] = (
+                    [] if t in (d.unset_field, d.empty_field) else t.split(d.set_separator)
+                )
+            elif k == Kind.ARR_DBL_UNSET:
+                rec[c.name] = (
+                    [] if t == d.unset_field else [float(x) for x in t.split(d.set_separator)]
+                )
+            elif k == Kind.ARR_ADDR_UNSET:
+                rec[c.name] = (
+                    [] if t == d.unset_field else [_addr(x) for x in t.split(d.set_separator)]
+                )
+            elif k == Kind.ARR_ADDR_NULL:
+                rec[c.name] = (
+                    None if t == d.unset_field else [_addr(x) for x in t.split(d.set_separator)]
+                )
+            else:  # pragma: no cover
+                raise AssertionError(k)
+    except ValueError:
+        return None  # row-drop on bad cast / bad address
+    return rec
+
+
+def parse_fixture(tool: str, lines: list[str]) -> list[dict]:
+    out = []
+    for line in lines:
+        rec = parse_line(tool, line)
+        if rec is not None:
+            out.append(rec)
+    return out
