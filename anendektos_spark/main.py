@@ -1,0 +1,74 @@
+"""CLI entry point (O22/O23: arguments.d:19-61, config.d:24-73 analogs).
+
+Run locally:
+    python -m anendektos_spark.main --config pipeline.ini
+Cluster (north_rule):
+    spark-submit --py-files anendektos_spark.zip -m ...  # or:
+    spark-submit --py-files anendektos_spark.zip run_pipeline.py --config pipeline.ini
+
+Config formats: INI (mirrors the reference's anendektos.ini sections) or
+JSON. INI example:
+
+    [application]
+    input_path = /data/transcripts
+    output_root = /data/out
+    addr_mode = normalize
+
+The reference's --help/--version short-circuit (arguments.d:30-44) and
+missing-config error (arguments.d:57-58) behave the same here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import sys
+
+from . import __version__
+from .pipeline import PipelineConfig, run_pipeline
+
+
+def load_config(path: str) -> PipelineConfig:
+    if path.endswith(".json"):
+        with open(path) as f:
+            raw = json.load(f)
+    else:
+        ini = configparser.ConfigParser()
+        if not ini.read(path):
+            raise FileNotFoundError(path)
+        raw = dict(ini["application"])
+    known = {
+        "input_path", "output_root", "addr_mode", "add_ordinal",
+        "salt_buckets", "repartition", "top_k", "time_bucket",
+    }
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    for key in ("salt_buckets", "repartition", "top_k"):
+        if key in kwargs and kwargs[key] is not None:
+            kwargs[key] = int(kwargs[key])
+    if "add_ordinal" in kwargs and isinstance(kwargs["add_ordinal"], str):
+        kwargs["add_ordinal"] = kwargs["add_ordinal"].lower() not in ("false", "0", "no")
+    return PipelineConfig(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="anendektos-spark", description=__doc__)
+    ap.add_argument("--version", action="version", version=__version__)
+    ap.add_argument("--config", required=True, help="pipeline config (.ini or .json)")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+
+    # Under spark-submit the session already exists and carries the
+    # cluster config; getOrCreate picks it up. Standalone runs fall back
+    # to the local factory.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("anendektos_spark").getOrCreate()
+    metrics = run_pipeline(spark, cfg)
+    print(json.dumps(metrics, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

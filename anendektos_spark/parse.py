@@ -62,7 +62,10 @@ def comment_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _strict_int(tok: Column) -> Column:
-    lng = F.when(tok.rlike(_INT_RE), tok.cast("long"))
+    # try_cast keeps the plan ANSI-mode-proof: under spark.sql.ansi.enabled
+    # (the Spark 4 default on a bare session) a plain cast of a malformed
+    # value would fail the TASK; the contract is drop-the-ROW (conn.d:73-78).
+    lng = F.when(tok.rlike(_INT_RE), tok.try_cast("long"))
     return F.when(lng.between(INT32_MIN, INT32_MAX), lng.cast("int"))
 
 
@@ -96,10 +99,10 @@ def _compile_column(
         v = F.when(tok != unset, _strict_int(tok))
         return v, (tok != unset) & v.isNull()
     if k == Kind.DBL:
-        v = tok.cast("double")
+        v = tok.try_cast("double")
         return v, v.isNull()
     if k == Kind.DBL_NULL:
-        v = F.when(tok != unset, tok.cast("double"))
+        v = F.when(tok != unset, tok.try_cast("double"))
         return v, (tok != unset) & v.isNull()
     if k == Kind.ADDR:
         v = norm(tok)
@@ -119,7 +122,7 @@ def _compile_column(
         )
     if k == Kind.ARR_DBL_UNSET:
         v = F.when(tok == unset, F.array().cast("array<double>")).otherwise(
-            F.transform(F.split(tok, ss, -1), lambda x: x.cast("double"))
+            F.transform(F.split(tok, ss, -1), lambda x: x.try_cast("double"))
         )
         return v, F.exists(v, lambda x: x.isNull())
     if k == Kind.ARR_ADDR_UNSET:
