@@ -1,0 +1,182 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: never materialize O(n²) pairs. The scale path is
+  shingle → MinHash signature (narrow map)
+  → LSH banding (explode bands: n_bands× fan-out, still narrow)
+  → shuffle ONLY on (band, band_hash) — candidate buckets
+  → exact Jaccard refine on candidates only.
+All hashing is md5-based so the arithmetic is reproducible in any engine
+(the DuckDB oracle recomputes identical signatures); a production tune-up
+would swap md5 for xxhash64 — the operator shape is unchanged.
+
+Everything is pure Column expressions over higher-order functions; the
+only shuffles are the LSH bucket join and final distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import normalize_text, shingles, tokens
+
+
+def shingle_set(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set semantics for Jaccard)."""
+    return F.array_distinct(shingles(col, n))
+
+
+def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy on the normalized-text md5.
+
+    Returns one row per distinct fingerprint: the canonical (minimum) id
+    and the duplicate count. Map-side partial agg keeps the shuffle to
+    one row per distinct document."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature columns h0..h{H-1}: h_i = min over shingles of
+    md5(i ':' shingle). min over hex strings is a valid min-wise hash
+    family (lexicographic order on a uniform hash).
+
+    Shape chosen for whole-stage codegen: posexplode the shingle set into
+    rows, hash with plain column md5 (JVM codegen — higher-order-function
+    lambdas are interpreted and ~20× slower here), then one hash
+    aggregate with H min()s and map-side partial combine. Documents with
+    fewer than ``n`` tokens have no shingles and drop out (no signature
+    ⇒ exempt from near-dup detection — route them to exact dedup)."""
+    sh = df.select(F.col(id_col), F.explode(shingle_set(F.col(text_col), n)).alias("s"))
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as a single pipe-delimited string
+    (stable, hashable representation)."""
+    sig = minhash_table(df, id_col, text_col, num_hashes, n)
+    return sig.select(
+        F.col(id_col),
+        F.concat_ws("|", *[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Explode each doc into (band, band_hash) rows — the LSH bucketing
+    fan-out. num_hashes/rows_per_band bands; docs colliding in any band
+    are near-dup candidates."""
+    n_bands = num_hashes // rows_per_band
+    sig = minhash_table(df, id_col, text_col, num_hashes, n)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ])
+    return sig.select(F.col(id_col), F.explode(bands).alias("bh")).select(
+        id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
+
+    The self-join's two sides share an identical aggregate subtree, so
+    Spark reuses the shuffle (ReusedExchange) instead of recomputing
+    signatures. The join key (band, band_hash) is high-cardinality, so
+    the shuffle partitions evenly; a pathological all-identical corpus
+    would hot-spot one bucket — AQE skew-join splitting handles that."""
+    b = lsh_bands(df, id_col, text_col, num_hashes, rows_per_band, n)
+    left = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    right = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given candidate pairs.
+
+    jaccard = |A ∩ B| / |A ∪ B| on distinct shingle sets — integer set
+    sizes, so the double division is bit-deterministic."""
+    sets = df.select(F.col(id_col), shingle_set(F.col(text_col), n).alias("sh"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Term-frequency SimHash over md5 hex digits, emitted as a bitstring.
+
+    Bit j is set iff sum over tokens of (+1 if hex digit j of md5(token)
+    >= '8' else -1) >= 0 — each hex digit's high bit is an independent
+    hash bit. Bitstring output avoids any cross-engine integer-conversion
+    ambiguity; hamming distance = count of differing positions."""
+    hashes = F.transform(tokens(F.col(text_col)), F.md5)
+    bit = lambda j: F.when(  # noqa: E731
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1),
+        )
+        >= 0,
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+    sim = F.concat(*[bit(j) for j in range(bits)])
+    return df.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,143 @@
+"""Log/telemetry pipeline operators over a generic event stream.
+
+The same parse → enrich → route → aggregate stages as pipeline.py, bound
+to the driver's ``events`` table (event_id, ts, user_id, event_type,
+value, props) so every stage is oracle-checkable against DuckDB:
+
+- parse: regexp field extraction from the semi-structured ``props``
+  payload (the grok stage, O6-O7 analog);
+- route: fan-out on event_type + unknown-type rejects channel (O4/O17);
+- enrich: broadcast join to the user dimension (customer table);
+- aggregate: per-sink counts, exact distinct, top-K by frequency,
+  time-bucketed counts (O19 + north_star set);
+- ordinal: stable per-user ordering (O18);
+- sessionize: gap-based session assignment via a lag window — the
+  stateful-stream analog in batch form.
+
+Float sums use the decimal-cast trick (sum in DECIMAL, round, then cast
+to double) so the result is exact and engine-independent regardless of
+shuffle order. Time buckets are emitted as formatted strings, immune to
+session-timezone epoch skew across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+KNOWN_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+PROPS_K_PATTERN = r'"k": (\d+)'
+
+
+def _dec_sum(col, scale: int = 2):
+    """Exact, order-independent sum: cast to decimal first."""
+    return F.round(F.sum(col.cast("decimal(20,6)")), scale).cast("double")
+
+
+def route_counts(events: DataFrame) -> DataFrame:
+    """Routed record count per sink (O4 + O19)."""
+    return (
+        events.filter(F.col("event_type").isin(*KNOWN_EVENT_TYPES))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+def route_rejects(events: DataFrame) -> DataFrame:
+    """Unknown-type rejects channel (parser.d:85 analog)."""
+    return (
+        events.filter(~F.col("event_type").isin(*KNOWN_EVENT_TYPES))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+def parse_props(events: DataFrame) -> DataFrame:
+    """Grok/regexp parse of the props payload; bad rows (no match) are
+    dropped — the reference's row-drop-on-error policy (conn.d:73-78)."""
+    k = F.regexp_extract("props", PROPS_K_PATTERN, 1)
+    return (
+        events.withColumn("k", F.when(k != "", k.cast("int")))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Broadcast-hash-join enrich to the user dimension, then aggregate
+    per (mktsegment, event_type). Left join: unmatched users survive with
+    a null segment."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), _dec_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+def distinct_users(events: DataFrame) -> DataFrame:
+    """Exact distinct-count per sink."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+def topk_users(events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-K users by event count within each sink; deterministic
+    tie-break on user_id. The groupBy pre-aggregates before the window,
+    so the window input is |users|×|types|, not |events|."""
+    counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.col("user_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "user_id", "n", "rank")
+    )
+
+
+def time_buckets(events: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Per (sink, time-bucket) counts + exact value sums. Bucket emitted
+    as a formatted string (timezone-safe across engines)."""
+    b = F.date_format(F.date_trunc(bucket, F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        events.groupBy("event_type", b.alias("bucket"))
+        .agg(F.count("*").alias("n_events"), _dec_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+def stable_ordinal(events: DataFrame, max_user: int = 10) -> DataFrame:
+    """Stable per-user ordinal (O18): row_number over (ts, event_id).
+
+    Restricted to a user prefix so the correctness check stays small; the
+    full-table form is identical. One shuffle on user_id; sort is local
+    per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("user_id") < max_user)
+        .select("user_id", "event_id", (F.row_number().over(w) - 1).alias("ord"))
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``. Returns per
+    user session/event counts. Epoch arithmetic in integer microseconds
+    (unix_micros), so the gap comparison is exact across engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        events.select("user_id", new_session.alias("new_s"))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )

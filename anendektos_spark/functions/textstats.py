@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen) — no Python
+in the hot path. Each operator is deliberately expressible in ANSI SQL so
+the driver's DuckDB oracle can cross-check it bit-for-bit; float outputs
+are computed in a deterministic per-row evaluation order (no shuffled
+double sums) and rounded.
+
+Operators:
+- token_stats: whitespace tokenization + counts (token counting).
+- quality_score: length / stopword-ratio / type-token-ratio heuristics.
+- lang_id: stopword-hit-ratio language heuristic (n-gram family).
+- fingerprint: md5 of normalized text + min-shingle fingerprint
+  (winnowing-style document fingerprint).
+
+Scale notes: every operator is a narrow map over the scan — no shuffle,
+no UDF. At 100 TB these pipeline with the parquet read and keep columnar
+pruning (only ``text`` + id columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# The only English function words present in the synthetic corpus; a real
+# deployment swaps in a fuller list — the operator shape is identical.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization: trim then split on runs of whitespace."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the text (empty array when < n tokens)."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _stop_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token counts: n_tokens, n_chars, avg token length."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(total_len.cast("double") / n_tok.cast("double"), 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + combined score.
+
+    stopword_ratio = stopword tokens / tokens;
+    ttr (type-token ratio) = distinct tokens / tokens;
+    score = 0.5*ttr + 0.5*(1 - stopword_ratio) — a simple, monotone,
+    fully deterministic combination.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t).cast("double")
+    stop_ratio = _stop_hits(t, EN_STOPWORDS).cast("double") / n_tok
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(F.lit(0.5) * ttr + F.lit(0.5) * (F.lit(1.0) - stop_ratio), 4).alias("quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Stopword-hit-ratio language heuristic: 'en' iff the English
+    function-word ratio clears ``threshold``, else 'und'."""
+    t = tokens(F.col(text_col))
+    ratio = _stop_hits(t, EN_STOPWORDS).cast("double") / F.size(t).cast("double")
+    return df.select(
+        F.col(id_col),
+        F.round(ratio, 4).alias("en_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact-dup key)
+    and the minimum shingle hash (winnowing-style near-dup-stable key)."""
+    norm = normalize_text(F.col(text_col))
+    sh = shingles(F.col(text_col), 3)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
+    )

@@ -1,0 +1,123 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the transcript pipeline's parse→route→aggregate
+throughput (turns/sec) on a synthesized ~1M-turn input (BASELINE.json
+north_rule); per-query wall times for the operator suite ride along in
+"queries". Run scripts/scaling_bench.py for the two-parallelism-level
+scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "40000"))
+
+BENCH_QUERIES = [
+    "tpch_q1", "tpch_q3", "enrich_events", "time_buckets", "topk_users",
+    "sessionize", "text_quality", "dedup_minhash", "dedup_lsh_jaccard",
+    "dedup_simhash", "ann_cosine_topk", "ann_ivf_assign",
+]
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .appName("anendektos-bench")
+        .getOrCreate()
+    )
+
+
+def run_pipeline_bench(spark, replicas: int) -> tuple[float, int]:
+    """parse→route→aggregate over synthesized transcripts; returns
+    (elapsed_sec, n_turns). Forces full computation via per-sink agg."""
+    from pyspark.sql import functions as F
+
+    from anendektos_spark.fixtures import synth_transcripts
+    from anendektos_spark.parse import parse_sink
+    from anendektos_spark.schemas import KNOWN_TOOLS
+
+    tx = synth_transcripts(
+        spark, replicas=replicas, hot_fraction=0.01, malformed_fraction=0.01,
+        partitions=CPUS * 2,
+    ).persist()
+    n_turns = tx.count()  # materialize input before the clock starts
+
+    t0 = time.time()
+    parts = []
+    for tool in KNOWN_TOOLS:
+        parsed = parse_sink(tx.filter(F.col("tool") == tool), tool)
+        parts.append(
+            parsed.groupBy("tool").agg(
+                F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("n_good"),
+                F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("n_rej"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    rows = out.collect()
+    elapsed = time.time() - t0
+    assert sum(r.n_good + r.n_rej for r in rows) > 0
+    tx.unpersist()
+    return elapsed, n_turns
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    pipe_sec, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
+    timings["zeek_pipeline_1m"] = round(pipe_sec, 3)
+    turns_per_sec = round(n_turns / pipe_sec, 1)
+    print(f"# pipeline: {n_turns} turns in {pipe_sec:.1f}s = {turns_per_sec}/s",
+          file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "operator suite + 1M-turn parse/route/aggregate pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns_per_sec": turns_per_sec,
+        "pipeline_turns": n_turns,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

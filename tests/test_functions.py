@@ -1,0 +1,177 @@
+"""Tests for the training-data operator library (functions/*).
+
+Golden-style, like the reference's inline unittests: small fixed inputs,
+exact expected values (SURVEY.md §5 test strategy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from anendektos_spark.functions import dedup, logops, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words here right now yes"),
+            (3, "The  Quick  Brown Fox jumps over the lazy dog"),  # case/ws variant
+            (4, "tiny doc"),  # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_stats(docs):
+    rows = {r.doc_id: r for r in textstats.token_stats(docs).collect()}
+    assert rows[0].n_tokens == 9
+    assert rows[0].n_chars == 43
+    assert rows[0].avg_token_len == pytest.approx(35 / 9, abs=1e-4)
+    assert rows[4].n_tokens == 2
+
+
+def test_quality_and_lang(docs):
+    q = {r.doc_id: r for r in textstats.quality_score(docs).collect()}
+    # doc 0: 'the' ×2 of 9 tokens; 8 distinct
+    assert q[0].stopword_ratio == pytest.approx(2 / 9, abs=1e-4)
+    assert q[0].ttr == pytest.approx(8 / 9, abs=1e-4)
+    langs = {r.doc_id: r.pred_lang for r in textstats.lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[2] == "und"
+
+
+def test_fingerprint_normalization(docs):
+    fp = {r.doc_id: r for r in textstats.fingerprint(docs).collect()}
+    # doc 3 is doc 0 modulo case/whitespace → same md5 fingerprint
+    assert fp[3].fp_md5 == fp[0].fp_md5
+    expected = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert fp[0].fp_md5 == expected
+    assert fp[4].fp_min_shingle is None  # no shingles
+
+
+def test_exact_dups(docs):
+    groups = {r.fp: r for r in dedup.exact_dups(docs).collect()}
+    dup = [g for g in groups.values() if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].canonical_id == 0 and dup[0].n_docs == 2
+
+
+def test_minhash_reproducible(docs):
+    """Signature hash i = min over shingles of md5(f'{i}:{shingle}')."""
+    sig = {r.doc_id: r.minhash_sig for r in dedup.minhash_signature(docs).collect()}
+    text = "the quick brown fox jumps over the lazy dog"
+    toks = text.split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expected0 = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in sh)
+    assert sig[0].split("|")[0] == expected0
+    assert 4 not in sig  # doc without shingles has no signature
+
+
+def test_lsh_finds_near_dups(docs):
+    cand = {(r.id_a, r.id_b) for r in dedup.lsh_candidates(docs).collect()}
+    assert (0, 1) in cand  # 8/9 token overlap
+    assert (0, 2) not in cand
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.jaccard_pairs(docs, dedup.lsh_candidates(docs)).collect()}
+    assert jac[(0, 1)] == pytest.approx(6 / 8, abs=1e-4)
+
+
+def test_simhash_properties(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])  # near-dups closer
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [0.0, 0.0, 1.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+
+def test_brute_topk(embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0)
+    got = similarity.brute_topk(embeddings, q, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(1, 1), (2, 2)]
+    assert got[0].cos_sim == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-4)
+
+
+def test_ivf_assign_and_topk(embeddings):
+    cents = embeddings.filter(F.col("vec_id").isin(0, 3)).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = {r.vec_id: r.centroid_id for r in
+              similarity.ivf_assign(embeddings, cents).collect()}
+    assert assign[1] == 0 and assign[3] == 3
+    got = similarity.ivf_topk(
+        embeddings, embeddings.filter(F.col("vec_id") == 0), cents, k=3
+    ).collect()
+    ids = {r.neighbor_id for r in got if r.query_id == 0}
+    assert 1 in ids and 3 not in ids  # other cluster not probed
+
+
+def test_cosine_dup_pairs(embeddings):
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.cosine_dup_pairs(embeddings, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions (gap 7200s); user 2: one session
+        (0, "2024-01-01 00:00:00", 1, "click", 1.5, '{"k": 10}'),
+        (1, "2024-01-01 00:10:00", 1, "view", 2.5, '{"k": 20}'),
+        (2, "2024-01-01 02:10:00", 1, "click", 3.0, '{"k": 5}'),
+        (3, "2024-01-01 00:00:00", 2, "weird", 1.0, "no match"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_route_and_rejects(events):
+    known = {r.event_type: r.n_records for r in logops.route_counts(events).collect()}
+    assert known == {"click": 2, "view": 1}
+    rej = logops.route_rejects(events).collect()
+    assert [(r.event_type, r.n_records) for r in rej] == [("weird", 1)]
+
+
+def test_parse_props_drops_bad_rows(events):
+    got = {r.event_type: r for r in logops.parse_props(events).collect()}
+    assert got["click"].sum_k == 15 and got["view"].n_parsed == 1
+    assert "weird" not in got  # no regexp match → row dropped
+
+
+def test_sessionize(events):
+    got = {r.user_id: r for r in logops.sessionize(events, 1800).collect()}
+    assert got[1].n_sessions == 2 and got[1].n_events == 3
+    assert got[2].n_sessions == 1
+
+
+def test_stable_ordinal(events):
+    got = {r.event_id: r.ord for r in logops.stable_ordinal(events, 10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 8)
+    feats = multimodal.extract_image_features(media, fake=True).collect()
+    assert len(feats) == 4  # only image/* rows reach the decode stage
+    assert all(len(r.features) == 8 for r in feats)
+    # deterministic: same payload → same features
+    again = multimodal.extract_image_features(media, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        multimodal.extract_image_features(media, fake=False).collect()
