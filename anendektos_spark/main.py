@@ -54,10 +54,21 @@ def load_config(path: str) -> PipelineConfig:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="anendektos-spark", description=__doc__)
     ap.add_argument("--version", action="version", version=__version__)
-    ap.add_argument("--config", required=True, help="pipeline config (.ini or .json)")
+    ap.add_argument("--config", help="pipeline config (.ini or .json)")
+    ap.add_argument("--input", help="transcripts path (overrides config input_path)")
+    ap.add_argument("--output", help="stage-store root (overrides config output_root)")
     args = ap.parse_args(argv)
 
-    cfg = load_config(args.config)
+    if not args.config and not (args.input and args.output):
+        ap.error("need --config, or both --input and --output")
+    if args.config:
+        cfg = load_config(args.config)
+        if args.input:
+            cfg.input_path = args.input
+        if args.output:
+            cfg.output_root = args.output
+    else:
+        cfg = PipelineConfig(input_path=args.input, output_root=args.output)
 
     # Under spark-submit the session already exists and carries the
     # cluster config; getOrCreate picks it up. Standalone runs fall back

@@ -65,8 +65,12 @@ def _strict_int(tok: Column) -> Column:
     # try_cast keeps the plan ANSI-mode-proof: under spark.sql.ansi.enabled
     # (the Spark 4 default on a bare session) a plain cast of a malformed
     # value would fail the TASK; the contract is drop-the-ROW (conn.d:73-78).
-    lng = F.when(tok.rlike(_INT_RE), tok.try_cast("long"))
-    return F.when(lng.between(INT32_MIN, INT32_MAX), lng.cast("int"))
+    # try_cast to bigint already rejects fractions/exponents/garbage like
+    # D's to!int; the one divergence is that it trims surrounding
+    # whitespace (impossible after tab tokenization) — no rlike pre-guard
+    # needed, which keeps this a single cast in the codegen'd projection.
+    lng = tok.try_cast("long")
+    return F.when(lng.between(INT32_MIN, INT32_MAX), lng).cast("int")
 
 
 def _compile_column(
@@ -167,8 +171,13 @@ def parse_sink(
             bads.append(F.when(bad, F.lit(f"bad_{c.name}")))
 
     field_count_bad = F.size(F.col("_toks")) != F.lit(n)
-    reasons = F.array_compact(F.array(F.when(field_count_bad, F.lit("field_count")), *bads))
-    reason = F.when(F.size(reasons) > 0, F.element_at(reasons, 1))
+    # first-failure-wins, like the reference's first failing to!T cast
+    # (conn.d:73-78). coalesce (not array_compact) keeps the projection
+    # inside whole-stage codegen: one CodegenFallback expression would
+    # push this entire ~100-expression Project to interpreted mode and
+    # lose common-subexpression elimination with it (~5× slower).
+    reason = F.coalesce(F.when(field_count_bad, F.lit("field_count")), *bads) if bads else \
+        F.when(field_count_bad, F.lit("field_count"))
 
     return df.select(
         F.col("conv_id"),

@@ -1,0 +1,135 @@
+"""Structured Streaming front-end for the parse→route→aggregate pipeline.
+
+The reference is strictly batch (one directory walk, parser.d:57-91), but
+its operational shape — logs continuously appended to a directory — is a
+streaming workload. This module runs the SAME parse/route/aggregate logic
+(parse.py is pure Column expressions, so it composes with streaming
+DataFrames unchanged) over a file-source stream:
+
+- ``stream_transcripts``: readStream over a transcript parquet directory
+  (``maxFilesPerTrigger`` bounds batch size; schema is explicit — no
+  streaming inference).
+- ``stream_route_sinks``: foreachBatch fan-out — each micro-batch routes
+  to per-sink parquet appends + a rejects channel, exactly the batch
+  pipeline's split. foreachBatch (not N writeStreams) keeps one source
+  scan per batch and one checkpoint.
+- ``stream_windowed_counts``: the aggregate stage as a watermarked
+  sliding/tumbling-window count per (tool, window) — late rows beyond
+  the watermark are dropped, the streaming analog of the reference's
+  row-drop late-data policy (§1.3.4).
+
+Tests drive it with ``trigger(availableNow=True)`` so a bounded input
+drains deterministically; production would run continuous triggers with
+the same code. Checkpointing is the engine's own WAL/state-store (exactly
+the per-stage resume contract checkpoint.py gives the batch path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .parse import ParseOptions, parse_sink
+from .schemas import KNOWN_TOOLS, SINKS, TRANSCRIPTS_SCHEMA
+
+
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of transcript rows (explicit schema)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def route_batch(
+    batch: DataFrame,
+    output_root: str,
+    dialect=None,
+    opts: ParseOptions | None = None,
+) -> None:
+    """One micro-batch of the fan-out: parse each tool, append good rows
+    to <root>/sink_<tool>, rejects (parse failures + unknown tools) to
+    <root>/rejects. Batch-mode parquet appends are idempotent at the
+    file level; exactly-once across restarts comes from the stream
+    checkpoint replaying whole batches."""
+    batch = batch.persist()
+    try:
+        for tool in KNOWN_TOOLS:
+            parsed = parse_sink(batch.filter(F.col("tool") == tool), tool, dialect, opts=opts)
+            good_cols = ["conv_id", "turn_idx", "role", "tool", "src_ts"] + [
+                c.name for c in SINKS[tool]
+            ]
+            parsed.filter(F.col("reject_reason").isNull()).select(*good_cols).write.mode(
+                "append"
+            ).parquet(f"{output_root}/sink_{tool}")
+            parsed.filter(F.col("reject_reason").isNotNull()).select(
+                "conv_id", "turn_idx", "role", "tool", "src_ts", "text", "reject_reason"
+            ).write.mode("append").parquet(f"{output_root}/rejects")
+        unknown = batch.filter(~F.col("tool").isin(list(KNOWN_TOOLS))).select(
+            "conv_id", "turn_idx", "role", "tool",
+            F.col("ts").alias("src_ts"), "text",
+            F.lit("unimplemented_tool").alias("reject_reason"),
+        )
+        unknown.write.mode("append").parquet(f"{output_root}/rejects")
+    finally:
+        batch.unpersist()
+
+
+def stream_route_sinks(
+    stream: DataFrame,
+    output_root: str,
+    checkpoint_dir: str,
+    dialect=None,
+    opts: ParseOptions | None = None,
+    available_now: bool = False,
+):
+    """Start the routing fan-out as a foreachBatch streaming query."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, _epoch: route_batch(b, output_root, dialect, opts)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_windowed_counts(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per tool — the streaming form
+    of aggregate.time_bucketed. State is bounded by the watermark; late
+    rows beyond it are dropped (reference row-drop policy analog)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("tool", F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("tool", F.col("w.start").alias("bucket_start"), "n")
+    )
+
+
+def run_streaming_counts(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    available_now: bool = False,
+):
+    """Write the windowed counts to parquet in append mode (rows emitted
+    once their window is past the watermark — finalized, exactly-once)."""
+    counts = stream_windowed_counts(stream, window, watermark)
+    writer = (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# spark-submit --py-files smoke test (north_rule: "runs via spark-submit
+# --py-files on multi-executor clusters"). Packages the library as a zip,
+# ships it with --py-files, runs the CLI pipeline on a freshly synthesized
+# transcript directory, and checks stage manifests + sink row counts.
+set -euo pipefail
+
+REPO=/root/repo
+WORK=$(mktemp -d /tmp/submit_smoke.XXXX)
+trap 'rm -rf "$WORK"' EXIT
+
+cd "$REPO" && zip -qr "$WORK/anendektos_spark.zip" anendektos_spark -x '*/__pycache__/*'
+
+# synthesize a small transcript parquet input (driverless helper)
+python - "$WORK" <<'PY'
+import sys
+sys.path.insert(0, "/root/repo")
+from anendektos_spark.session import get_spark
+from anendektos_spark.fixtures import synth_transcripts
+w = sys.argv[1]
+spark = get_spark("smoke_gen", cores=4, shuffle_partitions=4)
+synth_transcripts(spark, replicas=50, malformed_fraction=0.02).write.parquet(f"{w}/in")
+spark.stop()
+PY
+
+# run from a scratch cwd so only --py-files provides the package
+cd "$WORK"
+cp "$REPO/run_pipeline.py" "$WORK/"
+spark-submit \
+  --master 'local[4]' \
+  --py-files "$WORK/anendektos_spark.zip" \
+  --conf spark.sql.shuffle.partitions=4 \
+  --conf spark.ui.showConsoleProgress=false \
+  "$WORK/run_pipeline.py" \
+  --input "$WORK/in" --output "$WORK/out" 2>"$WORK/stderr.log" || {
+    tail -40 "$WORK/stderr.log"; exit 1; }
+
+python - "$WORK" <<'PY'
+import json, sys, glob, os
+w = sys.argv[1]
+manifests = glob.glob(f"{w}/out/*/_MANIFEST.json")
+assert manifests, "no stage manifests written"
+stages = {os.path.basename(os.path.dirname(m)): json.load(open(m)) for m in manifests}
+for tool, n in {"conn": 6, "dns": 4, "http": 3, "files": 4, "ssl": 4, "x509": 3}.items():
+    got = stages[f"parsed_{tool}"]["rows"]
+    assert got > 0, (tool, got)
+print("SMOKE OK —", len(stages), "stages:", sorted(stages))
+PY

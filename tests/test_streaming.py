@@ -1,0 +1,86 @@
+"""Structured Streaming pipeline: routed sinks + watermarked counts.
+
+Drives the stream with availableNow triggers over a bounded directory —
+results must equal the batch pipeline's on the same input, plus resume
+semantics across a second start (checkpoint replay, no duplicates).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anendektos_spark import streaming
+from anendektos_spark.fixtures import fixture_transcripts
+from anendektos_spark.schemas import KNOWN_TOOLS
+
+GOLDEN_COUNTS = {"conn": 6, "dns": 4, "http": 3, "files": 4, "ssl": 4, "x509": 3}
+
+
+@pytest.fixture()
+def input_dir(spark, tmp_path):
+    d = str(tmp_path / "in")
+    fixture_transcripts(spark).write.parquet(d)
+    return d
+
+
+def test_stream_route_matches_batch(spark, tmp_path, input_dir):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = streaming.stream_route_sinks(
+        streaming.stream_transcripts(spark, input_dir), out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    for tool, n in GOLDEN_COUNTS.items():
+        got = spark.read.parquet(f"{out}/sink_{tool}")
+        assert got.count() == n, tool
+        assert got.filter(F.col("tool") != tool).count() == 0
+    rejects = spark.read.parquet(f"{out}/rejects")
+    assert rejects.filter(F.col("reject_reason") == "unimplemented_tool").count() == 2
+
+    # restart on the same checkpoint: nothing new to process, no dupes
+    q2 = streaming.stream_route_sinks(
+        streaming.stream_transcripts(spark, input_dir), out, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/sink_conn").count() == GOLDEN_COUNTS["conn"]
+
+
+def test_stream_incremental_new_files(spark, tmp_path, input_dir):
+    """New files appearing after the first drain are processed exactly once."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run = lambda: streaming.stream_route_sinks(  # noqa: E731
+        streaming.stream_transcripts(spark, input_dir), out, ckpt, available_now=True
+    ).awaitTermination(120)
+    run()
+    fixture_transcripts(spark).filter(F.col("tool") == "conn").withColumn(
+        "conv_id", F.concat_ws("#", "conv_id", F.lit("r2"))
+    ).write.mode("append").parquet(input_dir)
+    run()
+    assert spark.read.parquet(f"{out}/sink_conn").count() == 2 * GOLDEN_COUNTS["conn"]
+    assert spark.read.parquet(f"{out}/sink_dns").count() == GOLDEN_COUNTS["dns"]
+
+
+def test_stream_windowed_counts(spark, tmp_path, input_dir):
+    """Append-mode windowed counts emit once the watermark passes a
+    window. The first drain emits nothing (the watermark only advances
+    on the NEXT batch); a later-timestamped second batch pushes the
+    watermark past every fixture window, finalizing them all — the
+    late-data-drop contract made visible."""
+    out, ckpt = str(tmp_path / "wc"), str(tmp_path / "wckpt")
+    drain = lambda: streaming.run_streaming_counts(  # noqa: E731
+        streaming.stream_transcripts(spark, input_dir), out, ckpt,
+        window="1 minute", watermark="0 seconds", available_now=True,
+    ).awaitTermination(120)
+    drain()
+
+    # watermark-advancing row, one hour after every fixture timestamp
+    fixture_transcripts(spark).filter(F.col("tool") == "conn").limit(1).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    ).write.mode("append").parquet(input_dir)
+    drain()
+
+    got = spark.read.parquet(out)
+    totals = {r.tool: r.total for r in got.groupBy("tool").agg(
+        F.sum("n").alias("total")).collect()}
+    for tool, n in GOLDEN_COUNTS.items():
+        assert totals.get(tool, 0) == n, (tool, totals)
