@@ -83,9 +83,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stable_ordinal"] = lambda s, d: logops.stable_ordinal(_t(s, d, "events"), 10)
     q["sessionize"] = lambda s, d: logops.sessionize(_t(s, d, "events"), 1800)
 
-    # --- general relational engine (filter/agg/join/sort/limit) ---
+    # --- general relational engine (filter/agg/join/sort/limit,
+    #     anti/semi joins, rollup, pivot, moving windows) ---
     q["tpch_q1"] = _tpch_q1
     q["tpch_q3"] = _tpch_q3
+    q["tpch_q5"] = _tpch_q5
+    q["tpch_q6"] = _tpch_q6
+    q["orders_without_items"] = _orders_without_items
+    q["big_spender_segments"] = _big_spender_segments
+    q["rollup_lineitem"] = _rollup_lineitem
+    q["pivot_events"] = _pivot_events
+    q["moving_daily_orders"] = _moving_daily_orders
 
     # --- text analysis over documents ---
     q["text_token_stats"] = lambda s, d: textstats.token_stats(_t(s, d, "documents"))
@@ -156,6 +164,129 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.col("l_orderkey").asc())
         .limit(10)
+    )
+
+
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue: 5-way join with broadcast dims; the join graph
+    Catalyst reorders freely because it is declared, not scheduled."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,10)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join: orders with no lineitems, counted per priority."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left SEMI join: customers having ≥1 order over 400k, per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus); subtotal rows keyed 'ALL'."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per known event type."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(logops.KNOWN_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in logops.KNOWN_EVENT_TYPES],
+    )
+
+
+def _moving_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving window over daily order counts per priority; sum and
+    count kept integral (exact), avg derived by one double division."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("mv_sum"),
+        F.round(
+            F.sum("n").over(w).cast("double") / F.count("n").over(w).cast("double"), 4
+        ).alias("mv_avg"),
     )
 
 
@@ -287,6 +418,70 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         ORDER BY revenue DESC, l.l_orderkey ASC
         LIMIT 10
+    """
+    o["tpch_q5"] = """
+        SELECT n.n_name AS nation,
+               CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """
+    o["tpch_q6"] = """
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+    """
+    o["orders_without_items"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY o_orderpriority
+    """
+    o["big_spender_segments"] = """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        GROUP BY c_mktsegment
+    """
+    o["rollup_lineitem"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """
+    o["pivot_events"] = f"""
+        SELECT user_id,
+               {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}"
+                          for t in logops.KNOWN_EVENT_TYPES)}
+        FROM events GROUP BY user_id
+    """
+    o["moving_daily_orders"] = """
+        WITH daily AS (
+          SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 count(*) AS n
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, day, n,
+               CAST(sum(n) OVER w AS BIGINT) AS mv_sum,
+               round(CAST(sum(n) OVER w AS DOUBLE)
+                     / CAST(count(n) OVER w AS DOUBLE), 4) AS mv_avg
+        FROM daily
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """
     o["text_token_stats"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
