@@ -113,6 +113,61 @@ def stream_windowed_counts(
     )
 
 
+def stream_conv_stats(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    available_now: bool = False,
+):
+    """Custom stateful operator via applyInPandasWithState: per-conversation
+    running turn count + gap-based session count, state persisted in the
+    engine's state store (survives restarts through the checkpoint — the
+    streaming analog of checkpoint.py's resume contract).
+
+    Emits one row per conversation per micro-batch in update mode; the
+    foreachBatch parquet append keeps each batch's emissions, so the
+    latest row per conv_id is the current state. The update function is a
+    closure with no module-global references (pickled by value)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = "conv_id string, n_turns long, n_sessions long"
+    state_schema = "n_turns long, n_sessions long, last_ts long"
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        total, sessions, last = (state.get if state.exists else (0, 0, None))
+        rows = _pd.concat(list(pdfs))
+        for t in sorted(int(x) for x in rows["ts_us"]):
+            if last is None or t - last > gap_us:
+                sessions += 1
+            last = t
+            total += 1
+        state.update((total, sessions, last))
+        yield _pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [total], "n_sessions": [sessions]}
+        )
+
+    keyed = stream.select(
+        "conv_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    stats = keyed.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        stats.writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(output_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_counts(
     stream: DataFrame,
     output_dir: str,

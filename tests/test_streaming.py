@@ -84,3 +84,35 @@ def test_stream_windowed_counts(spark, tmp_path, input_dir):
         F.sum("n").alias("total")).collect()}
     for tool, n in GOLDEN_COUNTS.items():
         assert totals.get(tool, 0) == n, (tool, totals)
+
+
+def test_stateful_conv_stats_survives_restart(spark, tmp_path, input_dir):
+    """applyInPandasWithState: running per-conversation counts persist in
+    the state store across a stop/start (second drain resumes from the
+    checkpointed state, not from zero)."""
+    out, ckpt = str(tmp_path / "cs"), str(tmp_path / "csck")
+    drain = lambda: streaming.stream_conv_stats(  # noqa: E731
+        streaming.stream_transcripts(spark, input_dir), out, ckpt,
+        gap_seconds=1800, available_now=True,
+    ).awaitTermination(120)
+    drain()
+    fx = fixture_transcripts(spark)
+    expected1 = {r.conv_id: r.n for r in fx.groupBy("conv_id").agg(
+        F.count("*").alias("n")).collect()}
+    first = {r.conv_id: r.n_turns for r in spark.read.parquet(out).collect()}
+    assert first == expected1
+
+    # append the conn rows again → those conversations accumulate state
+    conn = fx.filter(F.col("tool") == "conn")
+    conn.write.mode("append").parquet(input_dir)
+    extra = {r.conv_id: r.n for r in conn.groupBy("conv_id").agg(
+        F.count("*").alias("n")).collect()}
+    drain()
+    latest = (
+        spark.read.parquet(out)
+        .groupBy("conv_id").agg(F.max("n_turns").alias("n_turns"))
+        .collect()
+    )
+    got = {r.conv_id: r.n_turns for r in latest}
+    for conv, n in expected1.items():
+        assert got[conv] == n + extra.get(conv, 0), conv
