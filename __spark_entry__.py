@@ -125,6 +125,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_dup_pairs"] = lambda s, d: similarity.cosine_dup_pairs(
         _t(s, d, "embeddings"), threshold=0.25
     )
+    q["embed_lsh_buckets"] = lambda s, d: _t(s, d, "embeddings").select(
+        "vec_id",
+        similarity.hyperplane_bucket(
+            similarity.as_double(F.col("embedding")), 12, 64
+        ).alias("bucket"),
+    )
+    q["embed_lsh_dup_pairs"] = lambda s, d: similarity.lsh_dup_pairs(
+        _t(s, d, "embeddings"), threshold=0.25, n_planes=12, dims=64
+    )
 
     # --- the Zeek-semantics transcript pipeline itself (no SQL oracle:
     #     input is synthesized in-memory, not a registered view) ---
@@ -617,6 +626,27 @@ def oracle_sql() -> dict[str, str]:
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round({_cos_sql('a.v', 'b.v')}, 4) AS cos_sim
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.25
+    """
+    # Cosine-LSH oracle: the hyperplane weights are deterministic Python
+    # constants (hashlib at plan-build time), inlined as list literals in
+    # both engines — same fold order → identical sign bits.
+    planes = similarity.hyperplane_weights(12, 64)
+    def _plane_bit(w: list[float]) -> str:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+        s = f"list_reduce(list_transform(range(64), i -> v[i+1] * ({lit})[i+1]), (acc, x) -> acc + x)"
+        return f"CASE WHEN {s} >= 0 THEN '1' ELSE '0' END"
+    _bucket = " || ".join(_plane_bit(w) for w in planes)
+    o["embed_lsh_buckets"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings)
+        SELECT vec_id, {_bucket} AS bucket FROM e
+    """
+    o["embed_lsh_dup_pairs"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket} AS bucket FROM e),
+        p AS (SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                     round({_cos_sql('a.v', 'x.v')}, 4) AS cos_sim
+              FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
         SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.25
     """
     # zeek_golden_aggregates: intentionally no oracle (in-memory synthetic

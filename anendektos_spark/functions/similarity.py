@@ -141,6 +141,75 @@ def ivf_topk(
     )
 
 
+def hyperplane_weights(n_planes: int = 12, dims: int = 64) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes for cosine LSH.
+
+    Component (p, i) is +1 iff bit i of the md5 digest of ``"plane:<p>"``
+    (extended by ``"plane:<p>:<block>"`` beyond 128 bits) is set. Derived
+    with hashlib at PLAN-BUILD time — the weights enter the query as
+    array literals, so any engine (the DuckDB oracle included) reproduces
+    the buckets exactly, with zero runtime hashing."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        bits: list[int] = []
+        blk = 0
+        while len(bits) < dims:
+            d = hashlib.md5(f"plane:{p}:{blk}".encode()).digest()
+            bits.extend((byte >> j) & 1 for byte in d for j in range(8))
+            blk += 1
+        planes.append([1.0 if b else -1.0 for b in bits[:dims]])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 12, dims: int = 64) -> Column:
+    """Cosine-LSH bucket id: sign bits of the vector's dot products with
+    the deterministic hyperplanes, emitted as a bitstring (no integer
+    conversion ambiguity). High-cosine pairs collide with probability
+    (1 - θ/π)^n_planes."""
+    def bit(weights: list[float]) -> Column:
+        w = F.array(*[F.lit(x) for x in weights])
+        signed = F.aggregate(
+            F.zip_with(vec, w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(p) for p in hyperplane_weights(n_planes, dims)])
+
+
+def lsh_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    n_planes: int = 12,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for cosine near-dup pairs: bucket on the hyperplane
+    signature (narrow map), join only within buckets, refine with exact
+    cosine. Replaces the O(n²) cross join with an O(Σ bucket²) join —
+    the shuffle keys (buckets) are high-cardinality and AQE handles any
+    hot bucket. Recall < 1 by LSH nature; raise by lowering n_planes or
+    multi-probing."""
+    b = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"),
+        hyperplane_bucket(as_double(F.col(vec_col)), n_planes, dims).alias("bucket"),
+    )
+    a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     pairs: DataFrame | None = None,

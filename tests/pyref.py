@@ -17,10 +17,20 @@ INT32 = 2**31
 
 
 def _int_strict(s: str) -> int:
+    # Python int() is laxer than D to!int: it accepts "5_0" and Unicode
+    # digits; reject those so the oracle matches the reference contract
+    if "_" in s or not s.strip().lstrip("+-").isascii():
+        raise ValueError(s)
     v = int(s)  # raises on non-integer, like D to!int
     if not (-INT32 <= v < INT32):
         raise ValueError("overflow")
     return v
+
+
+def _float_strict(s: str) -> float:
+    if "_" in s:
+        raise ValueError(s)
+    return float(s)
 
 
 def _addr(s: str) -> str:
@@ -51,9 +61,9 @@ def parse_line(tool: str, line: str, d: Dialect | None = None) -> dict | None:
             elif k == Kind.INT_NULL:
                 rec[c.name] = None if t == d.unset_field else _int_strict(t)
             elif k == Kind.DBL:
-                rec[c.name] = float(t)
+                rec[c.name] = _float_strict(t)
             elif k == Kind.DBL_NULL:
-                rec[c.name] = None if t == d.unset_field else float(t)
+                rec[c.name] = None if t == d.unset_field else _float_strict(t)
             elif k == Kind.ADDR:
                 rec[c.name] = _addr(t)
             elif k == Kind.BOOL_TF:
@@ -70,7 +80,7 @@ def parse_line(tool: str, line: str, d: Dialect | None = None) -> dict | None:
                 )
             elif k == Kind.ARR_DBL_UNSET:
                 rec[c.name] = (
-                    [] if t == d.unset_field else [float(x) for x in t.split(d.set_separator)]
+                    [] if t == d.unset_field else [_float_strict(x) for x in t.split(d.set_separator)]
                 )
             elif k == Kind.ARR_ADDR_UNSET:
                 rec[c.name] = (
