@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["time_buckets"] = lambda s, d: logops.time_buckets(_t(s, d, "events"), "hour")
     q["stable_ordinal"] = lambda s, d: logops.stable_ordinal(_t(s, d, "events"), 10)
     q["sessionize"] = lambda s, d: logops.sessionize(_t(s, d, "events"), 1800)
+    q["value_percentiles"] = lambda s, d: logops.value_percentiles(_t(s, d, "events"))
+    # sketch-based (HLL + KLL): engine-specific internals → rows-only check;
+    # accuracy vs exact answers is pinned in tests/test_functions.py
+    q["approx_profile"] = lambda s, d: logops.approx_profile(_t(s, d, "events"))
 
     # --- general relational engine (filter/agg/join/sort/limit,
     #     anti/semi joins, rollup, pivot, moving windows) ---
@@ -405,6 +409,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM x GROUP BY user_id
+    """
+    o["value_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
     """
     o["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,

@@ -125,6 +125,37 @@ def stable_ordinal(events: DataFrame, max_user: int = 10) -> DataFrame:
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact continuous percentiles of value per sink (p50/p90/p99).
+
+    F.percentile is the exact linear-interpolation aggregate (one sort
+    per group, still distributed); the approx_* variants below are the
+    scale fast path when a sketch-accuracy answer suffices."""
+    def p(q: float, name: str):
+        return F.round(F.percentile("value", F.lit(q)), 4).alias(name)
+
+    return events.groupBy("event_type").agg(
+        p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99")
+    )
+
+
+def approx_profile(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Sketch-based profile per sink: HyperLogLog distinct users (both
+    the classic approx_count_distinct and a mergeable Datasketches HLL
+    column) + KLL-style approximate median. The mergeable sketch is what
+    a 100 TB rollup keeps in an intermediate table so late partitions
+    union in O(sketch) — no oracle (sketch internals are engine-specific);
+    accuracy is pinned in tests against the exact answers."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4).alias(
+            "approx_p50"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     previous event of the same user exceeds ``gap_seconds``. Returns per

@@ -175,3 +175,26 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         multimodal.extract_image_features(media, fake=False).collect()
+
+
+def test_value_percentiles_and_approx(events):
+    exact = {r.event_type: r for r in logops.value_percentiles(events).collect()}
+    assert exact["click"].p50 == pytest.approx(2.25, abs=1e-4)  # median of 1.5, 3.0
+    approx = {r.event_type: r for r in logops.approx_profile(events).collect()}
+    # tiny input: sketches must be exact here
+    assert approx["click"].approx_users == 1
+    assert approx["click"].hll_users == 1
+    assert approx["click"].n_events == 2
+
+
+def test_approx_profile_accuracy(spark):
+    """Sketch answers stay within tolerance of exact on a wider input."""
+    ev = spark.range(5000).select(
+        F.lit("view").alias("event_type"),
+        (F.col("id") % 1000).alias("user_id"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    row = logops.approx_profile(ev).collect()[0]
+    assert abs(row.approx_users - 1000) / 1000 < 0.1
+    assert abs(row.hll_users - 1000) / 1000 < 0.05
+    assert abs(row.approx_p50 - 49.0) <= 2.0
