@@ -38,7 +38,6 @@ from .dialect import Dialect
 from .schemas import SINKS, Col, Kind
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
-_INT_RE = r"^[+-]?\d+$"
 
 
 @dataclass(frozen=True)

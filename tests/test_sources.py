@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import shutil
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from anendektos_spark.route import route
@@ -44,3 +46,29 @@ def test_read_dir_counts_and_route(spark, log_dir):
 def test_missing_dir_fatal(spark):
     with pytest.raises(FileNotFoundError):
         read_zeek_dir(spark, "/nonexistent/bro_path")
+
+
+def test_reference_fixture_logs_end_to_end(spark):
+    """Integration: the reference repo's own golden log files
+    (/root/reference/tests/logs, read-only test DATA) through source →
+    route → parse must reproduce the reference's asserted record counts
+    (conn.d:233-237, dns.d:242-246, http.d:259-263, files.d:250-254,
+    ssl.d:187-191, x509.d:210-214)."""
+    import os
+
+    ref_logs = "/root/reference/tests/logs"
+    if not os.path.isdir(ref_logs):
+        pytest.skip("reference fixtures not present")
+    from anendektos_spark.parse import parse_sink
+    from anendektos_spark.sources.zeek_tsv import read_zeek_dir
+
+    tx = read_zeek_dir(spark, ref_logs)
+    expected = {"conn": 6, "dns": 4, "http": 3, "files": 4, "ssl": 4, "x509": 3}
+    got_route = {r.tool: r.n for r in
+                 tx.groupBy("tool").agg(F.count("*").alias("n")).collect()}
+    assert got_route == expected
+    for tool, n in expected.items():
+        parsed = parse_sink(tx.filter(F.col("tool") == tool), tool)
+        good = parsed.filter(F.col("reject_reason").isNull())
+        assert good.count() == n, tool
+        assert parsed.filter(F.col("reject_reason").isNotNull()).count() == 0, tool
