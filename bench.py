@@ -51,7 +51,7 @@ def run_pipeline_bench(spark, replicas: int) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     from anendektos_spark.fixtures import synth_transcripts
-    from anendektos_spark.parse import parse_sink
+    from anendektos_spark.parse import parse_validate_all
     from anendektos_spark.schemas import KNOWN_TOOLS
 
     tx = synth_transcripts(
@@ -61,20 +61,18 @@ def run_pipeline_bench(spark, replicas: int) -> tuple[float, int]:
     n_turns = tx.count()  # materialize input before the clock starts
 
     def run() -> list:
-        parts = []
-        for tool in KNOWN_TOOLS:
-            parsed = parse_sink(tx.filter(F.col("tool") == tool), tool)
-            parts.append(
-                parsed.groupBy("tool").agg(
-                    F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("n_good"),
-                    F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("n_rej"),
-                    F.countDistinct("conv_id").alias("n_convs"),
-                )
+        # one-pass CASE-gated validation over all six sinks (parse.py
+        # parse_validate_all): single scan + single aggregate shuffle
+        validated = parse_validate_all(tx).filter(F.col("tool").isin(list(KNOWN_TOOLS)))
+        return (
+            validated.groupBy("tool")
+            .agg(
+                F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("n_good"),
+                F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("n_rej"),
+                F.countDistinct("conv_id").alias("n_convs"),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.collect()
+            .collect()
+        )
 
     run()  # warmup: codegen compile + C2 JIT of the six generated classes
     t0 = time.time()

@@ -46,7 +46,7 @@ spark = (SparkSession.builder.master(f"local[{cores}]")
     .appName(f"scaling-{cores}").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from anendektos_spark.fixtures import synth_transcripts
-from anendektos_spark.parse import parse_sink, ParseOptions
+from anendektos_spark.parse import parse_validate_all, ParseOptions
 from anendektos_spark.schemas import KNOWN_TOOLS
 
 # identical input at every level: fixed replicas, fixed partition count
@@ -55,21 +55,14 @@ tx = synth_transcripts(spark, replicas=replicas, hot_fraction=0.01,
 n = tx.count()
 
 def build():
-    # ONE action for the whole route+aggregate fan-out: the six per-tool
-    # parse stages are independent subtrees of a union, so the scheduler
-    # overlaps them across cores instead of running 6 sequential jobs
+    # one-pass CASE-gated validation across all six sinks: one scan, one
+    # aggregate shuffle (parse.py parse_validate_all)
     opts = ParseOptions(addr_mode=mode)
-    parts = []
-    for tool in KNOWN_TOOLS:
-        parsed = parse_sink(tx.filter(F.col("tool") == tool), tool, opts=opts)
-        parts.append(parsed.groupBy("tool")
-            .agg(F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("g"),
-                 F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("r"),
-                 F.countDistinct("conv_id").alias("c")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    validated = parse_validate_all(tx, opts=opts).filter(F.col("tool").isin(list(KNOWN_TOOLS)))
+    return (validated.groupBy("tool")
+        .agg(F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("g"),
+             F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("r"),
+             F.countDistinct("conv_id").alias("c")))
 
 # Measurement protocol: every run builds a FRESH Dataset instance —
 # re-collecting one instance skips already-computed shuffle map stages and

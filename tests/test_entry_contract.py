@@ -1,0 +1,41 @@
+"""Driver-contract invariants for __spark_entry__.
+
+Cheap structural checks (no heavy Spark work): every oracle key has a
+query, names are unique and stable, and entry() returns a DataFrame with
+rows at sf0.001 — what the driver's smoke test does.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    missing = set(o) - set(q)
+    assert not missing, f"oracle without query: {missing}"
+    # every query without an oracle is an intentional rows-only check
+    rows_only = set(q) - set(o)
+    assert rows_only == {"zeek_golden_aggregates", "approx_profile"}, rows_only
+
+
+def test_query_callables_shape():
+    q = entrymod.queries()
+    assert len(q) >= 30
+    assert all(callable(f) for f in q.values())
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="driver testdata absent"
+)
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"mktsegment", "event_type", "n_events", "sum_value"}
+    # stable schema across invocations (driver runs it twice)
+    assert entrymod.entry(spark).columns == df.columns

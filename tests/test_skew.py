@@ -66,3 +66,26 @@ def test_ordinal_exact_under_skew(skewed):
     )
     bad = one.filter(F.col("mx") != F.col("n") - 1).count()
     assert bad == 0
+
+
+def test_parse_validate_all_matches_per_sink(spark, skewed):
+    """One-pass validation agrees with the six per-sink parses on every
+    row's reject verdict, and tags unknown tools."""
+    from anendektos_spark.parse import parse_validate_all
+    from anendektos_spark.schemas import KNOWN_TOOLS
+
+    allv = parse_validate_all(skewed)
+    got = {
+        (r.tool, r.ok): r.n
+        for r in allv.groupBy(
+            "tool", F.col("reject_reason").isNull().alias("ok")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    for tool in KNOWN_TOOLS:
+        per = parse_sink(skewed.filter(F.col("tool") == tool), tool)
+        good = per.filter(F.col("reject_reason").isNull()).count()
+        bad = per.filter(F.col("reject_reason").isNotNull()).count()
+        assert got.get((tool, True), 0) == good, tool
+        assert got.get((tool, False), 0) == bad, tool
+    unk = allv.filter(F.col("reject_reason") == "unimplemented_tool")
+    assert unk.count() == skewed.filter(~F.col("tool").isin(list(KNOWN_TOOLS))).count()
