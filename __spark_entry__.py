@@ -113,12 +113,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), dedup.lsh_candidates(_t(s, d, "documents"))
     )
     q["dedup_ngram_jaccard"] = _dedup_ngram_jaccard_subset
+    q["dedup_clusters"] = lambda s, d: dedup.dup_clusters(
+        _t(s, d, "documents").select("doc_id"),
+        dedup.lsh_candidates(_t(s, d, "documents")),
+    )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
 
     # --- similarity search over embeddings ---
     q["embed_norm"] = _embed_norm
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_topk(
         _t(s, d, "embeddings"), _t(s, d, "embeddings").filter(F.col("vec_id") < 8), 5
+    )
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").filter(F.col("vec_id") < 8),
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding"),
+        3,
     )
     q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
         _t(s, d, "embeddings"),
@@ -593,6 +605,54 @@ def oracle_sql() -> dict[str, str]:
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         )
         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.0
+    """
+    o["dedup_clusters"] = f"""
+        {_bands_cte},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS label FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    """
+    # the reach CTE recurses → the whole WITH chain needs RECURSIVE
+    o["dedup_clusters"] = o["dedup_clusters"].replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    o["ann_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        s AS (SELECT e.vec_id, c.cid, round({_cos_sql('e.v', 'c.cv')}, 6) AS sim
+              FROM e, c),
+        assign AS (
+          SELECT vec_id, cid AS centroid_id FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid ASC) AS rk
+            FROM s) WHERE rk = 1
+        ),
+        qs AS (SELECT a.centroid_id, e.vec_id AS query_id, e.v AS qv
+               FROM e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id < 8),
+        base AS (SELECT a.centroid_id, e.vec_id AS neighbor_id, e.v AS nv
+                 FROM e JOIN assign a ON e.vec_id = a.vec_id),
+        sims AS (SELECT q.query_id, b.neighbor_id,
+                        round({_cos_sql('q.qv', 'b.nv')}, 6) AS cos6
+                 FROM base b JOIN qs q ON b.centroid_id = q.centroid_id
+                 WHERE q.query_id <> b.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, cos6,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos6 DESC, neighbor_id ASC) AS rk
+              FROM sims)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
+               round(cos6, 4) AS cos_sim
+        FROM r WHERE rk <= 3
     """
     o["dedup_simhash"] = f"""
         WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> md5(x)) AS hs FROM documents)

@@ -159,6 +159,58 @@ def jaccard_pairs(
     )
 
 
+def dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components with
+    the minimum member id as the canonical label (the keep-one-copy step
+    of a dedup pipeline).
+
+    Iterative min-label propagation over the undirected candidate-pair
+    edges: each round every node takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds (dup
+    clusters are near-cliques from LSH, so 2-3 in practice; ``max_iter``
+    bounds pathological chains). Each round is one join + one hash
+    aggregate; ``localCheckpoint`` truncates the growing lineage so plan
+    size stays constant — the standard Spark pattern for small-step
+    iterative algorithms. Driver-side logic is control flow only (the
+    convergence check is an aggregate, not a collect of data rows)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -198,3 +198,25 @@ def test_approx_profile_accuracy(spark):
     assert abs(row.approx_users - 1000) / 1000 < 0.1
     assert abs(row.hll_users - 1000) / 1000 < 0.05
     assert abs(row.approx_p50 - 49.0) <= 2.0
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chain a-b-c plus isolated d: one cluster {1,2,3} labeled 1, and
+    singletons keep their own label."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dup_clusters_long_chain(spark):
+    """A 9-node path exercises multi-round propagation."""
+    n = 9
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(ids, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
