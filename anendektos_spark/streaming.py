@@ -113,6 +113,32 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    available_now: bool = False,
+):
+    """Streaming exact dedup on the turn identity (conv_id, turn_idx)
+    within the event-time watermark: re-delivered rows (at-least-once
+    sources, replayed batches) are dropped by state-store lookup, and
+    state is bounded because rows older than the watermark age out —
+    the streaming form of dedup.exact_dups for ingest pipelines."""
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_conv_stats(
     stream: DataFrame,
     output_dir: str,

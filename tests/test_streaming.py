@@ -116,3 +116,23 @@ def test_stateful_conv_stats_survives_restart(spark, tmp_path, input_dir):
     got = {r.conv_id: r.n_turns for r in latest}
     for conv, n in expected1.items():
         assert got[conv] == n + extra.get(conv, 0), conv
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path, input_dir):
+    """The same fixture file content appended twice → second drain's
+    duplicates are suppressed by dropDuplicatesWithinWatermark state."""
+    out, ckpt = str(tmp_path / "dd"), str(tmp_path / "ddck")
+    drain = lambda: streaming.stream_dedup(  # noqa: E731
+        streaming.stream_transcripts(spark, input_dir), out, ckpt,
+        watermark="1 hour", available_now=True,
+    ).awaitTermination(120)
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 26  # 24 fixture turns + 2 unknown-tool rows
+
+    # redeliver the identical rows as new files (at-least-once source)
+    fixture_transcripts(spark).write.mode("append").parquet(input_dir)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 26  # no duplicates emitted
+    assert got.select("conv_id", "turn_idx").distinct().count() == 26
