@@ -60,16 +60,28 @@ def comment_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.filter((F.length(t) > 0) & (~t.startswith("#")))
 
 
+# Strict numeric token grammars. Spark's string casts trim surrounding
+# whitespace (' 5' → 5) but the reference's D to!int / to!double throw on
+# whitespace-padded tokens (tab-split tokens CAN contain spaces), so both
+# casts are gated on an explicit regex. The double grammar is plain decimal/
+# scientific literals; D additionally accepts "inf"/"nan" spellings that the
+# JVM cast cannot parse — those are rejected here and in the pyref oracle
+# (documented divergence; Zeek itself never prints them in time/interval
+# fields). rlike is codegen-supported, so the projection stays whole-stage.
+_INT_RE = r"^[+-]?[0-9]+$"
+_DBL_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+
 def _strict_int(tok: Column) -> Column:
     # try_cast keeps the plan ANSI-mode-proof: under spark.sql.ansi.enabled
     # (the Spark 4 default on a bare session) a plain cast of a malformed
     # value would fail the TASK; the contract is drop-the-ROW (conn.d:73-78).
-    # try_cast to bigint already rejects fractions/exponents/garbage like
-    # D's to!int; the one divergence is that it trims surrounding
-    # whitespace (impossible after tab tokenization) — no rlike pre-guard
-    # needed, which keeps this a single cast in the codegen'd projection.
-    lng = tok.try_cast("long")
+    lng = F.when(tok.rlike(_INT_RE), tok).try_cast("long")
     return F.when(lng.between(INT32_MIN, INT32_MAX), lng).cast("int")
+
+
+def _strict_dbl(tok: Column) -> Column:
+    return F.when(tok.rlike(_DBL_RE), tok).try_cast("double")
 
 
 def _compile_column(
@@ -102,10 +114,10 @@ def _compile_column(
         v = F.when(tok != unset, _strict_int(tok))
         return v, (tok != unset) & v.isNull()
     if k == Kind.DBL:
-        v = tok.try_cast("double")
+        v = _strict_dbl(tok)
         return v, v.isNull()
     if k == Kind.DBL_NULL:
-        v = F.when(tok != unset, tok.try_cast("double"))
+        v = F.when(tok != unset, _strict_dbl(tok))
         return v, (tok != unset) & v.isNull()
     if k == Kind.ADDR:
         v = norm(tok)
@@ -125,7 +137,7 @@ def _compile_column(
         )
     if k == Kind.ARR_DBL_UNSET:
         v = F.when(tok == unset, F.array().cast("array<double>")).otherwise(
-            F.transform(F.split(tok, ss, -1), lambda x: x.try_cast("double"))
+            F.transform(F.split(tok, ss, -1), _strict_dbl)
         )
         return v, F.exists(v, lambda x: x.isNull())
     if k == Kind.ARR_ADDR_UNSET:

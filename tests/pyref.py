@@ -9,26 +9,33 @@ unlikely. Used only in tests.
 from __future__ import annotations
 
 import ipaddress
+import re
 
 from anendektos_spark.dialect import Dialect
 from anendektos_spark.schemas import SINKS, Kind
 
 INT32 = 2**31
 
+# Python int()/float() are laxer than D to!int/to!double: they trim
+# whitespace and accept "5_0", Unicode digits, and "inf"/"nan". The strict
+# grammars below match D (whitespace-padded tokens throw) except inf/nan
+# spellings, which are rejected here AND in the Spark plan (parse.py
+# _DBL_RE) — the documented shared divergence from D.
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_DBL_RE = re.compile(r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?")
+
 
 def _int_strict(s: str) -> int:
-    # Python int() is laxer than D to!int: it accepts "5_0" and Unicode
-    # digits; reject those so the oracle matches the reference contract
-    if "_" in s or not s.strip().lstrip("+-").isascii():
+    if not _INT_RE.fullmatch(s):
         raise ValueError(s)
-    v = int(s)  # raises on non-integer, like D to!int
+    v = int(s)
     if not (-INT32 <= v < INT32):
         raise ValueError("overflow")
     return v
 
 
 def _float_strict(s: str) -> float:
-    if "_" in s:
+    if not _DBL_RE.fullmatch(s):
         raise ValueError(s)
     return float(s)
 

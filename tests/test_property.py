@@ -31,9 +31,10 @@ TOKENS = st.one_of(
         "10.0.0.1", "192.168.1.254", "fe80::250:f1ff:fe80:0",  # addrs
         "999.999.999.999", "not_an_ip",                     # bad addrs
         "abc", "12.5.3", "0x1F", "NaN",                     # garbage
+        " 5", "5 ", " 1.5", "1.5 ", " -", "1 2", " ",       # whitespace-padded
     ]),
     st.text(
-        alphabet="0123456789abcdef.:,-",
+        alphabet="0123456789abcdef.:,- ",
         min_size=0, max_size=12,
     ),
 )
