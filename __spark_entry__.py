@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from anendektos_spark.functions import dedup, logops, similarity, textstats
+from anendektos_spark.functions import dedup, logops, similarity, textstats, zeek_oracle
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -151,9 +151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), threshold=0.25, n_planes=12, dims=64
     )
 
-    # --- the Zeek-semantics transcript pipeline itself (no SQL oracle:
-    #     input is synthesized in-memory, not a registered view) ---
-    q["zeek_golden_aggregates"] = _zeek_golden_aggregates
+    # --- the Zeek-semantics transcript parse engine itself, over the
+    #     committed golden parquet (functions/zeek_oracle.py): every
+    #     parsed field of every sink + the rejects channel, DuckDB-mirrored ---
+    for t in zeek_oracle.KNOWN_TOOLS:
+        q[f"zeek_sink_{t}"] = (lambda tool: lambda s, d: zeek_oracle.sink_query(s, tool))(t)
+    q["zeek_rejects"] = lambda s, d: zeek_oracle.rejects_query(s)
+    q["zeek_golden_aggregates"] = lambda s, d: zeek_oracle.aggregates_query(s)
     return q
 
 
@@ -328,30 +332,6 @@ def _embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     v = similarity.as_double(F.col("embedding"))
     return e.select("vec_id", F.round(similarity.l2_norm(v), 4).alias("l2_norm"))
-
-
-def _zeek_golden_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Golden-scale run of the actual transcript parse engine: per-tool
-    parsed/reject counts (rows-only driver check; the bit-for-bit field
-    assertions live in tests/test_golden_sinks.py)."""
-    from anendektos_spark.fixtures import fixture_transcripts
-    from anendektos_spark.parse import parse_sink
-    from anendektos_spark.schemas import KNOWN_TOOLS
-
-    tx = fixture_transcripts(spark)
-    parts = [
-        parse_sink(tx.filter(F.col("tool") == t), t)
-        .groupBy("tool")
-        .agg(
-            F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("n_good"),
-            F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("n_rejects"),
-        )
-        for t in KNOWN_TOOLS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -720,6 +700,10 @@ def oracle_sql() -> dict[str, str]:
               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
         SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.25
     """
-    # zeek_golden_aggregates: intentionally no oracle (in-memory synthetic
-    # input; bit-for-bit checks live in tests/test_golden_sinks.py).
+    # the Zeek parse engine itself: generated full-field SQL mirrors over
+    # the committed golden parquet (functions/zeek_oracle.py)
+    for t in zeek_oracle.KNOWN_TOOLS:
+        o[f"zeek_sink_{t}"] = zeek_oracle.sink_sql(t)
+    o["zeek_rejects"] = zeek_oracle.rejects_sql()
+    o["zeek_golden_aggregates"] = zeek_oracle.aggregates_sql()
     return o

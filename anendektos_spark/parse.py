@@ -175,7 +175,10 @@ def parse_sink(
     values: list[Column] = []
     bads: list[Column] = []
     for i, c in enumerate(spec):
-        tok = F.col("_toks").getItem(i)
+        # F.get (not getItem/element_at): out-of-range → null in EVERY SQL
+        # mode — a short line must become a field_count reject, not an
+        # ANSI INVALID_ARRAY_INDEX task failure
+        tok = F.get("_toks", i)
         v, bad = _compile_column(c, tok, dialect, opts)
         values.append(v.alias(c.name))
         if bad is not None:
@@ -205,7 +208,7 @@ def parse_sink(
 def _reject_expr(spec, d: Dialect, opts: ParseOptions) -> Column:
     bads: list[Column] = []
     for i, c in enumerate(spec):
-        _, bad = _compile_column(c, F.col("_toks").getItem(i), d, opts)
+        _, bad = _compile_column(c, F.get("_toks", i), d, opts)
         if bad is not None:
             bads.append(F.when(bad, F.lit(f"bad_{c.name}")))
     fc = F.size(F.col("_toks")) != F.lit(len(spec))

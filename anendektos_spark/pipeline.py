@@ -33,6 +33,7 @@ import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .aggregate import TOP_K_FIELD, distinct_keys, reject_counts, sink_counts, time_bucketed, top_k
 from .checkpoint import StageStore
@@ -84,6 +85,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     tx = read_transcripts(spark, cfg)
     if cfg.repartition:
         tx = salted_repartition(tx, cfg.repartition, cfg.salt_buckets)
+    # persist ONCE before the fan-out: the six parsed_<tool> commits and the
+    # unknown-tool reject scan all read this cache instead of re-scanning the
+    # input parquet 7× (route.py:13-15 contract; lazy, so a fully-resumed run
+    # never materializes it). On a cluster with tool-partitioned input the
+    # fan-out prunes disjoint partitions and this cache is a no-op cost.
+    tx = tx.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- parse stage, one commit per tool (routing fan-out O4) ---
     for tool in KNOWN_TOOLS:
@@ -115,6 +122,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     else:
         res = store.commit(None, "rejects", fp)  # type: ignore[arg-type]
     metrics["stages"]["rejects"] = {"rows": res.rows, "resumed": res.resumed}
+    tx.unpersist()  # downstream stages read committed parsed_<tool> storage
 
     # --- enrich + sink tables (O21: what the reference declares but never
     #     writes, anendektos.ini:10-16) ---

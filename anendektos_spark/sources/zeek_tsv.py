@@ -64,16 +64,23 @@ def read_zeek_dir(spark: SparkSession, directory: str) -> DataFrame:
     for (dialect, tool), paths in groups.items():
         raw = spark.read.text(paths).select(
             F.col("value").alias("text"),
-            F.input_file_name().alias("_file"),
-            F.monotonically_increasing_id().alias("_offset"),
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.file_block_start").alias("_block"),
+            F.monotonically_increasing_id().alias("_seq"),
         )
         data = raw.filter(
             (F.length(F.col("text")) > 0) & (~F.col("text").startswith("#"))
         )
-        # line ordinal within each file: monotonically_increasing_id is
-        # increasing in read order within a file's splits, so a per-file
-        # window over it reconstructs arrival order.
-        w = Window.partitionBy("_file").orderBy("_offset")
+        # Split-safe line ordinal. monotonically_increasing_id alone is NOT
+        # a file-order contract once a file exceeds one split (its task-id
+        # high bits order by partition, and partition order across splits of
+        # one file is an implementation detail). The _metadata.file_block_
+        # start byte offset orders the splits; within one split a single
+        # task reads lines sequentially, so _seq orders rows of that split.
+        # (_block, _seq) is therefore total arrival order per file at any
+        # file size / maxPartitionBytes setting (tested in
+        # tests/test_sources.py::test_ordinals_split_safe).
+        w = Window.partitionBy("_file").orderBy("_block", "_seq")
         toks = F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), _re_escape(dialect.separator), -1)
         parts.append(
             data.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int")).select(

@@ -20,7 +20,7 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracle without query: {missing}"
     # every query without an oracle is an intentional rows-only check
     rows_only = set(q) - set(o)
-    assert rows_only == {"zeek_golden_aggregates", "approx_profile"}, rows_only
+    assert rows_only == {"approx_profile"}, rows_only
 
 
 def test_query_callables_shape():
