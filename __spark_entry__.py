@@ -138,8 +138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("centroid_id"), "embedding"),
     )
+    # exhaustive baseline, STRUCTURALLY capped to a fixed-size id block so
+    # the O(n²) self-join stays constant work at any SF (the scale path is
+    # embed_lsh_dup_pairs below)
     q["embed_dup_pairs"] = lambda s, d: similarity.cosine_dup_pairs(
-        _t(s, d, "embeddings"), threshold=0.25
+        _t(s, d, "embeddings").filter(F.col("vec_id") < 200),
+        threshold=0.25,
+        exhaustive=True,
     )
     q["embed_lsh_buckets"] = lambda s, d: _t(s, d, "embeddings").select(
         "vec_id",
@@ -320,7 +325,10 @@ def _moving_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    """Exact all-pairs n-gram Jaccard — the correctness baseline, capped
+    to a fixed-size doc_id block (constant work at any SF; the scale path
+    is dedup_lsh_jaccard)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     pairs = (
         docs.select(F.col("doc_id").alias("id_a"))
         .join(docs.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
@@ -576,7 +584,7 @@ def oracle_sql() -> dict[str, str]:
         FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
     """
     o["dedup_ngram_jaccard"] = f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 20 = 0),
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 30),
         sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd FROM t),
         j AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -673,7 +681,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cid AS centroid_id FROM r WHERE rk = 1
     """
     o["embed_dup_pairs"] = f"""
-        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings WHERE vec_id < 200),
         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round({_cos_sql('a.v', 'b.v')}, 4) AS cos_sim
               FROM e a JOIN e b ON a.vec_id < b.vec_id)

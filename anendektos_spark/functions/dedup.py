@@ -163,7 +163,9 @@ def dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 10,
+    max_iter: int = 20,
+    check_every: int = 2,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components with
     the minimum member id as the canonical label (the keep-one-copy step
@@ -172,19 +174,33 @@ def dup_clusters(
     Iterative min-label propagation over the undirected candidate-pair
     edges: each round every node takes the min of its own label and its
     neighbors' labels; converges in O(component diameter) rounds (dup
-    clusters are near-cliques from LSH, so 2-3 in practice; ``max_iter``
-    bounds pathological chains). Each round is one join + one hash
-    aggregate; ``localCheckpoint`` truncates the growing lineage so plan
-    size stays constant — the standard Spark pattern for small-step
-    iterative algorithms. Driver-side logic is control flow only (the
-    convergence check is an aggregate, not a collect of data rows)."""
+    clusters are near-cliques from LSH, so 2-3 in practice). Each round is
+    one join + one hash aggregate; checkpointing truncates the growing
+    lineage so plan size stays constant. Driver-side logic is control flow
+    only (the convergence check is an aggregate, not a collect of data
+    rows), and it runs only every ``check_every`` rounds to halve the
+    action count on long chains.
+
+    Termination is exact: the loop runs until NO label changes; if that
+    has not happened within ``max_iter`` rounds it RAISES rather than
+    silently returning unconverged (wrong) labels — an unconverged result
+    would disagree with the exact connected-components oracle.
+
+    ``checkpoint``: "local" (executor-local, fast — fine single-JVM and
+    for short jobs) or "reliable" (``DataFrame.checkpoint`` to the
+    SparkContext checkpoint dir — survives executor loss; set
+    ``spark.sparkContext.setCheckpointDir`` first; the cluster-scale
+    choice)."""
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    converged = False
+    for it in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -196,18 +212,30 @@ def dup_clusters(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        new_labels = (
+            new_labels.checkpoint(eager=True)
+            if checkpoint == "reliable"
+            else new_labels.localCheckpoint(eager=True)
         )
+        if it % check_every == 0 or it == max_iter:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (component diameter exceeds it)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -216,15 +216,25 @@ def cosine_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
-    With ``pairs`` given (e.g. LSH candidates), refines only those; else
-    evaluates all ordered pairs (correctness baseline — quadratic, keep
-    for small n or pre-blocked inputs)."""
+    With ``pairs`` given (e.g. LSH candidates), refines only those — the
+    scale path. Without ``pairs`` the plan is an O(n²) self-join; that is
+    a correctness baseline for SMALL, pre-blocked inputs only, so it must
+    be requested explicitly with ``exhaustive=True`` — a guard against
+    accidentally shipping the quadratic plan to a 100 TB run (use
+    ``lsh_dup_pairs`` there)."""
     a = emb.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
     if pairs is None:
+        if not exhaustive:
+            raise ValueError(
+                "cosine_dup_pairs without candidate pairs is O(n²); pass "
+                "pairs (e.g. from lsh_dup_pairs) or opt in with exhaustive=True "
+                "on a bounded input"
+            )
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         joined = pairs.join(a, "id_a").join(b, "id_b")

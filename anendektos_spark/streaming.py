@@ -47,12 +47,18 @@ def route_batch(
     output_root: str,
     dialect=None,
     opts: ParseOptions | None = None,
+    epoch_id: int = 0,
 ) -> None:
-    """One micro-batch of the fan-out: parse each tool, append good rows
-    to <root>/sink_<tool>, rejects (parse failures + unknown tools) to
-    <root>/rejects. Batch-mode parquet appends are idempotent at the
-    file level; exactly-once across restarts comes from the stream
-    checkpoint replaying whole batches."""
+    """One micro-batch of the fan-out: parse each tool, write good rows
+    to <root>/sink_<tool>/epoch=<id>, rejects (parse failures + unknown
+    tools) to <root>/rejects/epoch=<id>.
+
+    Exactly-once: every write targets the batch's OWN epoch_id-keyed
+    partition directory in overwrite mode, so a crash-replay of the batch
+    (foreachBatch is at-least-once per epoch) replaces that epoch's files
+    instead of appending duplicates — the same commit-per-epoch idempotence
+    Iceberg/Delta sinks implement natively. Readers scan the sink root;
+    the epoch partition column is lineage, for free."""
     batch = batch.persist()
     try:
         for tool in KNOWN_TOOLS:
@@ -61,17 +67,24 @@ def route_batch(
                 c.name for c in SINKS[tool]
             ]
             parsed.filter(F.col("reject_reason").isNull()).select(*good_cols).write.mode(
-                "append"
-            ).parquet(f"{output_root}/sink_{tool}")
-            parsed.filter(F.col("reject_reason").isNotNull()).select(
+                "overwrite"
+            ).parquet(f"{output_root}/sink_{tool}/epoch={epoch_id}")
+        rej_parts = [
+            parse_sink(batch.filter(F.col("tool") == t), t, dialect, opts=opts)
+            .filter(F.col("reject_reason").isNotNull())
+            .select(
                 "conv_id", "turn_idx", "role", "tool", "src_ts", "text", "reject_reason"
-            ).write.mode("append").parquet(f"{output_root}/rejects")
-        unknown = batch.filter(~F.col("tool").isin(list(KNOWN_TOOLS))).select(
+            )
+            for t in KNOWN_TOOLS
+        ]
+        rejects = batch.filter(~F.col("tool").isin(list(KNOWN_TOOLS))).select(
             "conv_id", "turn_idx", "role", "tool",
             F.col("ts").alias("src_ts"), "text",
             F.lit("unimplemented_tool").alias("reject_reason"),
         )
-        unknown.write.mode("append").parquet(f"{output_root}/rejects")
+        for p in rej_parts:
+            rejects = rejects.unionByName(p)
+        rejects.write.mode("overwrite").parquet(f"{output_root}/rejects/epoch={epoch_id}")
     finally:
         batch.unpersist()
 
@@ -87,7 +100,7 @@ def stream_route_sinks(
     """Start the routing fan-out as a foreachBatch streaming query."""
     writer = (
         stream.writeStream.foreachBatch(
-            lambda b, _epoch: route_batch(b, output_root, dialect, opts)
+            lambda b, epoch: route_batch(b, output_root, dialect, opts, epoch_id=epoch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

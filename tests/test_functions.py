@@ -123,8 +123,13 @@ def test_ivf_assign_and_topk(embeddings):
 
 def test_cosine_dup_pairs(embeddings):
     pairs = {(r.id_a, r.id_b) for r in
-             similarity.cosine_dup_pairs(embeddings, threshold=0.9).collect()}
+             similarity.cosine_dup_pairs(
+                 embeddings, threshold=0.9, exhaustive=True
+             ).collect()}
     assert pairs == {(0, 1)}
+    # the quadratic plan must be opt-in (scale guard)
+    with pytest.raises(ValueError, match="O\\(n²\\)|exhaustive"):
+        similarity.cosine_dup_pairs(embeddings, threshold=0.9)
 
 
 @pytest.fixture(scope="module")
@@ -220,3 +225,24 @@ def test_dup_clusters_long_chain(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(ids, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """Exceeding max_iter must FAIL (silent unconverged labels would
+    disagree with the exact connected-components oracle)."""
+    n = 9
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(ids, pairs, max_iter=1)
+
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in
+           dedup.dup_clusters(ids, pairs, checkpoint="reliable").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}

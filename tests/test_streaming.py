@@ -60,6 +60,24 @@ def test_stream_incremental_new_files(spark, tmp_path, input_dir):
     assert spark.read.parquet(f"{out}/sink_dns").count() == GOLDEN_COUNTS["dns"]
 
 
+def test_route_batch_replay_is_idempotent(spark, tmp_path):
+    """A crashed-then-replayed epoch (foreachBatch is at-least-once per
+    epoch) must not duplicate rows: the epoch-keyed overwrite replaces its
+    own files. Replaying the SAME batch under the same epoch_id twice ==
+    writing it once."""
+    out = str(tmp_path / "out")
+    batch = fixture_transcripts(spark)
+    streaming.route_batch(batch, out, epoch_id=0)
+    streaming.route_batch(batch, out, epoch_id=0)  # simulated replay
+    for tool, n in GOLDEN_COUNTS.items():
+        assert spark.read.parquet(f"{out}/sink_{tool}").count() == n, tool
+    rejects = spark.read.parquet(f"{out}/rejects")
+    assert rejects.count() == 2  # the two unknown-tool rows, once
+    # a genuinely new epoch appends
+    streaming.route_batch(batch.filter(F.col("tool") == "conn"), out, epoch_id=1)
+    assert spark.read.parquet(f"{out}/sink_conn").count() == 2 * GOLDEN_COUNTS["conn"]
+
+
 def test_stream_windowed_counts(spark, tmp_path, input_dir):
     """Append-mode windowed counts emit once the watermark passes a
     window. The first drain emits nothing (the watermark only advances
