@@ -109,9 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: dedup.exact_dups(_t(s, d, "documents"))
     q["dedup_minhash"] = lambda s, d: dedup.minhash_signature(_t(s, d, "documents"))
     q["dedup_lsh_candidates"] = lambda s, d: dedup.lsh_candidates(_t(s, d, "documents"))
-    q["dedup_lsh_jaccard"] = lambda s, d: dedup.jaccard_pairs(
-        _t(s, d, "documents"), dedup.lsh_candidates(_t(s, d, "documents"))
-    )
+    q["dedup_lsh_jaccard"] = lambda s, d: dedup.lsh_jaccard(_t(s, d, "documents"))
     q["dedup_ngram_jaccard"] = _dedup_ngram_jaccard_subset
     q["dedup_clusters"] = lambda s, d: dedup.dup_clusters(
         _t(s, d, "documents").select("doc_id"),

@@ -16,8 +16,9 @@ only shuffles are the LSH bucket join and final distinct.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
-from .textstats import normalize_text, shingles, tokens
+from .textstats import normalize_text, shingles, spread as _spread, tokens
 
 
 def shingle_set(col: Column, n: int = 3) -> Column:
@@ -39,29 +40,63 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh) relation of distinct shingle arrays — the shared input of
+    signature generation AND candidate refinement (compute once)."""
+    return df.select(F.col(id_col), shingle_set(F.col(text_col), n).alias("sh"))
+
+
+def _cached_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, cache: bool = True
+) -> DataFrame:
+    """The materialized shingle relation every MinHash/Jaccard stage reads.
+
+    Materializing is load-bearing twice over: (1) the relation feeds the
+    16-hash signature AND both refine sides — one compute instead of
+    four; (2) explode() fused directly over the interpreted higher-order-
+    function shingle projection is a measured ~20× pathology (the HOF
+    chain is CodegenFallback; under GenerateExec the fused plan spends
+    ~6s on work that costs 0.3s materialized, sf0.1×32 cores) — the
+    barrier keeps the generator reading a materialized array column.
+    persist() registers by canonical plan, so every operator touching the
+    same corpus shares ONE cache entry (MEMORY_AND_DISK: spills, never
+    recomputes)."""
+    sets = shingle_sets(_spread(df), id_col, text_col, n)
+    return sets.persist(StorageLevel.MEMORY_AND_DISK) if cache else sets
+
+
+def _minhash_from_sets(sets: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """MinHash signature columns h0..h{H-1}: h_i = min over shingles of
+    md5(i ':' shingle). min over hex strings is a valid min-wise hash
+    family (lexicographic order on a uniform hash).
+
+    Shape chosen for whole-stage codegen: explode the shingle set into
+    rows, hash with plain column md5 (JVM codegen — higher-order-function
+    lambdas are interpreted and ~20× slower here), then one hash
+    aggregate with H min()s and map-side partial combine. Documents with
+    fewer than ``n`` tokens have no shingles and drop out (no signature
+    ⇒ exempt from near-dup detection — route them to exact dedup)."""
+    sh = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def minhash_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
-    """MinHash signature columns h0..h{H-1}: h_i = min over shingles of
-    md5(i ':' shingle). min over hex strings is a valid min-wise hash
-    family (lexicographic order on a uniform hash).
-
-    Shape chosen for whole-stage codegen: posexplode the shingle set into
-    rows, hash with plain column md5 (JVM codegen — higher-order-function
-    lambdas are interpreted and ~20× slower here), then one hash
-    aggregate with H min()s and map-side partial combine. Documents with
-    fewer than ``n`` tokens have no shingles and drop out (no signature
-    ⇒ exempt from near-dup detection — route them to exact dedup)."""
-    sh = df.select(F.col(id_col), F.explode(shingle_set(F.col(text_col), n)).alias("s"))
-    mins = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    return _minhash_from_sets(
+        _cached_sets(df, id_col, text_col, n, cache), id_col, num_hashes
+    )
 
 
 def minhash_signature(
@@ -91,8 +126,14 @@ def lsh_bands(
     """Explode each doc into (band, band_hash) rows — the LSH bucketing
     fan-out. num_hashes/rows_per_band bands; docs colliding in any band
     are near-dup candidates."""
-    n_bands = num_hashes // rows_per_band
     sig = minhash_table(df, id_col, text_col, num_hashes, n)
+    return _bands_from_sig(sig, id_col, num_hashes, rows_per_band)
+
+
+def _bands_from_sig(
+    sig: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    n_bands = num_hashes // rows_per_band
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -125,6 +166,10 @@ def lsh_candidates(
     the shuffle partitions evenly; a pathological all-identical corpus
     would hot-spot one bucket — AQE skew-join splitting handles that."""
     b = lsh_bands(df, id_col, text_col, num_hashes, rows_per_band, n)
+    return _pairs_from_bands(b, id_col)
+
+
+def _pairs_from_bands(b: DataFrame, id_col: str) -> DataFrame:
     left = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
@@ -147,13 +192,52 @@ def jaccard_pairs(
 
     jaccard = |A ∩ B| / |A ∪ B| on distinct shingle sets — integer set
     sizes, so the double division is bit-deterministic."""
-    sets = df.select(F.col(id_col), shingle_set(F.col(text_col), n).alias("sh"))
+    sets = _cached_sets(df, id_col, text_col, n)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
         pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.0,
+    use_cache: bool = True,
+) -> DataFrame:
+    """One-pass LSH near-dup pipeline: shingle sets → MinHash → band
+    candidates → exact Jaccard refine, with the shingle-set relation
+    computed ONCE and shared by all three consumers.
+
+    The composed form (jaccard_pairs(df, lsh_candidates(df))) scans the
+    source and re-materializes shingles four times — once for the
+    signature and once per refine side; here ``sets`` is persisted
+    (MEMORY_AND_DISK — spills, never recomputes) so the plan does one
+    scan + one shingle pass total. The cache lives until the session ends
+    or the caller unpersists; it is one array column per document —
+    O(corpus shingles), the same size the refine shuffle moves anyway.
+    Results are identical to the composed form (same candidates, same
+    Jaccard arithmetic, same DuckDB oracle)."""
+    sets = _cached_sets(df, id_col, text_col, n, cache=use_cache)
+    sig = _minhash_from_sets(sets, id_col, num_hashes)
+    cand = _pairs_from_bands(
+        _bands_from_sig(sig, id_col, num_hashes, rows_per_band), id_col
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -247,16 +331,23 @@ def simhash(
     Bit j is set iff sum over tokens of (+1 if hex digit j of md5(token)
     >= '8' else -1) >= 0 — each hex digit's high bit is an independent
     hash bit. Bitstring output avoids any cross-engine integer-conversion
-    ambiguity; hamming distance = count of differing positions."""
-    hashes = F.transform(tokens(F.col(text_col)), F.md5)
-    bit = lambda j: F.when(  # noqa: E731
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1),
-        )
-        >= 0,
-        F.lit("1"),
-    ).otherwise(F.lit("0"))
-    sim = F.concat(*[bit(j) for j in range(bits)])
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    ambiguity; hamming distance = count of differing positions.
+
+    Shape: explode tokens → ONE md5 per token (projection) → hash
+    aggregate with ``bits`` conditional sums → bit concat. The obvious
+    per-row ``F.aggregate`` fold is a CodegenFallback (interpreted) and
+    re-hashes every token once per bit — this form is whole-stage
+    codegen'd, hashes once, and parallelizes across cores (~10× at
+    sf0.1). Every document yields ≥1 token row (tokens of "" is [""]),
+    so no doc drops out of the aggregate."""
+    toks = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = toks.select(F.col(id_col), F.md5("tok").alias("h"))
+    sums = [
+        F.sum(F.when(F.substring(F.col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*sums)
+    sim = F.concat(
+        *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
+    )
+    return agg.select(F.col(id_col), sim.alias("simhash"))

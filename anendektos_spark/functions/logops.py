@@ -156,6 +156,82 @@ def approx_profile(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+# --- portable HLL constants (mirrored in the DuckDB oracle SQL) ---
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)   # standard alpha_m, m >= 128
+HLL_RMAX = 40                  # rank clamp: keeps 2^(RMAX-M) an exact BIGINT
+
+
+def approx_profile_portable(events: DataFrame) -> DataFrame:
+    """Engine-portable sketch profile per sink: an md5-based HyperLogLog
+    distinct-user estimate and a deterministic-sample median, plus exact
+    companions (n_events, n_users_exact) — every column reproducible
+    bit-for-bit by the DuckDB oracle, unlike the engine-native sketches
+    in ``approx_profile``.
+
+    HLL construction (classic Flajolet): register index = first 2 hex
+    digits of md5(user_id); rank = leading-zero-bits of the remaining 120
+    bits + 1, clamped to ``HLL_RMAX``. The register sum is computed as an
+    INTEGER sum of 2^(RMAX - M_j) — exact and shuffle-order-independent,
+    so the double division afterwards is deterministic. Small-range
+    correction (linear counting) applies below 2.5m with empty registers.
+    The same register table merges across partitions/days with max() —
+    the mergeable-rollup property a 100 TB profile table needs.
+
+    The median is exact over a deterministic 1/4 sample: rows whose
+    md5(event_id) starts below '4' — the same rows in any engine."""
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rest = F.substring(h, 3, 30)
+    zeros = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    digit = F.substring(rest, zeros + 1, 1)
+    lz = (
+        F.when(digit == "1", 3)
+        .when(digit.isin("2", "3"), 2)
+        .when(digit.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.least(
+        F.when(zeros == 30, F.lit(121)).otherwise(zeros * 4 + lz + 1), F.lit(HLL_RMAX)
+    )
+
+    regs = (
+        events.select("event_type", bucket.alias("b"), rank.alias("r"))
+        .groupBy("event_type", "b")
+        .agg(F.max("r").alias("M"))
+    )
+    term = F.pow(F.lit(2.0), (F.lit(HLL_RMAX) - F.col("M")).cast("double")).cast("long")
+    scale = float(2 ** HLL_RMAX)
+    amm = HLL_ALPHA * HLL_M * HLL_M
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(term).alias("present_sum"), F.count("*").alias("nonzero")
+    )
+    total = (
+        F.col("present_sum").cast("double")
+        + (F.lit(HLL_M) - F.col("nonzero")).cast("double") * F.lit(scale)
+    )
+    raw = F.lit(amm) * F.lit(scale) / total
+    zero_ct = (F.lit(HLL_M) - F.col("nonzero")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zero_ct > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero_ct),
+    ).otherwise(raw)
+    hll = per_type.select("event_type", F.round(est, 4).alias("hll_users"))
+
+    hrow = F.md5(F.col("event_id").cast("string"))
+    base = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.round(
+            F.percentile(F.when(hrow < "4", F.col("value")), F.lit(0.5)), 4
+        ).alias("p50_sample"),
+    )
+    return base.join(hll, "event_type").select(
+        "event_type", "n_events", "n_users_exact", "hll_users", "p50_sample"
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     previous event of the same user exceeds ``gap_seconds``. Returns per

@@ -27,6 +27,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a too-coarsely-split input across the session's default
+    parallelism. Small local inputs arrive as ONE file split, which would
+    run hash-heavy stages on a single core; at cluster scale the scan
+    already has >= parallelism splits and this is a no-op (no shuffle
+    inserted). Row distribution does not affect results (all downstream
+    aggregates are order-independent)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization: trim then split on runs of whitespace."""
     return F.split(F.trim(col), r"\s+")
@@ -104,10 +117,15 @@ def lang_id(
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact-dup key)
-    and the minimum shingle hash (winnowing-style near-dup-stable key)."""
+    and the minimum shingle hash (winnowing-style near-dup-stable key).
+
+    Stays a narrow per-row map (no explode: a generator fused over the
+    interpreted shingle HOF is a measured pathology — see
+    dedup._cached_sets); ``spread`` parallelizes the row-local fold
+    across cores when the input arrives as one split."""
     norm = normalize_text(F.col(text_col))
     sh = shingles(F.col(text_col), 3)
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),
         F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),

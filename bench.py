@@ -83,6 +83,20 @@ def run_pipeline_bench(spark, replicas: int) -> tuple[float, int]:
     return elapsed, n_turns
 
 
+def _force_eval(df) -> int:
+    """Evaluate EVERY output column, not just enough to count: a bare
+    count() lets Catalyst prune unreferenced projections, so narrow-map
+    queries would measure roughly scan+count. Aggregating an xxhash64 of
+    all columns forces full computation with O(1) result transfer."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*df.columns)).alias("h"),  # xor: no ANSI overflow
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -95,10 +109,17 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2: the first run pays Janino codegen compile + C2 JIT of
+        # the query's generated classes (one-time per plan shape, amortized
+        # to nothing on real corpora); the second run is the steady state
+        # a cluster job sees. Same protocol as scripts/scaling_bench.py.
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = _force_eval(df)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     pipe_sec, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)

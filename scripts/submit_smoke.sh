@@ -41,8 +41,13 @@ w = sys.argv[1]
 manifests = glob.glob(f"{w}/out/*/_MANIFEST.json")
 assert manifests, "no stage manifests written"
 stages = {os.path.basename(os.path.dirname(m)): json.load(open(m)) for m in manifests}
+# synth input: 50 replicas x per-tool golden counts, minus the rows whose
+# ts field the malformed_fraction=0.02 corrupter hit (those still appear in
+# parsed_<tool> with a reject_reason — parsed stages carry good+rejected)
 for tool, n in {"conn": 6, "dns": 4, "http": 3, "files": 4, "ssl": 4, "x509": 3}.items():
     got = stages[f"parsed_{tool}"]["rows"]
-    assert got > 0, (tool, got)
+    assert got == 50 * n, (tool, got, 50 * n)
+sink_total = sum(stages[f"sink_{t}"]["rows"] for t in ["conn","dns","http","files","ssl","x509"])
+assert sink_total + stages["rejects"]["rows"] == 50 * 26, (sink_total, stages["rejects"]["rows"])
 print("SMOKE OK —", len(stages), "stages:", sorted(stages))
 PY
