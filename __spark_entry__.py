@@ -83,9 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stable_ordinal"] = lambda s, d: logops.stable_ordinal(_t(s, d, "events"), 10)
     q["sessionize"] = lambda s, d: logops.sessionize(_t(s, d, "events"), 1800)
     q["value_percentiles"] = lambda s, d: logops.value_percentiles(_t(s, d, "events"))
-    # sketch-based (HLL + KLL): engine-specific internals → rows-only check;
-    # accuracy vs exact answers is pinned in tests/test_functions.py
-    q["approx_profile"] = lambda s, d: logops.approx_profile(_t(s, d, "events"))
+    # portable sketch profile: md5-HLL + deterministic-sample median —
+    # every column engine-reproducible, so it hash-checks like any exact
+    # query. The engine-native sketch variant (logops.approx_profile,
+    # Datasketches HLL + KLL) stays library-only with accuracy pinned in
+    # tests/test_functions.py (its internals are engine-specific).
+    q["approx_profile"] = lambda s, d: logops.approx_profile_portable(_t(s, d, "events"))
 
     # --- general relational engine (filter/agg/join/sort/limit,
     #     anti/semi joins, rollup, pivot, moving windows) ---
@@ -407,6 +410,67 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM x GROUP BY user_id
+    """
+    amm = logops.HLL_ALPHA * logops.HLL_M * logops.HLL_M
+    o["approx_profile"] = f"""
+        WITH h AS (
+          SELECT event_type, value, user_id,
+                 md5(CAST(user_id AS VARCHAR)) AS h,
+                 md5(CAST(event_id AS VARCHAR)) AS hrow
+          FROM events
+        ),
+        y AS (
+          SELECT event_type,
+                 (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b,
+                 length(regexp_extract(substr(h, 3, 30), '^(0*)', 1)) AS zeros,
+                 substr(substr(h, 3, 30),
+                        length(regexp_extract(substr(h, 3, 30), '^(0*)', 1)) + 1, 1) AS d
+          FROM h
+        ),
+        rk AS (
+          SELECT event_type, b,
+                 LEAST(CASE WHEN zeros = 30 THEN 121
+                       ELSE zeros * 4
+                            + (CASE WHEN d = '1' THEN 3
+                                    WHEN d IN ('2','3') THEN 2
+                                    WHEN d IN ('4','5','6','7') THEN 1
+                                    ELSE 0 END) + 1 END,
+                       {logops.HLL_RMAX}) AS r
+          FROM y
+        ),
+        regs AS (SELECT event_type, b, max(r) AS m FROM rk GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type,
+                 CAST(sum(CAST(power(2.0, {logops.HLL_RMAX} - m) AS BIGINT)) AS DOUBLE)
+                   AS present_sum,
+                 count(*) AS nonzero
+          FROM regs GROUP BY 1
+        ),
+        hll AS (
+          SELECT event_type,
+                 {amm!r} * power(2.0, {logops.HLL_RMAX})
+                   / (present_sum
+                      + ({logops.HLL_M} - nonzero) * power(2.0, {logops.HLL_RMAX})) AS raw,
+                 CAST({logops.HLL_M} - nonzero AS DOUBLE) AS zero_ct
+          FROM agg
+        ),
+        est AS (
+          SELECT event_type,
+                 round(CASE WHEN raw <= {2.5 * logops.HLL_M!r} AND zero_ct > 0
+                            THEN {float(logops.HLL_M)!r} * ln({float(logops.HLL_M)!r} / zero_ct)
+                            ELSE raw END, 4) AS hll_users
+          FROM hll
+        ),
+        base AS (
+          SELECT event_type, count(*) AS n_events,
+                 count(DISTINCT user_id) AS n_users_exact,
+                 round(quantile_cont(CASE WHEN hrow < '4' THEN value END, 0.5), 4)
+                   AS p50_sample
+          FROM h GROUP BY 1
+        )
+        SELECT b.event_type, b.n_events, b.n_users_exact, e.hll_users, b.p50_sample
+        FROM base b JOIN est e USING (event_type)
     """
     o["value_percentiles"] = """
         SELECT event_type,

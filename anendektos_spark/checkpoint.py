@@ -42,10 +42,37 @@ class StageResult:
 
 
 class StageStore:
-    """Commit/read/resume protocol for pipeline stage outputs."""
+    """Commit/read/resume protocol for pipeline stage outputs.
 
-    def __init__(self, root: str):
+    ``format`` selects the storage backend:
+    - ``"parquet"`` (default): the commit-then-publish protocol above,
+      self-contained, what this sandbox runs.
+    - ``"iceberg"``: each stage is an Iceberg table
+      ``<iceberg_table_prefix>.<stage>`` written with
+      ``df.writeTo(...).createOrReplace()`` — one snapshot per commit,
+      Iceberg's own atomic metadata swap replacing the manifest-file
+      ordering (manifests are still written for fingerprint/lineage
+      bookkeeping). Requires the iceberg-spark-runtime jar and a
+      configured ``spark.sql.catalog.<name>``; the write fails fast with
+      a clear error otherwise (the jar is not in this image — the
+      abstraction point makes the production claim executable where it
+      is)."""
+
+    def __init__(
+        self,
+        root: str,
+        format: str = "parquet",
+        iceberg_table_prefix: str | None = None,
+    ):
+        if format not in ("parquet", "iceberg"):
+            raise ValueError(f"format must be 'parquet' or 'iceberg', got {format!r}")
+        if format == "iceberg" and not iceberg_table_prefix:
+            raise ValueError(
+                "format='iceberg' requires iceberg_table_prefix, e.g. 'mycat.db'"
+            )
         self.root = root
+        self.format = format
+        self.iceberg_table_prefix = iceberg_table_prefix
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, stage: str) -> str:
@@ -69,7 +96,31 @@ class StageStore:
         return bool(m and m.get("committed") and m.get("fingerprint") == fingerprint)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self.format == "iceberg":
+            return spark.table(f"{self.iceberg_table_prefix}.{stage}")
         return spark.read.parquet(self.data_path(stage))
+
+    def _require_iceberg(self, spark: SparkSession) -> None:
+        catalog = self.iceberg_table_prefix.split(".")[0]  # type: ignore[union-attr]
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise RuntimeError(
+                f"Iceberg catalog {catalog!r} is not configured: set "
+                f"spark.sql.catalog.{catalog} (and ship the "
+                "iceberg-spark-runtime jar) or use format='parquet'"
+            )
+
+    def _write(self, df: DataFrame, stage: str, partition_by: list[str] | None) -> None:
+        if self.format == "iceberg":
+            self._require_iceberg(df.sparkSession)
+            writer = df.writeTo(f"{self.iceberg_table_prefix}.{stage}")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            return
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.data_path(stage))
 
     def commit(
         self,
@@ -92,13 +143,10 @@ class StageStore:
         if os.path.exists(self._manifest_path(stage)):
             os.remove(self._manifest_path(stage))
 
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.data_path(stage))
+        self._write(df, stage, partition_by)
 
         spark = df.sparkSession
-        out = spark.read.parquet(self.data_path(stage))
+        out = self.read(spark, stage)
         rows = out.count()  # parquet-footer count: no data scan
         # per-partition lineage: rows per output file (the parquet analog of
         # Iceberg's per-data-file manifest entries)

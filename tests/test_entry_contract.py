@@ -18,9 +18,9 @@ def test_oracle_keys_subset_of_queries():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     missing = set(o) - set(q)
     assert not missing, f"oracle without query: {missing}"
-    # every query without an oracle is an intentional rows-only check
+    # no rows-only queries remain: every operator is oracle-checked
     rows_only = set(q) - set(o)
-    assert rows_only == {"approx_profile"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_query_callables_shape():

@@ -205,6 +205,22 @@ def test_approx_profile_accuracy(spark):
     assert abs(row.approx_p50 - 49.0) <= 2.0
 
 
+def test_approx_profile_portable_accuracy(spark):
+    """The md5-HLL estimate tracks the exact distinct count within the
+    theoretical error band (~1.04/sqrt(256) ≈ 6.5%), and the sampled
+    median tracks the exact median."""
+    ev = spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") % 1000).alias("user_id"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    row = logops.approx_profile_portable(ev).collect()[0]
+    assert row.n_events == 20000 and row.n_users_exact == 1000
+    assert abs(row.hll_users - 1000) / 1000 < 0.15
+    assert abs(row.p50_sample - 49.0) <= 3.0
+
+
 def test_dup_clusters_connected_components(spark):
     """Chain a-b-c plus isolated d: one cluster {1,2,3} labeled 1, and
     singletons keep their own label."""

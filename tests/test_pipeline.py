@@ -107,6 +107,18 @@ def test_rejects_with_malformed_rows(spark, tmp_path):
     assert total_out == total_in  # nothing silently dropped
 
 
+def test_stage_store_format_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="parquet.*iceberg|iceberg.*parquet"):
+        StageStore(str(tmp_path), format="csv")
+    with pytest.raises(ValueError, match="iceberg_table_prefix"):
+        StageStore(str(tmp_path), format="iceberg")
+    # iceberg mode fails fast with guidance when the catalog isn't
+    # configured (the jar isn't in this image)
+    store = StageStore(str(tmp_path), format="iceberg", iceberg_table_prefix="ice.db")
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.ice"):
+        store.commit(fixture_transcripts(spark), "stage_x", "fp0")
+
+
 def test_cli_config_roundtrip(tmp_path):
     ini = tmp_path / "p.ini"
     ini.write_text(
