@@ -31,7 +31,8 @@ import sys
 WORKER = """
 import json, sys, time
 sys.path.insert(0, "/root/repo")
-cores, replicas, runs, mode = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+cores, replicas, runs, mode, job = (int(sys.argv[1]), int(sys.argv[2]),
+                                    int(sys.argv[3]), sys.argv[4], sys.argv[5])
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{cores}]")
     .config("spark.sql.shuffle.partitions", str(2 * cores))
@@ -46,7 +47,7 @@ spark = (SparkSession.builder.master(f"local[{cores}]")
     .appName(f"scaling-{cores}").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from anendektos_spark.fixtures import synth_transcripts
-from anendektos_spark.parse import parse_validate_all, ParseOptions
+from anendektos_spark.parse import parse_sink, parse_validate_all, ParseOptions
 from anendektos_spark.schemas import KNOWN_TOOLS
 
 # identical input at every level: fixed replicas, fixed partition count
@@ -54,15 +55,31 @@ tx = synth_transcripts(spark, replicas=replicas, hot_fraction=0.01,
                        malformed_fraction=0.01, partitions=128).persist()
 n = tx.count()
 
+GOOD_REJ = [
+    F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("g"),
+    F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("r"),
+    F.countDistinct("conv_id").alias("c"),
+]
+
 def build():
-    # one-pass CASE-gated validation across all six sinks: one scan, one
-    # aggregate shuffle (parse.py parse_validate_all)
     opts = ParseOptions(addr_mode=mode)
-    validated = parse_validate_all(tx, opts=opts).filter(F.col("tool").isin(list(KNOWN_TOOLS)))
-    return (validated.groupBy("tool")
-        .agg(F.sum(F.when(F.col("reject_reason").isNull(), 1).otherwise(0)).alias("g"),
-             F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)).alias("r"),
-             F.countDistinct("conv_id").alias("c")))
+    if job == "validate":
+        # one-pass CASE-gated validation across all six sinks: one scan,
+        # one aggregate shuffle (parse.py parse_validate_all)
+        validated = parse_validate_all(tx, opts=opts).filter(
+            F.col("tool").isin(list(KNOWN_TOOLS)))
+        return validated.groupBy("tool").agg(*GOOD_REJ)
+    # "fanout": the per-sink materialization shape pipeline.py runs — six
+    # parse_sink passes off the persisted source + per-sink aggregate
+    parts = [
+        parse_sink(tx.filter(F.col("tool") == t), t, opts=opts)
+        .groupBy("tool").agg(*GOOD_REJ)
+        for t in KNOWN_TOOLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 # Measurement protocol: every run builds a FRESH Dataset instance —
 # re-collecting one instance skips already-computed shuffle map stages and
@@ -87,9 +104,22 @@ spark.stop()
 """
 
 
-def run_level(cores: int, replicas: int, runs: int, mode: str) -> dict:
+JOB_TITLES = {
+    "fanout": (
+        "Job 1 — per-sink materialization shape (six `parse_sink` fan-out "
+        "off the persisted source + per-sink aggregate, the pipeline.py "
+        "stage shape)"
+    ),
+    "validate": (
+        "Job 2 — one-pass metrics shape (`parse_validate_all`: single "
+        "scan, CASE-gated per-tool validation, one aggregate shuffle)"
+    ),
+}
+
+
+def run_level(cores: int, replicas: int, runs: int, mode: str, job: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(replicas), str(runs), mode],
+        [sys.executable, "-c", WORKER, str(cores), str(replicas), str(runs), mode, job],
         capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
@@ -98,47 +128,94 @@ def run_level(cores: int, replicas: int, runs: int, mode: str) -> dict:
     raise RuntimeError(f"worker failed (cores={cores}):\n{out.stderr[-2000:]}")
 
 
+def _merge(into: dict, frm: dict) -> dict:
+    for k, v in frm.items():
+        if isinstance(v, dict) and isinstance(into.get(k), dict):
+            _merge(into[k], v)
+        else:
+            into[k] = v
+    return into
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=40000)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--modes", default="normalize,passthrough")
+    ap.add_argument("--jobs", default="fanout,validate")
+    # chunked runs: --raw-out appends this invocation's results as a JSON
+    # line (no BENCH.md write); --assemble merges a raw file and writes
+    # BENCH.md — lets a long matrix run as several shorter invocations
+    ap.add_argument("--raw-out", default=None)
+    ap.add_argument("--assemble", default=None)
     args = ap.parse_args()
 
-    results = {}
-    for mode in args.modes.split(","):
-        per_mode = []
-        for cores in (4, 16):
-            r = run_level(cores, args.replicas, args.runs, mode)
-            print(json.dumps(r))
-            per_mode.append(r)
-        lo, hi = per_mode
-        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi["cores"] / lo["cores"])
-        results[mode] = {"levels": per_mode, "scaling_efficiency": round(eff, 3)}
-        print(f"# {mode}: efficiency={eff:.3f}")
+    if args.assemble:
+        merged: dict = {}
+        with open(args.assemble) as f:
+            for line in f:
+                if line.strip():
+                    _merge(merged, json.loads(line))
+        write_bench_md(merged)
+        return
 
+    results: dict = {}
+    for job in args.jobs.split(","):
+        results[job] = {}
+        for mode in args.modes.split(","):
+            per_mode = []
+            for cores in (4, 16):
+                r = run_level(cores, args.replicas, args.runs, mode, job)
+                print(json.dumps(r))
+                per_mode.append(r)
+            lo, hi = per_mode
+            eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi["cores"] / lo["cores"])
+            results[job][mode] = {"levels": per_mode, "scaling_efficiency": round(eff, 3)}
+            print(f"# {job}/{mode}: efficiency={eff:.3f}")
+
+    if args.raw_out:
+        with open(args.raw_out, "a") as f:
+            f.write(json.dumps(results) + "\n")
+        print(f"appended {args.raw_out}")
+        return
+    write_bench_md(results)
+
+
+def write_bench_md(results: dict) -> None:
+    n_turns = next(iter(next(iter(results.values())).values()))["levels"][0]["turns"]
     with open("/root/repo/BENCH.md", "w") as f:
         f.write("# BENCH — pipeline throughput & scaling efficiency\n\n")
         f.write(
-            "Job: synth transcripts (26 golden rows × replicas, 1% hot-conv skew,\n"
-            "1% malformed) → per-tool vectorized parse → route split → per-sink\n"
-            "aggregate (good/reject counts + exact distinct conv_id). Identical\n"
-            f"input ({results[list(results)[0]]['levels'][0]['turns']} turns, 128 partitions) at every level; warm runs\n"
-            "(min of N rebuild-per-run repetitions) isolate the parallelism variable — the\n"
-            "sandbox substitute for the north_rule's N-vs-4N-executor clusters.\n\n"
+            "Input: synth transcripts (26 golden rows × replicas, 1% hot-conversation\n"
+            f"skew, 1% malformed rows), {n_turns} turns in 128 partitions — identical\n"
+            "at every level. Protocol: each level runs in its own JVM\n"
+            "(`-XX:ActiveProcessorCount=<cores>` so GC/JIT pools match the simulated\n"
+            "cluster size); min of N rebuild-per-run repetitions (first runs absorb\n"
+            "codegen + C2 JIT; GC noise is one-sided). Levels are local[4] vs\n"
+            "local[16] (N and 4N cores): a 4/8/16/32 sweep on this 32-core VM shows\n"
+            "near-linear scaling through 16 cores and throughput INVERSION at 32\n"
+            "(shared-host memory bandwidth/GC), so 4-vs-16 varies parallelism rather\n"
+            "than host saturation. This is the sandbox substitute for the\n"
+            "north_rule's N-vs-4N-executor clusters.\n\n"
         )
-        f.write("| addr mode | cores | sec | turns/sec | scaling efficiency (N→4N) |\n")
-        f.write("|---|---|---|---|---|\n")
-        for mode, r in results.items():
-            for lv in r["levels"]:
-                f.write(
-                    f"| {mode} | {lv['cores']} | {lv['sec']} | {lv['turns_per_sec']} | "
-                    f"{r['scaling_efficiency'] if lv is r['levels'][-1] else ''} |\n"
-                )
+        for job, by_mode in results.items():
+            f.write(f"## {JOB_TITLES.get(job, job)}\n\n")
+            f.write("| addr mode | cores | sec | turns/sec | scaling efficiency (N→4N) |\n")
+            f.write("|---|---|---|---|---|\n")
+            for mode, r in by_mode.items():
+                for lv in r["levels"]:
+                    f.write(
+                        f"| {mode} | {lv['cores']} | {lv['sec']} | {lv['turns_per_sec']} | "
+                        f"{('**%s**' % r['scaling_efficiency']) if lv is r['levels'][-1] else ''} |\n"
+                    )
+            f.write("\n")
         f.write(
-            "\n`normalize` = reference-faithful Arrow-UDF IP canonicalization;\n"
+            "`normalize` = reference-faithful Arrow-UDF IP canonicalization;\n"
             "`passthrough` = zero-Python shape-validated fast path.\n"
-            "Efficiency = (tput_4N/tput_N) / 4; north_rule target ≥ 0.8.\n"
+            "Efficiency = (tput_4N/tput_N) / 4; north_rule target ≥ 0.8.\n\n"
+            "Reproduce: `python scripts/scaling_bench.py --replicas 200000 --runs 6`\n"
+            "(machine otherwise idle). `bench.py` gives the single-process\n"
+            "operator-suite + pipeline numbers the driver records.\n"
         )
         f.write("\nRaw:\n\n```json\n" + json.dumps(results, indent=2) + "\n```\n")
     print("wrote BENCH.md")
