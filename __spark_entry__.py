@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: textstats.quality_score(_t(s, d, "documents"))
     q["text_lang_id"] = lambda s, d: textstats.lang_id(_t(s, d, "documents"))
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_t(s, d, "documents"))
+    q["text_subword_tokens"] = lambda s, d: textstats.subword_token_stats(
+        _t(s, d, "documents")
+    )
 
     # --- deduplication over documents ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dups(_t(s, d, "documents"))
@@ -155,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["embed_lsh_dup_pairs"] = lambda s, d: similarity.lsh_dup_pairs(
         _t(s, d, "embeddings"), threshold=0.25, n_planes=12, dims=64
+    )
+    q["embed_quantize_int8"] = _embed_quantize
+    q["ann_quantized_topk"] = lambda s, d: similarity.quantized_topk(
+        _t(s, d, "embeddings"), _t(s, d, "embeddings").filter(F.col("vec_id") < 8), 5
     )
 
     # --- the Zeek-semantics transcript parse engine itself, over the
@@ -335,6 +342,16 @@ def _dedup_ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
     )
     return dedup.jaccard_pairs(docs, pairs, threshold=0.0)
+
+
+def _embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qdf = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return qdf.select(
+        "vec_id",
+        F.round("scale", 6).alias("q_scale"),
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_vec"),
+        "qnorm2",
+    )
 
 
 def _embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,6 +618,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5({_NORM}) AS fp_md5,
                list_min(list_transform({_SHINGLES}, s -> md5(s))) AS fp_min_shingle
         FROM t
+    """
+    o["text_subword_tokens"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                          regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|''(?:s|t|re|ve|m|ll|d)|[^A-Za-z0-9\\s]') AS sub
+                   FROM documents)
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+               CAST(len(sub) AS INT) AS n_subword_tokens,
+               round(CAST(len(sub) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
+                 AS tokens_per_word
+        FROM t
+    """
+    _Q8 = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        qq AS (SELECT vec_id, maxabs / 127.0 AS scale,
+                      CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+                           ELSE list_transform(v, x ->
+                                  CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) END AS q
+               FROM m),
+        nn AS (SELECT vec_id, scale, q,
+                      CAST(list_reduce(list_transform(q, x -> CAST(x * x AS BIGINT)),
+                                       (a, b) -> a + b) AS BIGINT) AS qnorm2
+               FROM qq)
+    """
+    o["embed_quantize_int8"] = f"""
+        {_Q8}
+        SELECT vec_id, round(scale, 6) AS q_scale,
+               array_to_string(q, ',') AS q_vec, qnorm2
+        FROM nn
+    """
+    o["ann_quantized_topk"] = f"""
+        {_Q8},
+        qry AS (SELECT vec_id AS query_id, q AS q_q, qnorm2 AS n_q FROM nn WHERE vec_id < 8),
+        s AS (SELECT qry.query_id, nn.vec_id AS neighbor_id,
+                     round(CAST(list_reduce(list_transform(range(64),
+                               i -> CAST(q_q[i+1] * q[i+1] AS BIGINT)), (a, b) -> a + b)
+                           AS DOUBLE)
+                           / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(nn.qnorm2 AS DOUBLE))),
+                           6) AS cos6
+              FROM nn, qry WHERE nn.vec_id <> qry.query_id),
+        r AS (SELECT query_id, neighbor_id, cos6,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos6 DESC, neighbor_id ASC) AS rk
+              FROM s)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, round(cos6, 4) AS cos_sim
+        FROM r WHERE rk <= 5
     """
     o["dedup_exact"] = f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_docs

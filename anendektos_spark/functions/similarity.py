@@ -141,6 +141,71 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round-half-up of
+    x_i · 127 / max|x| (floor(·+0.5) — identical in every engine), plus
+    the dequantization scale and the integer self-dot (for quantized
+    cosine). At 100 TB this is the memory-bandwidth lever: 4× smaller
+    vectors through every shuffle/broadcast, integer dot products, and
+    the scales cancel out of cosine entirely."""
+    v = as_double(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        maxabs == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5)).cast("int"))
+    )
+    qnorm2 = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return emb.select(
+        F.col(id_col),
+        (maxabs / F.lit(127.0)).alias("scale"),
+        q.alias("q"),
+        qnorm2.alias("qnorm2"),
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: integer dot
+    products (bit-deterministic under any execution order), cosine =
+    dot / (sqrt(qnorm2_a)·sqrt(qnorm2_b)) — the per-vector scales cancel.
+    Same output contract as brute_topk; recall limited only by
+    quantization error (~1/254 per component)."""
+    qa = quantize_int8(emb, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("q_q"),
+        F.col("qnorm2").alias("n_q"),
+    )
+    base = qa.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("q_n"),
+        F.col("qnorm2").alias("n_n"),
+    )
+    dot_int = F.aggregate(
+        F.zip_with("q_q", "q_n", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot_int.cast("double") / (F.sqrt(F.col("n_q").cast("double")) * F.sqrt(F.col("n_n").cast("double")))
+    sims = (
+        base.join(F.broadcast(qq))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def hyperplane_weights(n_planes: int = 12, dims: int = 64) -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes for cosine LSH.
 

@@ -77,6 +77,32 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# BPE-ish pre-tokenization grammar (GPT-2-family shape, simplified):
+# contraction suffixes, letter runs, digit runs, punctuation runs.
+# Identical leftmost-first semantics in Java regex (Spark) and RE2
+# (DuckDB) for this alternation, so counts are engine-portable.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|'(?:s|t|re|ve|m|ll|d)|[^A-Za-z0-9\s]"
+
+
+def subword_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex alongside the
+    whitespace count: n_words, n_subword_tokens, tokens_per_word — the
+    cheap corpus-level length statistic a training-data pipeline budgets
+    with before real tokenization."""
+    words = tokens(F.col(text_col))
+    sub = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(sub).alias("n_subword_tokens"),
+        F.round(F.size(sub).cast("double") / F.size(words).cast("double"), 4).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality features + combined score.
 

@@ -170,6 +170,40 @@ def test_stable_ordinal(events):
     assert got == {0: 0, 1: 1, 2: 2, 3: 0}
 
 
+def test_multimodal_real_ppm_decode_and_resize(spark):
+    """REAL image path: valid P6 payloads decode to the generator's known
+    dimensions; nearest-neighbor resize emits valid PPM that re-decodes
+    at the target size with features intact."""
+    media = multimodal.synth_ppm_media(spark, 12)
+    feats = {r.media_id: r for r in multimodal.extract_ppm_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert (r.width, r.height) == (8 + mid % 8, 8 + mid % 4)
+        assert len(r.features) == 8  # 3 channel means + 5 luma bins
+        assert abs(sum(r.features[3:]) - 1.0) < 1e-4  # histogram fractions
+    # determinism
+    again = {r.media_id: r for r in multimodal.extract_ppm_features(media).collect()}
+    assert {m: tuple(r.features) for m, r in feats.items()} == {
+        m: tuple(r.features) for m, r in again.items()
+    }
+    resized = multimodal.resize_ppm(media, 4, 4)
+    rf = {r.media_id: r for r in multimodal.extract_ppm_features(resized).collect()}
+    assert all((r.width, r.height) == (4, 4) for r in rf.values())
+
+
+def test_multimodal_real_wav_decode(spark):
+    """REAL audio path: PCM16 sine waves decode to the synthesized
+    duration, and zero-crossing rate grows with frequency."""
+    media = multimodal.synth_wav_media(spark, 8)
+    rows = {r.media_id: r for r in multimodal.extract_wav_features(media).collect()}
+    assert len(rows) == 8
+    for mid, r in rows.items():
+        assert r.n_samples == 160 and r.sample_rate == 8000
+        assert r.duration_s == pytest.approx(0.02)
+        assert 0.2 < r.rms < 0.5  # 0.5-amplitude sine → rms ≈ 0.35
+    assert rows[7].zcr > rows[0].zcr  # 170 Hz crosses more than 100 Hz
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 8)
     feats = multimodal.extract_image_features(media, fake=True).collect()
@@ -203,6 +237,43 @@ def test_approx_profile_accuracy(spark):
     assert abs(row.approx_users - 1000) / 1000 < 0.1
     assert abs(row.hll_users - 1000) / 1000 < 0.05
     assert abs(row.approx_p50 - 49.0) <= 2.0
+
+
+def test_quantize_int8_error_bound(spark):
+    """Dequantized values sit within half a quantization step of the
+    original, and qnorm2 is the integer self-dot."""
+    emb = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.0]), (1, [2.0, 2.0, -2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(emb).collect()}
+    for vid, orig in [(0, [0.5, -1.0, 0.25, 0.0]), (1, [2.0, 2.0, -2.0, 1.0])]:
+        r = rows[vid]
+        assert r.qnorm2 == sum(x * x for x in r.q)
+        for x, qv in zip(orig, r.q):
+            assert abs(x - qv * r.scale) <= r.scale / 2 + 1e-12, (vid, x, qv)
+
+
+def test_quantized_topk_matches_exact_top1(embeddings):
+    exact = {r.query_id: r.neighbor_id
+             for r in similarity.brute_topk(
+                 embeddings, embeddings.filter(F.col("vec_id") == 0), k=1).collect()}
+    quant = {r.query_id: r.neighbor_id
+             for r in similarity.quantized_topk(
+                 embeddings, embeddings.filter(F.col("vec_id") == 0), k=1).collect()}
+    assert quant == exact
+
+
+def test_subword_token_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "don't do 123 things!!")], "doc_id long, text string"
+    )
+    r = textstats.subword_token_stats(df).collect()[0]
+    # whitespace words: don't / do / 123 / things!!
+    assert r.n_words == 4
+    # BPE-ish: don + 't + do + 123 + things + ! + !
+    assert r.n_subword_tokens == 7
+    assert r.tokens_per_word == 1.75
 
 
 def test_approx_profile_portable_accuracy(spark):
