@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for t in zeek_oracle.KNOWN_TOOLS:
         q[f"zeek_sink_{t}"] = (lambda tool: lambda s, d: zeek_oracle.sink_query(s, tool))(t)
     q["zeek_rejects"] = lambda s, d: zeek_oracle.rejects_query(s)
+    q["zeek_conn_latency"] = lambda s, d: zeek_oracle.conn_latency_query(s)
     q["zeek_golden_aggregates"] = lambda s, d: zeek_oracle.aggregates_query(s)
     return q
 
@@ -839,5 +840,6 @@ def oracle_sql() -> dict[str, str]:
     for t in zeek_oracle.KNOWN_TOOLS:
         o[f"zeek_sink_{t}"] = zeek_oracle.sink_sql(t)
     o["zeek_rejects"] = zeek_oracle.rejects_sql()
+    o["zeek_conn_latency"] = zeek_oracle.conn_latency_sql()
     o["zeek_golden_aggregates"] = zeek_oracle.aggregates_sql()
     return o

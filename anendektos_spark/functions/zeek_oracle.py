@@ -99,6 +99,24 @@ def rejects_query(spark: SparkSession) -> DataFrame:
     )
 
 
+def conn_latency_query(spark: SparkSession) -> DataFrame:
+    """Latency-marker aggregate over the parsed conn sink: per conn_state
+    count + duration stats (the north_star 'latency markers' realized on
+    the reference's own schema — duration is Zeek's interval field,
+    conn.d:34). Decimal-domain sum keeps the float total engine-exact."""
+    parsed = parse_sink(read_golden(spark).filter(F.col("tool") == "conn"), "conn")
+    good = parsed.filter(F.col("reject_reason").isNull())
+    return good.groupBy("conn_state").agg(
+        F.count("*").alias("n"),
+        F.count("duration").alias("n_with_duration"),
+        F.round(F.sum(F.col("duration").cast("decimal(20,6)")), 6)
+        .cast("double")
+        .alias("sum_duration"),
+        F.min("duration").alias("min_duration"),
+        F.max("duration").alias("max_duration"),
+    )
+
+
 def aggregates_query(spark: SparkSession) -> DataFrame:
     """Per-tool good/reject counts — the golden-count contract
     (conn.d:233-237 et al.) over the committed fixture parquet."""
@@ -256,6 +274,30 @@ def sink_sql(tool: str) -> str:
         FROM f
         WHERE tool = '{tool}'
            AND {good}
+    """
+
+
+def conn_latency_sql() -> str:
+    spec = SINKS["conn"]
+    state_idx = next(i for i, c in enumerate(spec) if c.name == "conn_state")
+    dur_idx = next(i for i, c in enumerate(spec) if c.name == "duration")
+    dur = (
+        f"CASE WHEN {_tok(dur_idx)} = '-' THEN NULL"
+        f" ELSE TRY_CAST({_tok(dur_idx)} AS DOUBLE) END"
+    )
+    good = "\n           AND ".join(_strict_checks(spec))
+    return f"""
+        {_base_cte()}
+        SELECT {_tok(state_idx)} AS conn_state, count(*) AS n,
+               count({dur}) AS n_with_duration,
+               CAST(round(sum(CAST({dur} AS DECIMAL(20,6))), 6) AS DOUBLE)
+                 AS sum_duration,
+               min({dur}) AS min_duration,
+               max({dur}) AS max_duration
+        FROM f
+        WHERE tool = 'conn'
+           AND {good}
+        GROUP BY 1
     """
 
 

@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the scale contract as assertions.
+
+PLANS.md documents the plan shapes the 100 TB design depends on; these
+tests pin them so a refactor that silently breaks pushdown, broadcasts a
+big side, or introduces a cartesian product fails CI instead of a
+cluster run. Also enforces the SURVEY §7 rule that the only Python in
+the repo's hot paths is Arrow-batched (no row-at-a-time ``udf()``, no
+RDD logic)."""
+
+from __future__ import annotations
+
+import io
+import pathlib
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from anendektos_spark.enrich import enrich
+from anendektos_spark.fixtures import fixture_transcripts, tool_role_lookup
+from anendektos_spark.functions import dedup, similarity
+from anendektos_spark.parse import ParseOptions, parse_sink
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tx_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "tx")
+    fixture_transcripts(spark).write.parquet(p)
+    return p
+
+
+def test_parse_pushes_tool_filter_to_scan(spark, tx_parquet):
+    tx = spark.read.parquet(tx_parquet)
+    parsed = parse_sink(
+        tx.filter(F.col("tool") == "conn"), "conn",
+        opts=ParseOptions(addr_mode="passthrough"),
+    )
+    plan = plan_of(parsed)
+    assert "PushedFilters" in plan and "EqualTo(tool,conn)" in plan.replace(" ", "")
+    # the zero-Python parse is a pure narrow map: no shuffle anywhere
+    assert "Exchange" not in plan
+
+
+def test_parse_normalize_has_exactly_one_python_boundary(spark, tx_parquet):
+    tx = spark.read.parquet(tx_parquet)
+    parsed = parse_sink(tx.filter(F.col("tool") == "conn"), "conn")
+    plan = plan_of(parsed)
+    # formatted mode lists each node twice (tree + detail): count stages
+    import re
+
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_enrich_is_broadcast_join(spark, tx_parquet):
+    tx = spark.read.parquet(tx_parquet)
+    good = parse_sink(tx.filter(F.col("tool") == "conn"), "conn",
+                      opts=ParseOptions(addr_mode="passthrough"))
+    plan = plan_of(enrich(good.filter(F.col("reject_reason").isNull()),
+                          tool_role_lookup(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must never shuffle
+
+
+def test_scale_dedup_paths_have_no_cartesian(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    for df in (dedup.lsh_jaccard(docs, use_cache=False), dedup.lsh_candidates(docs)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(similarity.brute_topk(emb, emb.filter(F.col("vec_id") < 2), 3))
+    assert "BroadcastExchange" in plan
+
+
+def test_no_row_at_a_time_python_in_library():
+    """Static guard (SURVEY §7): no ``F.udf(``/``@udf`` row UDFs and no
+    RDD-based logic in the library — Python stages must be Arrow-batched
+    (pandas_udf / mapInPandas / applyInPandas*). ``.rdd`` appears only in
+    textstats.spread's partition-count probe, which is allowed."""
+    root = pathlib.Path(__file__).resolve().parent.parent / "anendektos_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        if "F.udf(" in src or "@udf" in src or "functions.udf(" in src:
+            offenders.append(f"{py}: row udf")
+        for line in src.splitlines():
+            if ".rdd" in line and "getNumPartitions" not in line:
+                offenders.append(f"{py}: rdd usage: {line.strip()}")
+    assert not offenders, offenders
