@@ -652,14 +652,15 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ann_quantized_topk"] = f"""
         {_Q8},
-        qry AS (SELECT vec_id AS query_id, q AS q_q, qnorm2 AS n_q FROM nn WHERE vec_id < 8),
+        qry AS (SELECT vec_id AS query_id, q AS q_q, qnorm2 AS n_q
+                FROM nn WHERE vec_id < 8 AND qnorm2 > 0),
         s AS (SELECT qry.query_id, nn.vec_id AS neighbor_id,
                      round(CAST(list_reduce(list_transform(range(64),
                                i -> CAST(q_q[i+1] * q[i+1] AS BIGINT)), (a, b) -> a + b)
                            AS DOUBLE)
                            / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(nn.qnorm2 AS DOUBLE))),
                            6) AS cos6
-              FROM nn, qry WHERE nn.vec_id <> qry.query_id),
+              FROM nn, qry WHERE nn.vec_id <> qry.query_id AND nn.qnorm2 > 0),
         r AS (SELECT query_id, neighbor_id, cos6,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos6 DESC, neighbor_id ASC) AS rk

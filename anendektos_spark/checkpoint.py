@@ -147,22 +147,28 @@ class StageStore:
 
         spark = df.sparkSession
         out = self.read(spark, stage)
-        rows = out.count()  # parquet-footer count: no data scan
-        # per-partition lineage: rows per output file (the parquet analog of
-        # Iceberg's per-data-file manifest entries)
-        lineage = [
-            {"file": os.path.basename(r["file"]), "rows": r["rows"]}
-            for r in out.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
+        rows = out.count()  # metadata-only count (parquet footers / Iceberg snapshot)
+        if self.format == "iceberg":
+            # Iceberg's own snapshot manifests ARE the per-data-file
+            # lineage (and input_file_name() is undefined for DSv2
+            # scans) — record the authority rather than a fake listing
+            lineage: list = [{"source": "iceberg-snapshot-manifests"}]
+        else:
+            # per-partition lineage: rows per output file (the parquet
+            # analog of Iceberg's per-data-file manifest entries)
+            lineage = [
+                {"file": os.path.basename(r["file"]), "rows": r["rows"]}
+                for r in out.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            ]
         manifest = {
             "stage": stage,
             "fingerprint": fingerprint,
             "rows": rows,
             "schema": out.schema.simpleString(),
             "partition_by": partition_by or [],
-            "lineage": sorted(lineage, key=lambda x: x["file"]),
+            "lineage": sorted(lineage, key=lambda x: x.get("file", "")),
             "committed": True,
         }
         os.makedirs(stage_dir, exist_ok=True)

@@ -62,9 +62,27 @@ def _cached_sets(
     barrier keeps the generator reading a materialized array column.
     persist() registers by canonical plan, so every operator touching the
     same corpus shares ONE cache entry (MEMORY_AND_DISK: spills, never
-    recomputes)."""
+    recomputes). Lifecycle: the entry lives until the session ends;
+    long-lived sessions iterating over many distinct corpora should pass
+    ``cache=False`` (every public operator forwards it) or release with
+    ``spark.catalog.clearCache()``."""
     sets = shingle_sets(_spread(df), id_col, text_col, n)
     return sets.persist(StorageLevel.MEMORY_AND_DISK) if cache else sets
+
+
+def _refine(sets: DataFrame, pairs: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard refine of candidate pairs against a shingle relation
+    — the single implementation both jaccard_pairs and lsh_jaccard use
+    (identical arithmetic ⇒ identical DuckDB oracle)."""
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _minhash_from_sets(sets: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -105,10 +123,11 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 16,
     n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature as a single pipe-delimited string
     (stable, hashable representation)."""
-    sig = minhash_table(df, id_col, text_col, num_hashes, n)
+    sig = minhash_table(df, id_col, text_col, num_hashes, n, cache)
     return sig.select(
         F.col(id_col),
         F.concat_ws("|", *[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
@@ -122,11 +141,12 @@ def lsh_bands(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Explode each doc into (band, band_hash) rows — the LSH bucketing
     fan-out. num_hashes/rows_per_band bands; docs colliding in any band
     are near-dup candidates."""
-    sig = minhash_table(df, id_col, text_col, num_hashes, n)
+    sig = minhash_table(df, id_col, text_col, num_hashes, n, cache)
     return _bands_from_sig(sig, id_col, num_hashes, rows_per_band)
 
 
@@ -157,6 +177,7 @@ def lsh_candidates(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
 
@@ -165,7 +186,7 @@ def lsh_candidates(
     signatures. The join key (band, band_hash) is high-cardinality, so
     the shuffle partitions evenly; a pathological all-identical corpus
     would hot-spot one bucket — AQE skew-join splitting handles that."""
-    b = lsh_bands(df, id_col, text_col, num_hashes, rows_per_band, n)
+    b = lsh_bands(df, id_col, text_col, num_hashes, rows_per_band, n, cache)
     return _pairs_from_bands(b, id_col)
 
 
@@ -187,21 +208,14 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.0,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for the given candidate pairs.
 
     jaccard = |A ∩ B| / |A ∪ B| on distinct shingle sets — integer set
     sizes, so the double division is bit-deterministic."""
-    sets = _cached_sets(df, id_col, text_col, n)
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    sets = _cached_sets(df, id_col, text_col, n, cache)
+    return _refine(sets, pairs, id_col, threshold)
 
 
 def lsh_jaccard(
@@ -232,15 +246,7 @@ def lsh_jaccard(
     cand = _pairs_from_bands(
         _bands_from_sig(sig, id_col, num_hashes, rows_per_band), id_col
     )
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _refine(sets, cand, id_col, threshold)
 
 
 def dup_clusters(
@@ -340,7 +346,12 @@ def simhash(
     codegen'd, hashes once, and parallelizes across cores (~10× at
     sf0.1). Every document yields ≥1 token row (tokens of "" is [""]),
     so no doc drops out of the aggregate."""
-    toks = _spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # explode_outer, not explode: a NULL text yields a NULL token row, so
+    # the doc still gets its all-zero-bits signature (md5(NULL) sums to
+    # -1 per bit) instead of silently vanishing from the output
+    toks = _spread(df).select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
     hashed = toks.select(F.col(id_col), F.md5("tok").alias("h"))
     sums = [
         F.sum(F.when(F.substring(F.col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).alias(f"b{j}")

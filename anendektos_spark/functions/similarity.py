@@ -178,8 +178,11 @@ def quantized_topk(
     dot / (sqrt(qnorm2_a)·sqrt(qnorm2_b)) — the per-vector scales cancel.
     Same output contract as brute_topk; recall limited only by
     quantization error (~1/254 per component)."""
-    qa = quantize_int8(emb, id_col, vec_col)
-    qq = quantize_int8(queries, id_col, vec_col).select(
+    # zero vectors have no direction: qnorm2 == 0 rows are excluded from
+    # BOTH sides (otherwise 0/0 → NaN, which Spark ranks above every
+    # double while SQL engines yield NULL — a silent rank-1 poison)
+    qa = quantize_int8(emb, id_col, vec_col).filter(F.col("qnorm2") > 0)
+    qq = quantize_int8(queries, id_col, vec_col).filter(F.col("qnorm2") > 0).select(
         F.col(id_col).alias("query_id"), F.col("q").alias("q_q"),
         F.col("qnorm2").alias("n_q"),
     )

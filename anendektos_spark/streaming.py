@@ -47,18 +47,25 @@ def route_batch(
     output_root: str,
     dialect=None,
     opts: ParseOptions | None = None,
-    epoch_id: int = 0,
+    epoch_id: int | None = None,
 ) -> None:
     """One micro-batch of the fan-out: parse each tool, write good rows
-    to <root>/sink_<tool>/epoch=<id>, rejects (parse failures + unknown
-    tools) to <root>/rejects/epoch=<id>.
+    to <root>/sink_<tool>, rejects (parse failures + unknown tools) to
+    <root>/rejects.
 
-    Exactly-once: every write targets the batch's OWN epoch_id-keyed
-    partition directory in overwrite mode, so a crash-replay of the batch
+    With ``epoch_id`` (what stream_route_sinks passes): exactly-once —
+    every write targets the batch's OWN epoch_id-keyed partition
+    directory in overwrite mode, so a crash-replay of the batch
     (foreachBatch is at-least-once per epoch) replaces that epoch's files
-    instead of appending duplicates — the same commit-per-epoch idempotence
-    Iceberg/Delta sinks implement natively. Readers scan the sink root;
-    the epoch partition column is lineage, for free."""
+    instead of appending duplicates — the same commit-per-epoch
+    idempotence Iceberg/Delta sinks implement natively. Readers scan the
+    sink root; the epoch partition column is lineage, for free.
+
+    Without ``epoch_id`` (ad-hoc batch use): plain appends that
+    ACCUMULATE across calls — at-least-once; replaying the same batch
+    duplicates rows. Callers wanting idempotence must key their calls."""
+    suffix = "" if epoch_id is None else f"/epoch={epoch_id}"
+    mode = "append" if epoch_id is None else "overwrite"
     batch = batch.persist()
     try:
         for tool in KNOWN_TOOLS:
@@ -67,8 +74,8 @@ def route_batch(
                 c.name for c in SINKS[tool]
             ]
             parsed.filter(F.col("reject_reason").isNull()).select(*good_cols).write.mode(
-                "overwrite"
-            ).parquet(f"{output_root}/sink_{tool}/epoch={epoch_id}")
+                mode
+            ).parquet(f"{output_root}/sink_{tool}{suffix}")
         rej_parts = [
             parse_sink(batch.filter(F.col("tool") == t), t, dialect, opts=opts)
             .filter(F.col("reject_reason").isNotNull())
@@ -84,7 +91,7 @@ def route_batch(
         )
         for p in rej_parts:
             rejects = rejects.unionByName(p)
-        rejects.write.mode("overwrite").parquet(f"{output_root}/rejects/epoch={epoch_id}")
+        rejects.write.mode(mode).parquet(f"{output_root}/rejects{suffix}")
     finally:
         batch.unpersist()
 

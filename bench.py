@@ -113,8 +113,13 @@ def main() -> None:
         # the query's generated classes (one-time per plan shape, amortized
         # to nothing on real corpora); the second run is the steady state
         # a cluster job sees. Same protocol as scripts/scaling_bench.py.
+        # clearCache before EVERY timed run: operators that persist shared
+        # relations (dedup._cached_sets) must pay their fill cost inside
+        # the measurement, and one query's cache must not subsidize the
+        # next — each number is a cold-cache, warm-JIT run.
         best, n = float("inf"), 0
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             n = _force_eval(df)

@@ -239,6 +239,27 @@ def test_approx_profile_accuracy(spark):
     assert abs(row.approx_p50 - 49.0) <= 2.0
 
 
+def test_simhash_emits_row_for_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, "normal words here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert set(rows) == {0, 1, 2}  # no doc silently vanishes
+    assert rows[1] == "0" * 32     # null text → all-zero-bits signature
+
+
+def test_quantized_topk_excludes_zero_vectors(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.quantized_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    ids = {r.neighbor_id for r in got}
+    assert 2 not in ids          # zero vector never ranks (no NaN poison)
+    assert got[0].neighbor_id == 1
+
+
 def test_quantize_int8_error_bound(spark):
     """Dequantized values sit within half a quantization step of the
     original, and qnorm2 is the integer self-dot."""

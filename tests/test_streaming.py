@@ -78,6 +78,16 @@ def test_route_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{out}/sink_conn").count() == 2 * GOLDEN_COUNTS["conn"]
 
 
+def test_route_batch_without_epoch_accumulates(spark, tmp_path):
+    """Ad-hoc batch use (no epoch_id) keeps legacy append semantics:
+    successive calls accumulate, never clobber."""
+    out = str(tmp_path / "out")
+    conn = fixture_transcripts(spark).filter(F.col("tool") == "conn")
+    streaming.route_batch(conn, out)
+    streaming.route_batch(conn, out)
+    assert spark.read.parquet(f"{out}/sink_conn").count() == 2 * GOLDEN_COUNTS["conn"]
+
+
 def test_stream_windowed_counts(spark, tmp_path, input_dir):
     """Append-mode windowed counts emit once the watermark passes a
     window. The first drain emits nothing (the watermark only advances
