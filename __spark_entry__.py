@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"zeek_sink_{t}"] = (lambda tool: lambda s, d: zeek_oracle.sink_query(s, tool))(t)
     q["zeek_rejects"] = lambda s, d: zeek_oracle.rejects_query(s)
     q["zeek_conn_latency"] = lambda s, d: zeek_oracle.conn_latency_query(s)
+    q["zeek_sink_conn_pipe"] = lambda s, d: zeek_oracle.sink_query_pipe(s, "conn")
+    q["zeek_topk_fields"] = lambda s, d: zeek_oracle.topk_fields_query(s, 3)
     q["zeek_golden_aggregates"] = lambda s, d: zeek_oracle.aggregates_query(s)
     return q
 
@@ -842,5 +844,7 @@ def oracle_sql() -> dict[str, str]:
         o[f"zeek_sink_{t}"] = zeek_oracle.sink_sql(t)
     o["zeek_rejects"] = zeek_oracle.rejects_sql()
     o["zeek_conn_latency"] = zeek_oracle.conn_latency_sql()
+    o["zeek_sink_conn_pipe"] = zeek_oracle.sink_sql_pipe("conn")
+    o["zeek_topk_fields"] = zeek_oracle.topk_fields_sql(3)
     o["zeek_golden_aggregates"] = zeek_oracle.aggregates_sql()
     return o

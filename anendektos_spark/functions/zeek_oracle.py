@@ -35,12 +35,22 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..dialect import Dialect
 from ..parse import parse_sink, parse_validate_all
 from ..schemas import KNOWN_TOOLS, SINKS, Kind
+
+# north_star top-K surface: the per-sink frequency fields the reference's
+# summaries would rank (dns.d:115, http.d:115, ssl.d:107)
+TOPK_FIELDS = {"dns": "query", "http": "host", "ssl": "server_name"}
 
 GOLDEN_PARQUET = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data", "zeek_golden.parquet",
+)
+# the same 24 golden lines pipe-separated (reference tests/headers/
+# pipe_sep.log dialect) — pins dialect-driven tokenization cross-engine
+GOLDEN_PIPE_PARQUET = os.path.join(
+    os.path.dirname(GOLDEN_PARQUET), "zeek_golden_pipe.parquet"
 )
 
 _ARR_KINDS = {
@@ -61,10 +71,45 @@ def read_golden(spark: SparkSession) -> DataFrame:
 # Spark side: real parse plan + driver-comparable projection
 # --------------------------------------------------------------------------
 
-def sink_query(spark: SparkSession, tool: str) -> DataFrame:
-    """Good rows of one sink, every parsed field, hash-comparable form."""
-    parsed = parse_sink(read_golden(spark).filter(F.col("tool") == tool), tool)
+def sink_query_pipe(spark: SparkSession, tool: str) -> DataFrame:
+    """The same typed parse under the PIPE dialect (O2/O3: tokenization
+    is dialect-driven config, not hardcoded) — records must be identical
+    to the tab-dialect sink."""
+    tx = spark.read.parquet(GOLDEN_PIPE_PARQUET)
+    parsed = parse_sink(
+        tx.filter(F.col("tool") == tool), tool, dialect=Dialect(separator="|")
+    )
     good = parsed.filter(F.col("reject_reason").isNull())
+    return good.select(*_projection(tool))
+
+
+def topk_fields_query(spark: SparkSession, k: int = 3) -> DataFrame:
+    """Top-K frequency per sink over its natural field (dns query /
+    http host / ssl server_name) from the PARSED sinks — the north_star
+    top-K realized on reference data. Deterministic: count desc, value
+    asc tie-break."""
+    from pyspark.sql import Window
+
+    parts = []
+    for tool, fld in TOPK_FIELDS.items():
+        parsed = parse_sink(read_golden(spark).filter(F.col("tool") == tool), tool)
+        good = parsed.filter(F.col("reject_reason").isNull())
+        parts.append(
+            good.groupBy(F.lit(tool).alias("tool"), F.col(fld).alias("value"))
+            .agg(F.count("*").alias("n"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("tool").orderBy(F.desc("n"), F.col("value").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("tool", "value", "n", "rank")
+    )
+
+
+def _projection(tool: str) -> list:
     cols = [F.col("conv_id"), F.col("turn_idx")]
     for c in SINKS[tool]:
         v = F.col(c.name)
@@ -85,7 +130,14 @@ def sink_query(spark: SparkSession, tool: str) -> DataFrame:
             .otherwise(F.size(v))
             .alias(f"n_{c.name}")
         )
-    return good.select(*cols)
+    return cols
+
+
+def sink_query(spark: SparkSession, tool: str) -> DataFrame:
+    """Good rows of one sink, every parsed field, hash-comparable form."""
+    parsed = parse_sink(read_golden(spark).filter(F.col("tool") == tool), tool)
+    good = parsed.filter(F.col("reject_reason").isNull())
+    return good.select(*_projection(tool))
 
 
 def rejects_query(spark: SparkSession) -> DataFrame:
@@ -148,13 +200,13 @@ def _ok_dbl(x: str) -> str:
     return f"regexp_full_match({x}, '{_DBL_RE_SQL}')"
 
 
-def _base_cte() -> str:
+def _base_cte(parquet: str = GOLDEN_PARQUET, sep_sql: str = "chr(9)") -> str:
     return f"""
-        WITH tx AS (SELECT * FROM read_parquet('{GOLDEN_PARQUET}')),
+        WITH tx AS (SELECT * FROM read_parquet('{parquet}')),
         d AS (
           SELECT conv_id, turn_idx, tool,
                  regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS line,
-                 str_split(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), chr(9)) AS t
+                 str_split(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), {sep_sql}) AS t
           FROM tx
         ),
         f AS (SELECT * FROM d WHERE length(line) > 0 AND NOT starts_with(line, '#'))
@@ -261,7 +313,7 @@ def _reason_sql(spec) -> str:
     return "CASE " + " ".join(arms) + " ELSE NULL END"
 
 
-def sink_sql(tool: str) -> str:
+def sink_sql(tool: str, parquet: str = GOLDEN_PARQUET, sep_sql: str = "chr(9)") -> str:
     spec = SINKS[tool]
     cols = ["conv_id", "turn_idx"]
     for i, c in enumerate(spec):
@@ -269,11 +321,37 @@ def sink_sql(tool: str) -> str:
     sel = ",\n               ".join(cols)
     good = "\n           AND ".join(_strict_checks(spec))
     return f"""
-        {_base_cte()}
+        {_base_cte(parquet, sep_sql)}
         SELECT {sel}
         FROM f
         WHERE tool = '{tool}'
            AND {good}
+    """
+
+
+def sink_sql_pipe(tool: str) -> str:
+    return sink_sql(tool, GOLDEN_PIPE_PARQUET, "'|'")
+
+
+def topk_fields_sql(k: int = 3) -> str:
+    parts = []
+    for tool, fld in TOPK_FIELDS.items():
+        spec = SINKS[tool]
+        idx = next(i for i, c in enumerate(spec) if c.name == fld)
+        good = " AND ".join(_strict_checks(spec))
+        parts.append(
+            f"SELECT '{tool}' AS tool, {_tok(idx)} AS value, count(*) AS n "
+            f"FROM f WHERE tool = '{tool}' AND {good} GROUP BY 2"
+        )
+    union = "\n          UNION ALL ".join(parts)
+    return f"""
+        {_base_cte()},
+        c AS ({union}),
+        r AS (SELECT tool, value, n,
+                     row_number() OVER (PARTITION BY tool
+                                        ORDER BY n DESC, value ASC) AS rk
+              FROM c)
+        SELECT tool, value, n, CAST(rk AS INT) AS rank FROM r WHERE rk <= {k}
     """
 
 

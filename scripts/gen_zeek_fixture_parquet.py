@@ -43,6 +43,11 @@ OUT = (
     pathlib.Path(__file__).resolve().parent.parent
     / "anendektos_spark" / "data" / "zeek_golden.parquet"
 )
+# same 24 golden lines re-tokenized with the pipe separator (the reference's
+# tests/headers/pipe_sep.log dialect) — no fixture field contains '|', so the
+# records are identical; used to pin dialect-driven tokenization (O2/O3) at
+# driver level. Clean lines only (dialect is the variable under test).
+OUT_PIPE = OUT.parent / "zeek_golden_pipe.parquet"
 
 
 def first_inner_int_idx(tool: str) -> int:
@@ -77,9 +82,8 @@ def rows() -> list[tuple]:
     return sorted(out, key=lambda r: (r[4], r[1], r[0]))
 
 
-def main() -> None:
-    data = rows()
-    table = pa.table(
+def _to_table(data: list[tuple]) -> pa.Table:
+    return pa.table(
         {
             "conv_id": pa.array([r[0] for r in data], pa.string()),
             "turn_idx": pa.array([r[1] for r in data], pa.int32()),
@@ -92,8 +96,26 @@ def main() -> None:
             ),
         }
     )
+
+
+def pipe_rows() -> list[tuple]:
+    out: list[tuple] = []
+    for tool, lines in FIXTURE_LINES.items():
+        for idx, line in enumerate(lines):
+            assert "|" not in line, (tool, idx)
+            toks = line.strip().split("\t")
+            role = "user" if idx % 2 == 0 else "assistant"
+            out.append((toks[1], idx, role, "|".join(toks), tool, float(toks[0])))
+    return sorted(out, key=lambda r: (r[4], r[1], r[0]))
+
+
+def main() -> None:
+    table = _to_table(rows())
     pq.write_table(table, OUT, compression="snappy")
     print(f"wrote {OUT}: {table.num_rows} rows")
+    pipe = _to_table(pipe_rows())
+    pq.write_table(pipe, OUT_PIPE, compression="snappy")
+    print(f"wrote {OUT_PIPE}: {pipe.num_rows} rows")
 
 
 if __name__ == "__main__":
