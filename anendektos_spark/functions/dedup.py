@@ -287,6 +287,11 @@ def dup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # persist: each round is its own job, so without this every round
+        # re-derives the edge set from scratch — with LSH candidates as
+        # input that re-runs the whole MinHash pipeline per round.
+        # Unpersisted before return (labels are checkpointed, lineage-free).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     converged = False
@@ -321,6 +326,7 @@ def dup_clusters(
                 converged = True
                 break
         labels = new_labels
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge within max_iter={max_iter} rounds; "

@@ -57,6 +57,10 @@ class PipelineConfig:
     repartition: int | None = None       # pre-parse repartition (None = as-read)
     top_k: int = 10
     time_bucket: str = "minute"
+    # partition sink tables by the source timestamp's day ("day"), hour
+    # ("hour"), or not at all (None). At 100 TB this is what makes
+    # time-ranged sink reads partition-pruned.
+    sink_partition_by: str | None = None
 
     def fingerprint(self) -> str:
         ident = json.dumps(
@@ -65,6 +69,7 @@ class PipelineConfig:
                 "dialect": self.dialect.__dict__,
                 "addr_mode": self.addr_mode,
                 "ordinal": self.add_ordinal,
+                "sink_partition_by": self.sink_partition_by,
             },
             sort_keys=True,
         )
@@ -143,7 +148,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                 # ordinal over GOOD rows only — the reference assigns the
                 # arrival key after the row-drop filter (parser.d:173-179)
                 good = with_ordinal(good)
-            res = store.commit(enrich(good, lookup), stage, fp)
+            enriched = enrich(good, lookup)
+            partition_by = None
+            if cfg.sink_partition_by:
+                # "part_bucket", not "bucket": the aggregate stage derives
+                # its own "bucket" column over these sinks
+                enriched = enriched.withColumn(
+                    "part_bucket",
+                    F.date_format(
+                        F.date_trunc(cfg.sink_partition_by, F.col("src_ts")),
+                        "yyyy-MM-dd-HH",
+                    ),
+                )
+                partition_by = ["part_bucket"]
+            res = store.commit(enriched, stage, fp, partition_by=partition_by)
         else:
             res = store.commit(None, stage, fp)  # type: ignore[arg-type]
         metrics["stages"][stage] = {"rows": res.rows, "resumed": res.resumed}

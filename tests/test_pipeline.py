@@ -107,6 +107,24 @@ def test_rejects_with_malformed_rows(spark, tmp_path):
     assert total_out == total_in  # nothing silently dropped
 
 
+def test_sink_partitioned_by_time_bucket(spark, golden_input, tmp_path):
+    """sink_partition_by writes hive-partitioned sink tables (time-ranged
+    reads become partition-pruned at scale) without changing contents."""
+    import glob
+
+    cfg = PipelineConfig(
+        input_path=golden_input, output_root=str(tmp_path / "out"),
+        sink_partition_by="hour",
+    )
+    run_pipeline(spark, cfg)
+    store = StageStore(cfg.output_root)
+    part_dirs = glob.glob(f"{store.data_path('sink_conn')}/part_bucket=*")
+    assert part_dirs, "no partition directories written"
+    sink = store.read(spark, "sink_conn")
+    assert sink.count() == GOLDEN_COUNTS["conn"]
+    assert "part_bucket" in sink.columns
+
+
 def test_stage_store_format_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="parquet.*iceberg|iceberg.*parquet"):
         StageStore(str(tmp_path), format="csv")
