@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -80,8 +81,16 @@ def read_transcripts(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     return spark.read.parquet(cfg.input_path)
 
 
+def _record(metrics: dict, stage: str, t0: float, res) -> None:
+    metrics["stages"][stage] = {
+        "rows": res.rows, "resumed": res.resumed, "sec": round(time.time() - t0, 3),
+    }
+
+
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
-    """Run (or resume) the full pipeline; returns the metrics dict."""
+    """Run (or resume) the full pipeline; returns the metrics dict
+    (rows + resumed + wall seconds per stage — the O24 operational
+    surface alongside the manifests)."""
     store = StageStore(cfg.output_root)
     fp = cfg.fingerprint()
     opts = ParseOptions(addr_mode=cfg.addr_mode)
@@ -100,14 +109,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     # --- parse stage, one commit per tool (routing fan-out O4) ---
     for tool in KNOWN_TOOLS:
         stage = f"parsed_{tool}"
+        t0 = time.time()
         if not store.is_committed(stage, fp):
             parsed = parse_sink(tx.filter(F.col("tool") == tool), tool, cfg.dialect, opts=opts)
             res = store.commit(parsed, stage, fp)
         else:
             res = store.commit(None, stage, fp)  # type: ignore[arg-type]  # resumed path reads manifest only
-        metrics["stages"][stage] = {"rows": res.rows, "resumed": res.resumed}
+        _record(metrics, stage, t0, res)
 
     # --- rejects channel: parse failures + unknown tools (O17) ---
+    t0 = time.time()
     if not store.is_committed("rejects", fp):
         parts = [
             store.read(spark, f"parsed_{t}")
@@ -126,7 +137,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         res = store.commit(rejects, "rejects", fp)
     else:
         res = store.commit(None, "rejects", fp)  # type: ignore[arg-type]
-    metrics["stages"]["rejects"] = {"rows": res.rows, "resumed": res.resumed}
+    _record(metrics, "rejects", t0, res)
     tx.unpersist()  # downstream stages read committed parsed_<tool> storage
 
     # --- enrich + sink tables (O21: what the reference declares but never
@@ -138,6 +149,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         good_cols = ["conv_id", "turn_idx", "role", "tool", "src_ts"] + [
             c.name for c in SINKS[tool]
         ]
+        t0 = time.time()
         if not store.is_committed(stage, fp):
             good = (
                 store.read(spark, f"parsed_{tool}")
@@ -164,7 +176,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
             res = store.commit(enriched, stage, fp, partition_by=partition_by)
         else:
             res = store.commit(None, stage, fp)  # type: ignore[arg-type]
-        metrics["stages"][stage] = {"rows": res.rows, "resumed": res.resumed}
+        _record(metrics, stage, t0, res)
         sinks[tool] = store.read(spark, stage)
 
     # --- aggregates (O19 + north_star extensions) ---
@@ -176,11 +188,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         "agg_reject_counts": lambda: reject_counts(store.read(spark, "rejects")),
     }
     for stage, build in agg_stages.items():
+        t0 = time.time()
         if not store.is_committed(stage, fp):
             res = store.commit(build(), stage, fp)
         else:
             res = store.commit(None, stage, fp)  # type: ignore[arg-type]
-        metrics["stages"][stage] = {"rows": res.rows, "resumed": res.resumed}
+        _record(metrics, stage, t0, res)
 
     return metrics
 
