@@ -141,6 +141,61 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over cosine assignment — the REAL IVF
+    centroid-build step (ivf_assign/ivf_topk consume its output).
+
+    - init: the k vectors with the smallest md5(id) (deterministic,
+      hash-spread across the corpus — no RNG, replayable);
+    - assign: cosine argmax against broadcast centroids (ivf_assign);
+    - update: element-wise mean per cluster via posexplode + hash
+      aggregate (distributed; the only per-round driver traffic is the
+      k×dims centroid model itself, which is what gets broadcast back —
+      the standard fit-loop shape);
+    - an emptied cluster keeps its previous centroid.
+
+    Float means are shuffle-order-dependent in the last ulp, so this is a
+    model-fitting operator (pytest-verified), not a hash-oracle query.
+    Returns (centroid_id int, embedding array<double>)."""
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("embedding"))
+    seed_rows = (
+        v.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    schema = "centroid_id int, embedding array<double>"
+    centroids = spark.createDataFrame(
+        [(i, list(r["embedding"])) for i, r in enumerate(seed_rows)], schema
+    )
+    for _ in range(iters):
+        assign = ivf_assign(v, centroids, id_col=id_col)
+        member = assign.join(v, id_col).select(
+            "centroid_id", F.posexplode("embedding").alias("dim", "x")
+        )
+        mean_rows = (
+            member.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("centroid_id", F.col("dm.m").alias("embedding"))
+            .collect()
+        )
+        by_id = {r["centroid_id"]: list(r["embedding"]) for r in mean_rows}
+        prev = {r["centroid_id"]: list(r["embedding"]) for r in centroids.collect()}
+        centroids = spark.createDataFrame(
+            [(c, by_id.get(c, prev[c])) for c in range(k)], schema
+        )
+    return centroids
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -239,6 +239,27 @@ def test_approx_profile_accuracy(spark):
     assert abs(row.approx_p50 - 49.0) <= 2.0
 
 
+def test_kmeans_fit_separates_clusters_and_feeds_ivf(spark):
+    """Two well-separated direction groups: k-means must put them in
+    different clusters, and IVF search over the fitted centroids must
+    find within-group neighbors only."""
+    rows = [(i, [10.0 + (i % 3), 1.0, 0.0, 0.0]) for i in range(10)]          # group A
+    rows += [(100 + i, [0.0, 0.0, 5.0 + (i % 3), 20.0]) for i in range(10)]  # group B
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(emb, k=2, iters=4)
+    assert cents.count() == 2
+    assign = {r.vec_id: r.centroid_id for r in
+              similarity.ivf_assign(emb, cents).collect()}
+    a = {assign[i] for i in range(10)}
+    b = {assign[100 + i] for i in range(10)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    got = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), cents, k=3).collect()
+    assert {r.neighbor_id for r in got} <= set(range(10))  # group A only
+    # determinism: same input → identical centroids
+    again = similarity.kmeans_fit(emb, k=2, iters=4)
+    assert sorted(map(str, cents.collect())) == sorted(map(str, again.collect()))
+
+
 def test_simhash_emits_row_for_null_and_empty_text(spark):
     df = spark.createDataFrame(
         [(0, "normal words here"), (1, None), (2, "")],
