@@ -81,6 +81,19 @@ def test_lsh_finds_near_dups(docs):
     assert jac[(0, 1)] == pytest.approx(6 / 8, abs=1e-4)
 
 
+def test_lsh_jaccard_equals_composed_form(docs):
+    """The one-pass cached pipeline must produce exactly the composed
+    jaccard_pairs(lsh_candidates(df)) result — same candidates, same
+    arithmetic (they share one DuckDB oracle)."""
+    one_pass = {(r.id_a, r.id_b): r.jaccard
+                for r in dedup.lsh_jaccard(docs, use_cache=False).collect()}
+    composed = {(r.id_a, r.id_b): r.jaccard
+                for r in dedup.jaccard_pairs(
+                    docs, dedup.lsh_candidates(docs, cache=False), cache=False
+                ).collect()}
+    assert one_pass == composed and one_pass
+
+
 def test_simhash_properties(docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
