@@ -20,7 +20,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from anendektos_spark.functions import dedup, logops, similarity, textstats, zeek_oracle
+from anendektos_spark.functions import (
+    dedup,
+    joins,
+    logops,
+    sampling,
+    similarity,
+    textstats,
+    zeek_oracle,
+)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -163,6 +171,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_quantized_topk"] = lambda s, d: similarity.quantized_topk(
         _t(s, d, "embeddings"), _t(s, d, "embeddings").filter(F.col("vec_id") < 8), 5
     )
+
+    # --- deterministic sampling / curation + temporal joins ---
+    q["sample_hash"] = lambda s, d: sampling.hash_sample(
+        _t(s, d, "events"), 0.1, "event_id", salt="s1"
+    ).select("event_id", "user_id", "event_type")
+    q["sample_stratified"] = lambda s, d: sampling.stratified_sample(
+        _t(s, d, "events"), "event_type", 20, "event_id", salt="s2"
+    ).select("event_type", "event_id", "sample_rank")
+    q["sample_quality_quota"] = _quality_quota
+    q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
+    q["decontaminate_ngrams"] = _decontaminate
+    q["asof_last_order"] = _asof_last_order
+    q["range_order_pairs"] = _range_order_pairs
 
     # --- the Zeek-semantics transcript parse engine itself, over the
     #     committed golden parquet (functions/zeek_oracle.py): every
@@ -361,6 +382,61 @@ def _embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     v = similarity.as_double(F.col("embedding"))
     return e.select("vec_id", F.round(similarity.l2_norm(v), 4).alias("l2_norm"))
+
+
+def _quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing quota: keep the 5 highest-quality docs per source."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs, keep_cols=("source",))
+    return sampling.quality_quota(scored, "source", "quality", 5, "doc_id").select(
+        "source", "doc_id", "quality", "quota_rank"
+    )
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 19 == 0 act as the
+    held-out eval suite; every other doc reports its 3-gram overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    return textstats.ngram_contamination(train, bench, n=3, threshold=5)
+
+
+def _asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest order at-or-before its
+    timestamp for the same user (null when none). Single-shuffle
+    union-merge plan — see functions/joins.py."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = joins.asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+def _range_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per order, how many other orders the same
+    customer placed within ±30 days."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    out = joins.range_join_count(
+        orders, key="o_custkey", id_col="o_orderkey", ts_col="o_orderdate",
+        band_seconds=30 * 86400,
+    )
+    return out.select("o_orderkey", "n_nearby")
 
 
 # --------------------------------------------------------------------------
@@ -837,6 +913,89 @@ def oracle_sql() -> dict[str, str]:
                      round({_cos_sql('a.v', 'x.v')}, 4) AS cos_sim
               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
         SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.25
+    """
+    _thresh = sampling.sample_threshold_hex(0.1)
+    o["sample_hash"] = f"""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE substr(md5('s1:' || CAST(event_id AS VARCHAR)), 1, 8) < '{_thresh}'
+    """
+    o["sample_stratified"] = """
+        WITH r AS (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY md5('s2:' || CAST(event_id AS VARCHAR)),
+                                             event_id) AS rk
+          FROM events)
+        SELECT event_type, event_id, CAST(rk AS INT) AS sample_rank
+        FROM r WHERE rk <= 20
+    """
+    o["sample_quality_quota"] = f"""
+        WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        m AS (SELECT doc_id, source,
+                     CAST(len(list_filter(toks, x -> x IN ({_STOPLIST}))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                     CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) AS ttr
+              FROM t),
+        sc AS (SELECT doc_id, source,
+                      round(0.5 * ttr + 0.5 * (1.0 - stop_ratio), 4) AS quality
+               FROM m),
+        r AS (SELECT source, doc_id, quality,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality DESC, doc_id ASC) AS rk
+              FROM sc)
+        SELECT source, doc_id, quality, CAST(rk AS INT) AS quota_rank
+        FROM r WHERE rk <= 5
+    """
+    _BIGRAMS = "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])"
+    o["text_repetition"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM t),
+        pg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        bs AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total FROM pg GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+               round(1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                     / CAST(len(t.toks) AS DOUBLE), 4) AS dup_word_frac,
+               CAST(coalesce(bs.top_n, 0) AS INT) AS top_bigram_n,
+               round(CAST(bs.top_n AS DOUBLE) / CAST(bs.total AS DOUBLE), 4)
+                 AS top_bigram_frac
+        FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+    """
+    o["decontaminate_ngrams"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, list_distinct({_SHINGLES}) AS grams FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 19 = 0),
+        train AS (SELECT doc_id, grams FROM g WHERE doc_id % 19 <> 0),
+        tg AS (SELECT doc_id, unnest(grams) AS gram FROM train),
+        ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg
+               WHERE gram IN (SELECT gram FROM bench) GROUP BY 1)
+        SELECT t2.doc_id, CAST(len(t2.grams) AS INT) AS n_grams,
+               CAST(coalesce(ov.n_overlap, 0) AS INT) AS n_overlap,
+               coalesce(ov.n_overlap, 0) >= 5 AS contaminated
+        FROM train t2 LEFT JOIN ov ON t2.doc_id = ov.doc_id
+    """
+    o["asof_last_order"] = """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice AS totalprice
+        FROM j WHERE rk = 1
+    """
+    o["range_order_pairs"] = """
+        WITH p AS (
+          SELECT a.o_orderkey AS k, count(*) AS n
+          FROM orders a JOIN orders b
+            ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+           AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) <= 2592000000000
+          GROUP BY 1)
+        SELECT o.o_orderkey, CAST(coalesce(p.n, 0) AS BIGINT) AS n_nearby
+        FROM orders o LEFT JOIN p ON o.o_orderkey = p.k
     """
     # the Zeek parse engine itself: generated full-field SQL mirrors over
     # the committed golden parquet (functions/zeek_oracle.py)

@@ -1,0 +1,136 @@
+"""Temporal join operators Spark's DataFrame API lacks as primitives:
+as-of join and banded range join, built as compositions of existing
+relational ops (no UDFs, no per-row Python) per the custom-operator
+policy — composition first, applyInPandas only when semantics demand it.
+
+asof_join — "attach the most recent right-side row at or before each
+left timestamp, per key". The naive formulation is an inequality join
+(left ⋈ right ON key AND r.ts <= l.ts) + argmax, which explodes to
+|matches| intermediate rows (every left row × its full right history).
+This implementation is the classic union-merge plan instead:
+
+    union(right tagged 0, left tagged 1)
+      → window over (key) ordered by (ts, tag, tie)
+      → last(right_struct, ignorenulls) carries the latest right row
+        forward onto each left row
+      → filter tag = 1
+
+Cost: ONE hash shuffle on the key + a per-key local sort — the same
+shape as a sort-merge join, with no intermediate blow-up, no skew
+amplification from hot keys' history length. Right columns travel as one
+struct so the carried values are atomic (all from the same right row,
+never column-mixed between rows sharing a timestamp). Ordering within a
+timestamp puts right rows first (tag 0 < 1): a right row at exactly the
+left timestamp IS eligible, matching the `<=` contract; ties among right
+rows resolve by the caller's tie column (last wins).
+
+range_join_count — "per left row, count right rows of the same key
+within ±band of its timestamp". The naive inequality join is O(n²) per
+key. The banded plan quantizes time into band-width buckets and joins on
+(key, bucket) with the left side exploded to its 3 adjacent buckets —
+every true match shares one of those buckets, so the exact |Δt| ≤ band
+refine after the equi-join loses nothing. The shuffle carries only
+(key, bucket) pairs: Catalyst runs it as a hash join, and candidate fan-
+out is bounded by per-bucket occupancy instead of per-key history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``right_cols`` from the
+    latest ``right`` row with ``right[right_ts] <= left[left_ts]`` and
+    the same ``key`` (null when no right row precedes it).
+
+    ``tie_col`` breaks timestamp ties among right rows (greatest wins),
+    making the result deterministic. Columns named in ``right_cols`` must
+    not collide with left columns.
+    """
+    rs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col(tie_col).alias("_tie"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    left_cols = left.columns
+    ls = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(rs.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(rs.schema["_r"].dataType).alias("_r"),
+    )
+    # unionByName with missing left columns nulled on the right side
+    merged = ls.unionByName(rs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("_last", F.last("_r", ignorenulls=True).over(w))
+    return carried.filter(F.col("_tag") == 1).select(
+        *left_cols, *[F.col(f"_last.{c}").alias(c) for c in right_cols]
+    )
+
+
+def _bucket(ts: Column, band_seconds: int) -> Column:
+    return F.floor(F.unix_micros(ts.cast("timestamp")) / (band_seconds * 1_000_000))
+
+
+def range_join_count(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    ts_col: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Self range join: for every row, ``n_nearby`` = count of OTHER rows
+    with the same ``key`` whose timestamp lies within ±``band_seconds``
+    (inclusive). Rows with no neighbor report 0.
+
+    Plan: quantize to band-width buckets, explode each probe row to its
+    {b-1, b, b+1} candidate buckets, equi-join on (key, bucket), refine
+    with the exact microsecond predicate, aggregate, then left-join the
+    counts back so zero-neighbor rows survive. All joins are hash
+    equi-joins; no inequality join, no cartesian.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = _bucket(F.col(ts_col), band_seconds)
+    probe = df.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        F.explode(F.array(b - 1, b, b + 1)).alias("_b"),
+    )
+    build = df.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("_oid"),
+        us.alias("_ous"),
+        b.alias("_b"),
+    )
+    band_us = band_seconds * 1_000_000
+    counts = (
+        probe.join(build, ["_k", "_b"])
+        .filter(
+            (F.col("_oid") != F.col("_id"))
+            & (F.abs(F.col("_ous") - F.col("_us")) <= band_us)
+        )
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return df.join(
+        counts, df[id_col] == counts["_id"], "left"
+    ).select(
+        *df.columns, F.coalesce(F.col("_n"), F.lit(0)).alias("n_nearby")
+    )

@@ -1,0 +1,105 @@
+"""Deterministic sampling / data-selection operators for training-data
+curation.
+
+A 100 TB corpus pipeline needs reproducible subset selection: ablation
+samples, per-source quotas for data mixing, and quality-ranked selection.
+Random sampling (``df.sample``) is seed- and partitioning-dependent — a
+re-run after a repartition picks different rows. Every operator here is a
+pure function of row content (md5 of a key column), so the selected set is
+identical across engines, partitionings, cluster sizes, and re-runs — the
+property that makes the sample auditable and the DuckDB oracle possible.
+
+- hash_sample: Bernoulli sampling at an exact rate via an md5-prefix
+  threshold. Narrow map, no shuffle; the filter is pushed into the scan.
+- stratified_sample: exactly-n-per-group via a hash-ordered window.
+  One shuffle on the group key; per-group sort is local.
+- quality_quota: top-n-per-group by a score column (data-mixing quota
+  selection, e.g. "best 100k docs per source by quality").
+
+Scale notes: hash_sample pipelines with the read (rate applied before
+any shuffle — downstream stages see only the sample). The window
+operators pre-aggregate nothing but partition on the group key, so skewed
+groups are bounded by the per-group ``n``: the rank filter is applied
+within the sort, and AQE handles residual partition skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """The 8-hex-digit threshold for ``hash_sample``: keep a row iff the
+    first 8 hex digits of its key hash sort strictly below this string.
+    Same-length lowercase-hex string comparison == numeric comparison, so
+    the predicate is engine-portable verbatim."""
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"rate must be in [0, 1), got {rate}")
+    return format(int(rate * 16**8), "08x")
+
+
+def sample_hash_col(key: Column, salt: str = "") -> Column:
+    """The sampling hash: md5 over salt-prefixed key text. A different
+    salt yields an independent sample (for disjoint train/holdout splits,
+    hash with two salts and complementary thresholds)."""
+    return F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep each row iff
+    ``md5(salt:key)[:8] < threshold(rate)``.
+
+    Exactly reproducible anywhere md5 exists; expected fraction ``rate``
+    with binomial variance. No shuffle — a narrow filter the optimizer
+    pushes below downstream projections."""
+    if rate >= 1.0:
+        # a 1.0 threshold needs 9 hex digits, which breaks the same-length
+        # string comparison — and filtering at rate 1 is a no-op anyway
+        return df
+    thresh = sample_threshold_hex(rate)
+    h = F.substring(sample_hash_col(F.col(key_col), salt), 1, 8)
+    return df.filter(h < thresh)
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, n: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen by hash order.
+
+    Selection is a row_number over (group) ordered by (md5(salt:key),
+    key) — the key tie-break makes the order total, so the chosen set is
+    unique even under hash collisions. Equivalent to a per-group uniform
+    sample without replacement, reproducible across engines.
+
+    One hash shuffle on ``group_col``; rank filtering happens inside the
+    per-group sort, so output per group is capped at ``n`` regardless of
+    group skew."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash_col(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )
+
+
+def quality_quota(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Top-``n`` rows per group by a (rounded) score — the quota-based
+    selection step of a data-mixing recipe ("keep the best n documents
+    per source"). The score is rounded to 4 places before ranking and
+    ties break on ``id_col``, so the selected set is deterministic even
+    when float scores differ in the last ulp across engines."""
+    r = F.round(F.col(score_col), 4)
+    w = Window.partitionBy(group_col).orderBy(r.desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= n)
+    )

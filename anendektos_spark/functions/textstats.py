@@ -103,13 +103,21 @@ def subword_token_stats(
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + combined score.
 
     stopword_ratio = stopword tokens / tokens;
     ttr (type-token ratio) = distinct tokens / tokens;
     score = 0.5*ttr + 0.5*(1 - stopword_ratio) — a simple, monotone,
     fully deterministic combination.
+
+    ``keep_cols`` are passed through unchanged (e.g. the grouping key for
+    a downstream quota selection) — cheaper than re-joining the source.
     """
     t = tokens(F.col(text_col))
     n_tok = F.size(t).cast("double")
@@ -117,6 +125,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(t).alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(ttr, 4).alias("ttr"),
@@ -138,6 +147,92 @@ def lang_id(
         F.col(id_col),
         F.round(ratio, 4).alias("en_ratio"),
         F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - dup_word_frac: 1 − distinct/total tokens (repeated-word mass);
+    - top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams — high values flag boilerplate/spam repetition.
+
+    dup_word_frac is a narrow map. top_bigram_frac needs a per-document
+    mode, which no array builtin gives directly — so bigrams are exploded
+    and aggregated (max(count)/sum(count) per doc). That is one shuffle
+    keyed by (doc, bigram) then (doc); at corpus scale the partial
+    (map-side) aggregation collapses each document's duplicates before
+    the exchange, so shuffled bytes ≈ distinct bigrams, not total."""
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("n"))
+    bigram_stats = per_gram.groupBy(id_col).agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total_bigrams")
+    )
+    t = tokens(F.col(text_col))
+    word_stats = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    return word_stats.join(bigram_stats, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_word_frac",
+        F.coalesce(F.col("top_n").cast("int"), F.lit(0)).alias("top_bigram_n"),
+        F.round(
+            F.col("top_n").cast("double") / F.col("total_bigrams").cast("double"), 4
+        ).alias("top_bigram_frac"),
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word ``n``-grams appear anywhere in the benchmark set, and a
+    ``contaminated`` flag once ``threshold`` grams overlap — the standard
+    test-set-leakage check run before training-data release.
+
+    Plan shape for 100 TB: the benchmark side (eval suites: thousands of
+    documents, not billions) collapses to a DISTINCT gram set and is
+    broadcast; the training side is scanned ONCE — explode_outer (zero-
+    gram docs survive as a null-gram row), broadcast hash left join to
+    mark hits, partial+final count by doc. The only train-side shuffle
+    carries map-side-combined per-doc partial counts, not grams. Per-doc
+    grams are deduplicated by ``array_distinct`` BEFORE the explode, so
+    exploded row count = per-doc vocabulary, not document length."""
+    bench_grams = (
+        bench.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = train.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(F.col(text_col), n))).alias("n_grams"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    counted = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias("n_overlap"))
+    )
+    return counted.select(
+        F.col(id_col),
+        "n_grams",
+        "n_overlap",
+        (F.col("n_overlap") >= threshold).alias("contaminated"),
     )
 
 

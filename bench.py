@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "enrich_events", "time_buckets",
     "topk_users", "sessionize", "text_quality", "dedup_minhash",
     "dedup_lsh_jaccard", "dedup_simhash", "ann_cosine_topk", "ann_ivf_assign",
+    "asof_last_order", "range_order_pairs", "decontaminate_ngrams",
 ]
 
 

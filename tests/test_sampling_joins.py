@@ -1,0 +1,201 @@
+"""Semantic tests for sampling.py, joins.py, and the new textstats ops —
+hand-built inputs with independently computed expected outputs (the
+DuckDB cross-check runs separately via the driver contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import Row, functions as F
+
+from anendektos_spark.functions import joins, sampling, textstats
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# sampling
+# --------------------------------------------------------------------------
+
+def test_hash_sample_matches_python_reference(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    got = {r.k for r in sampling.hash_sample(df, 0.3, "k", salt="s").collect()}
+    thresh = sampling.sample_threshold_hex(0.3)
+    want = {i for i in range(1000) if _md5(f"s:{i}")[:8] < thresh}
+    assert got == want
+    assert 0.2 < len(got) / 1000 < 0.4  # rate roughly honored
+
+
+def test_hash_sample_edges_and_salt_independence(spark):
+    df = spark.range(200).withColumnRenamed("id", "k")
+    assert sampling.hash_sample(df, 0.0, "k").count() == 0
+    assert sampling.hash_sample(df, 1.0, "k").count() == 200
+    a = {r.k for r in sampling.hash_sample(df, 0.5, "k", salt="a").collect()}
+    b = {r.k for r in sampling.hash_sample(df, 0.5, "k", salt="b").collect()}
+    assert a != b  # different salt -> different (independent) sample
+
+
+def test_stratified_sample_exact_group_sizes(spark):
+    rows = [Row(g="x", k=i) for i in range(50)] + [Row(g="y", k=i) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = sampling.stratified_sample(df, "g", 10, "k").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["x"]) == 10            # capped at n
+    assert len(by_g["y"]) == 3             # whole small group survives
+    assert sorted(r.sample_rank for r in by_g["x"]) == list(range(1, 11))
+    # deterministic: same selection on re-run
+    again = {(r.g, r.k) for r in sampling.stratified_sample(df, "g", 10, "k").collect()}
+    assert {(r.g, r.k) for r in out} == again
+
+
+def test_quality_quota_rounds_and_tie_breaks_on_id(spark):
+    # scores that differ only past 4 decimals tie; lower id wins the rank
+    rows = [
+        Row(g="s", id=3, score=0.50004),
+        Row(g="s", id=1, score=0.50001),
+        Row(g="s", id=2, score=0.9),
+    ]
+    out = sampling.quality_quota(spark.createDataFrame(rows), "g", "score", 2, "id")
+    got = [(r.id, r.quota_rank) for r in sorted(out.collect(), key=lambda r: r.quota_rank)]
+    assert got == [(2, 1), (1, 2)]  # 0.50004 and 0.50001 both round to 0.5; id 1 beats 3
+
+
+# --------------------------------------------------------------------------
+# as-of join
+# --------------------------------------------------------------------------
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_tie_and_nomatch(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lid=1, ts=_ts("2024-01-10 00:00:00")),
+            Row(k="a", lid=2, ts=_ts("2024-01-05 00:00:00")),  # equals right ts
+            Row(k="a", lid=3, ts=_ts("2024-01-01 00:00:00")),  # before all rights
+            Row(k="b", lid=4, ts=_ts("2024-01-10 00:00:00")),  # key without rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rid=10, rts=_ts("2024-01-05 00:00:00"), v=1.0),
+            Row(k="a", rid=11, rts=_ts("2024-01-05 00:00:00"), v=2.0),  # same ts: max rid wins
+            Row(k="a", rid=12, rts=_ts("2024-01-08 00:00:00"), v=3.0),
+        ]
+    )
+    out = {
+        r.lid: (r.rid, r.v)
+        for r in joins.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            right_cols=["rid", "v"], tie_col="rid",
+        ).collect()
+    }
+    assert out[1] == (12, 3.0)          # latest right before 01-10
+    assert out[2] == (11, 2.0)          # right at EXACT left ts eligible; tie -> rid 11
+    assert out[3] == (None, None)       # nothing at or before
+    assert out[4] == (None, None)       # key with no right rows
+    # struct carriage is atomic: rid/v always from the same right row
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_asof_join_keeps_all_left_columns_and_rows(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", lid=i, ts=_ts(f"2024-01-{d:02d} 00:00:00"), tag=f"t{i}")
+         for i, d in [(1, 2), (2, 4), (3, 6)]]
+    )
+    right = spark.createDataFrame([Row(k="a", rid=7, rts=_ts("2024-01-03 00:00:00"))])
+    out = joins.asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        right_cols=["rid"], tie_col="rid",
+    )
+    assert out.count() == 3
+    assert set(out.columns) == {"k", "lid", "ts", "tag", "rid"}
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {1: None, 2: 7, 3: 7}
+
+
+# --------------------------------------------------------------------------
+# banded range join
+# --------------------------------------------------------------------------
+
+def test_range_join_count_inclusive_band_and_bucket_edges(spark):
+    base = _ts("2024-01-01 00:00:00")
+    band = 100  # seconds
+    # ids 1,2 exactly band apart (inclusive -> neighbors); id 3 band+1 away
+    # from id 2; ids straddle bucket boundaries (bucket width == band).
+    rows = [
+        Row(k="u", i=1, ts=base),
+        Row(k="u", i=2, ts=base + dt.timedelta(seconds=100)),
+        Row(k="u", i=3, ts=base + dt.timedelta(seconds=201)),
+        Row(k="u", i=4, ts=base + dt.timedelta(seconds=250)),
+        Row(k="v", i=5, ts=base),  # other key: isolated
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.i: r.n_nearby for r in joins.range_join_count(
+        df, key="k", id_col="i", ts_col="ts", band_seconds=band).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 0}
+    # |t3-t2|=101 > band excluded; |t4-t3|=49 included; keys never mix
+
+
+def test_range_join_count_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        Row(k=f"k{rng.randrange(3)}", i=i,
+            ts=base + dt.timedelta(seconds=rng.randrange(0, 5000)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.i: r.n_nearby for r in joins.range_join_count(
+        df, key="k", id_col="i", ts_col="ts", band_seconds=300).collect()}
+    want = {
+        a.i: sum(
+            1 for b in rows
+            if b.k == a.k and b.i != a.i and abs((b.ts - a.ts).total_seconds()) <= 300
+        )
+        for a in rows
+    }
+    assert out == want
+
+
+# --------------------------------------------------------------------------
+# repetition + contamination
+# --------------------------------------------------------------------------
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),   # bigrams: ab,ba,ab,ba -> top 2/4
+            Row(doc_id=2, text="x y z w"),     # all distinct
+            Row(doc_id=3, text="q q q"),       # 'q q' twice / 2 bigrams
+        ]
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert out[1].n_tokens == 5 and out[1].dup_word_frac == 0.6
+    assert out[1].top_bigram_n == 2 and out[1].top_bigram_frac == 0.5
+    assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 4)
+    assert out[3].top_bigram_n == 2 and out[3].top_bigram_frac == 1.0
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    bench = spark.createDataFrame([Row(doc_id=100, text="the quick brown fox jumps high")])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps high today"),  # heavy overlap
+            Row(doc_id=2, text="completely different words entirely here now"),
+            Row(doc_id=3, text="too short"),  # < 3 tokens -> zero grams
+        ]
+    )
+    out = {r.doc_id: r for r in
+           textstats.ngram_contamination(train, bench, n=3, threshold=3).collect()}
+    assert out[1].n_overlap == 4 and out[1].contaminated          # 4 shared trigrams
+    assert out[2].n_overlap == 0 and not out[2].contaminated
+    assert out[3].n_grams == 0 and out[3].n_overlap == 0 and not out[3].contaminated
