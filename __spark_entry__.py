@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), "event_type", 20, "event_id", salt="s2"
     ).select("event_type", "event_id", "sample_rank")
     q["sample_quality_quota"] = _quality_quota
+    q["time_rollup"] = lambda s, d: logops.time_rollup(_t(s, d, "events"))
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
     q["decontaminate_ngrams"] = _decontaminate
     q["asof_last_order"] = _asof_last_order
@@ -946,6 +947,30 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
         SELECT source, doc_id, quality, CAST(rk AS INT) AS quota_rank
         FROM r WHERE rk <= 5
+    """
+    o["time_rollup"] = """
+        WITH m AS (
+          SELECT event_type,
+                 strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                 count(*) AS n, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS s
+          FROM events GROUP BY 1, 2),
+        h AS (SELECT event_type, substr(bucket, 1, 13) || ':00:00' AS bucket,
+                     CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS DECIMAL(20,6)) AS s
+              FROM m GROUP BY 1, 2),
+        d AS (SELECT event_type, substr(bucket, 1, 10) || ' 00:00:00' AS bucket,
+                     CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS DECIMAL(20,6)) AS s
+              FROM h GROUP BY 1, 2),
+        t AS (SELECT event_type, 'ALL' AS bucket,
+                     CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS DECIMAL(20,6)) AS s
+              FROM d GROUP BY 1)
+        SELECT 'minute' AS level, event_type, bucket, n AS n_events,
+               CAST(round(s, 2) AS DOUBLE) AS sum_value FROM m
+        UNION ALL SELECT 'hour', event_type, bucket, n,
+               CAST(round(s, 2) AS DOUBLE) FROM h
+        UNION ALL SELECT 'day', event_type, bucket, n,
+               CAST(round(s, 2) AS DOUBLE) FROM d
+        UNION ALL SELECT 'total', event_type, bucket, n,
+               CAST(round(s, 2) AS DOUBLE) FROM t
     """
     _BIGRAMS = "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])"
     o["text_repetition"] = f"""

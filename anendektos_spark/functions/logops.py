@@ -232,6 +232,55 @@ def approx_profile_portable(events: DataFrame) -> DataFrame:
     )
 
 
+def time_rollup(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Hierarchical time rollup (hypertable-style continuous-aggregate
+    shape): per-sink counts + exact value sums at minute, hour, day, and
+    total granularity in ONE cascade.
+
+    Instead of a GROUPING SETS/Expand plan (which replicates every input
+    row once per granularity before the partial aggregate), each level
+    re-aggregates the PREVIOUS level: raw→minute is the only full-data
+    shuffle; hour re-shuffles |minute-bucket| rows, day |hour-bucket|
+    rows, total |day-bucket| rows. That is exactly how a 100 TB rollup
+    table is maintained incrementally — the minute aggregate is the
+    mergeable partial every coarser granularity derives from, so late
+    partitions fold in at minute cost only.
+
+    Sums stay DECIMAL through every level (re-aggregating rounded doubles
+    would drift from a direct day-level aggregation); rounding to double
+    happens once, at emission. Coarser buckets are derived from the
+    minute STRING (substr + ':00:00') — no timestamp reparse, and
+    bit-identical semantics in any engine."""
+    mb = F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    dec = F.col(value_col).cast("decimal(20,6)")
+    minute = events.groupBy("event_type", mb.alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum(dec).cast("decimal(20,6)").alias("s")
+    )
+
+    def _coarsen(df: DataFrame, bucket_expr) -> DataFrame:
+        return df.groupBy("event_type", bucket_expr.alias("bucket")).agg(
+            F.sum("n").alias("n"), F.sum("s").cast("decimal(20,6)").alias("s")
+        )
+
+    hour = _coarsen(minute, F.concat(F.substring("bucket", 1, 13), F.lit(":00:00")))
+    day = _coarsen(hour, F.concat(F.substring("bucket", 1, 10), F.lit(" 00:00:00")))
+    total = _coarsen(day, F.lit("ALL"))
+
+    def _emit(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "event_type",
+            "bucket",
+            F.col("n").alias("n_events"),
+            F.round(F.col("s"), 2).cast("double").alias("sum_value"),
+        )
+
+    out = _emit(minute, "minute")
+    for df, lv in ((hour, "hour"), (day, "day"), (total, "total")):
+        out = out.unionByName(_emit(df, lv))
+    return out
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     previous event of the same user exceeds ``gap_seconds``. Returns per

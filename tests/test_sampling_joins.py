@@ -9,7 +9,7 @@ import hashlib
 
 from pyspark.sql import Row, functions as F
 
-from anendektos_spark.functions import joins, sampling, textstats
+from anendektos_spark.functions import joins, logops, sampling, textstats
 
 
 def _md5(s: str) -> str:
@@ -199,3 +199,36 @@ def test_ngram_contamination_flags_overlap(spark):
     assert out[1].n_overlap == 4 and out[1].contaminated          # 4 shared trigrams
     assert out[2].n_overlap == 0 and not out[2].contaminated
     assert out[3].n_grams == 0 and out[3].n_overlap == 0 and not out[3].contaminated
+
+
+# --------------------------------------------------------------------------
+# hierarchical time rollup
+# --------------------------------------------------------------------------
+
+def test_time_rollup_cascade_equals_direct(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = logops.time_rollup(ev)
+    levels = {r.level for r in out.select("level").distinct().collect()}
+    assert levels == {"minute", "hour", "day", "total"}
+    # day level must equal a DIRECT day aggregation over the raw events
+    # (the decimal cascade must not drift)
+    direct = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got = {(r.event_type, r.bucket): (r.n_events, r.sum_value)
+           for r in out.filter(F.col("level") == "day").collect()}
+    want = {(r.event_type, r.bucket): (r.n_events, r.sum_value) for r in direct.collect()}
+    assert got == want
+    # total row count per type == table count per type
+    tot = {r.event_type: r.n_events for r in out.filter(F.col("level") == "total").collect()}
+    base = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert tot == base
