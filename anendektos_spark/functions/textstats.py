@@ -21,6 +21,7 @@ pruning (only ``text`` + id columns are read).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 # The only English function words present in the synthetic corpus; a real
 # deployment swaps in a fuller list — the operator shape is identical.
@@ -164,20 +165,30 @@ def repetition_stats(
     and aggregated (max(count)/sum(count) per doc). That is one shuffle
     keyed by (doc, bigram) then (doc); at corpus scale the partial
     (map-side) aggregation collapses each document's duplicates before
-    the exchange, so shuffled bytes ≈ distinct bigrams, not total."""
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("gram")
-    )
+    the exchange, so shuffled bytes ≈ distinct bigrams, not total.
+
+    The (tokens, bigrams) relation is materialized (spread + persist)
+    before the explode — a generator fused over the interpreted HOF
+    shingle projection is the measured ~20× pathology (dedup._cached_sets
+    has the numbers), and both output branches read the same relation,
+    one compute instead of two."""
+    rel = spread(df).select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("toks"),
+        shingles(F.col(text_col), 2).alias("grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = rel.select(F.col(id_col), F.explode("grams").alias("gram"))
     per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("n"))
     bigram_stats = per_gram.groupBy(id_col).agg(
         F.max("n").alias("top_n"), F.sum("n").alias("total_bigrams")
     )
-    t = tokens(F.col(text_col))
-    word_stats = df.select(
+    word_stats = rel.select(
         F.col(id_col),
-        F.size(t).alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
         F.round(
-            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"),
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double"),
             4,
         ).alias("dup_word_frac"),
     )
@@ -212,16 +223,32 @@ def ngram_contamination(
     mark hits, partial+final count by doc. The only train-side shuffle
     carries map-side-combined per-doc partial counts, not grams. Per-doc
     grams are deduplicated by ``array_distinct`` BEFORE the explode, so
-    exploded row count = per-doc vocabulary, not document length."""
+    exploded row count = per-doc vocabulary, not document length.
+
+    Both gram relations are materialized (spread + persist) before their
+    explode: a generator fused over the interpreted HOF shingle
+    projection is the measured ~20× pathology (dedup._cached_sets), and
+    a single-file local input would otherwise run the whole explode on
+    one core."""
+    # spread the RAW inputs, then project: wrapping spread() around the
+    # projection would compute the interpreted shingle HOF on the input's
+    # original (possibly single) splits before the repartition exchange
+    bench_rel = spread(bench).select(
+        shingles(F.col(text_col), n).alias("grams")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bench_grams = (
-        bench.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        bench_rel.select(F.explode("grams").alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = train.select(
+    train_rel = spread(train).select(
         F.col(id_col),
-        F.size(F.array_distinct(shingles(F.col(text_col), n))).alias("n_grams"),
-        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_grams = train_rel.select(
+        F.col(id_col),
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
     )
     counted = (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left")
