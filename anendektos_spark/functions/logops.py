@@ -232,7 +232,22 @@ def approx_profile_portable(events: DataFrame) -> DataFrame:
     )
 
 
-def time_rollup(events: DataFrame, value_col: str = "value") -> DataFrame:
+def time_rollup_partials(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Minute-level mergeable partials (event_type, bucket, n, s-decimal)
+    — the state a maintained rollup table persists. Mergeable by
+    addition: see ``time_rollup_merge``."""
+    mb = F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    dec = F.col(value_col).cast("decimal(20,6)")
+    return events.groupBy("event_type", mb.alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum(dec).cast("decimal(20,6)").alias("s")
+    )
+
+
+def time_rollup(
+    events: DataFrame,
+    value_col: str = "value",
+    minute_partials: DataFrame | None = None,
+) -> DataFrame:
     """Hierarchical time rollup (hypertable-style continuous-aggregate
     shape): per-sink counts + exact value sums at minute, hour, day, and
     total granularity in ONE cascade.
@@ -250,12 +265,15 @@ def time_rollup(events: DataFrame, value_col: str = "value") -> DataFrame:
     would drift from a direct day-level aggregation); rounding to double
     happens once, at emission. Coarser buckets are derived from the
     minute STRING (substr + ':00:00') — no timestamp reparse, and
-    bit-identical semantics in any engine."""
-    mb = F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
-    dec = F.col(value_col).cast("decimal(20,6)")
-    minute = events.groupBy("event_type", mb.alias("bucket")).agg(
-        F.count("*").alias("n"), F.sum(dec).cast("decimal(20,6)").alias("s")
-    )
+    bit-identical semantics in any engine.
+
+    ``minute_partials`` short-circuits the raw aggregation with an
+    existing partial table (e.g. the output of ``time_rollup_merge``
+    after a late batch) — the incremental-maintenance entry point."""
+    if minute_partials is not None:
+        minute = minute_partials
+    else:
+        minute = time_rollup_partials(events, value_col)
 
     def _coarsen(df: DataFrame, bucket_expr) -> DataFrame:
         return df.groupBy("event_type", bucket_expr.alias("bucket")).agg(
@@ -279,6 +297,26 @@ def time_rollup(events: DataFrame, value_col: str = "value") -> DataFrame:
     for df, lv in ((hour, "hour"), (day, "day"), (total, "total")):
         out = out.unionByName(_emit(df, lv))
     return out
+
+
+def time_rollup_merge(minute_partials: DataFrame, late_events: DataFrame,
+                      value_col: str = "value") -> DataFrame:
+    """Incremental rollup maintenance: fold a late batch of events into
+    an existing minute-level partial table (as produced by the first
+    stage of ``time_rollup``) and return the updated partials.
+
+    This is the property the cascade design buys: a late partition costs
+    one aggregation of the LATE rows plus a merge keyed by the touched
+    (event_type, bucket) cells — never a recompute over history. The
+    merged output feeds the same hour/day/total cascade. Counts and
+    DECIMAL sums are mergeable by addition, so
+    merge(rollup(A), B) ≡ rollup(A ∪ B) exactly (pinned in tests)."""
+    late = time_rollup_partials(late_events, value_col)
+    return (
+        minute_partials.unionByName(late)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").alias("n"), F.sum("s").cast("decimal(20,6)").alias("s"))
+    )
 
 
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:

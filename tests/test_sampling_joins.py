@@ -232,3 +232,17 @@ def test_time_rollup_cascade_equals_direct(spark):
     tot = {r.event_type: r.n_events for r in out.filter(F.col("level") == "total").collect()}
     base = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
     assert tot == base
+
+
+def test_time_rollup_incremental_merge_equals_full_recompute(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    early = ev.filter(F.dayofmonth("ts") <= 20)
+    late = ev.filter(F.dayofmonth("ts") > 20)
+    partials = logops.time_rollup_partials(early)
+    merged = logops.time_rollup_merge(partials, late)
+    incr = logops.time_rollup(None, minute_partials=merged)
+    full = logops.time_rollup(ev)
+    key = lambda r: (r.level, r.event_type, r.bucket)  # noqa: E731
+    got = {key(r): (r.n_events, r.sum_value) for r in incr.collect()}
+    want = {key(r): (r.n_events, r.sum_value) for r in full.collect()}
+    assert got == want  # merge(rollup(A), B) == rollup(A ∪ B), bit-exact
