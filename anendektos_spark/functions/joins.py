@@ -39,6 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _check_reserved(cols: list[str], reserved: tuple[str, ...]) -> None:
+    clash = sorted(set(cols) & set(reserved))
+    if clash:
+        raise ValueError(f"input columns collide with internal names: {clash}")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -54,8 +60,14 @@ def asof_join(
 
     ``tie_col`` breaks timestamp ties among right rows (greatest wins),
     making the result deterministic. Columns named in ``right_cols`` must
-    not collide with left columns.
+    not collide with left columns, and neither input may use the internal
+    working names (checked below). Right rows with a NULL timestamp are
+    dropped: SQL comparison semantics make ``null <= ts`` unknown, so
+    they can never be the as-of match (the window's nulls-first sort
+    would otherwise hand them to every left row as a spurious fallback).
     """
+    _check_reserved(left.columns, ("_t", "_tag", "_tie", "_r", "_last"))
+    right = right.filter(F.col(right_ts).isNotNull())
     rs = right.select(
         F.col(key),
         F.col(right_ts).alias("_t"),
@@ -105,6 +117,9 @@ def range_join_count(
     counts back so zero-neighbor rows survive. All joins are hash
     equi-joins; no inequality join, no cartesian.
     """
+    if band_seconds <= 0:
+        raise ValueError(f"band_seconds must be positive, got {band_seconds}")
+    _check_reserved(df.columns, ("_k", "_id", "_us", "_b", "_oid", "_ous", "_n", "n_nearby"))
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     b = _bucket(F.col(ts_col), band_seconds)
     probe = df.select(

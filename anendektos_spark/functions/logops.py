@@ -244,7 +244,7 @@ def time_rollup_partials(events: DataFrame, value_col: str = "value") -> DataFra
 
 
 def time_rollup(
-    events: DataFrame,
+    events: DataFrame | None = None,
     value_col: str = "value",
     minute_partials: DataFrame | None = None,
 ) -> DataFrame:
@@ -272,8 +272,10 @@ def time_rollup(
     after a late batch) — the incremental-maintenance entry point."""
     if minute_partials is not None:
         minute = minute_partials
-    else:
+    elif events is not None:
         minute = time_rollup_partials(events, value_col)
+    else:
+        raise ValueError("pass events or minute_partials")
 
     def _coarsen(df: DataFrame, bucket_expr) -> DataFrame:
         return df.groupBy("event_type", bucket_expr.alias("bucket")).agg(

@@ -54,7 +54,11 @@ def hash_sample(
     Exactly reproducible anywhere md5 exists; expected fraction ``rate``
     with binomial variance. No shuffle — a narrow filter the optimizer
     pushes below downstream projections."""
-    if rate >= 1.0:
+    if not 0.0 <= rate <= 1.0:
+        # reject out-of-domain rates loudly: a percent/fraction mixup
+        # (rate=10 meaning 10%) must not silently return the full corpus
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
         # a 1.0 threshold needs 9 hex digits, which breaks the same-length
         # string comparison — and filtering at rate 1 is a no-op anyway
         return df

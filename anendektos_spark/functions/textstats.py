@@ -151,8 +151,21 @@ def lang_id(
     )
 
 
+def _barrier(rel: DataFrame, cache: bool) -> DataFrame:
+    """Materialization barrier for gram/token array relations: the
+    persist is load-bearing even with a single consumer — a generator
+    fused over the interpreted shingle-HOF projection is the measured
+    ~20× pathology (dedup._cached_sets has the numbers); reading the
+    cached arrays keeps GenerateExec off the interpreted path. Lifecycle
+    follows the dedup convention: entries live until session end; long-
+    lived sessions iterating many corpora pass ``cache=False`` (the
+    barrier is lost but results are identical) or call
+    ``spark.catalog.clearCache()``."""
+    return rel.persist(StorageLevel.MEMORY_AND_DISK) if cache else rel
+
+
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cache: bool = True
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 
@@ -167,16 +180,17 @@ def repetition_stats(
     (map-side) aggregation collapses each document's duplicates before
     the exchange, so shuffled bytes ≈ distinct bigrams, not total.
 
-    The (tokens, bigrams) relation is materialized (spread + persist)
-    before the explode — a generator fused over the interpreted HOF
-    shingle projection is the measured ~20× pathology (dedup._cached_sets
-    has the numbers), and both output branches read the same relation,
-    one compute instead of two."""
-    rel = spread(df).select(
-        F.col(id_col),
-        tokens(F.col(text_col)).alias("toks"),
-        shingles(F.col(text_col), 2).alias("grams"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    The (tokens, bigrams) relation is materialized (spread + ``_barrier``
+    persist) before the explode, and both output branches read the same
+    relation — one compute instead of two."""
+    rel = _barrier(
+        spread(df).select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("toks"),
+            shingles(F.col(text_col), 2).alias("grams"),
+        ),
+        cache,
+    )
     grams = rel.select(F.col(id_col), F.explode("grams").alias("gram"))
     per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("n"))
     bigram_stats = per_gram.groupBy(id_col).agg(
@@ -210,6 +224,7 @@ def ngram_contamination(
     threshold: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per training document, how many of its
     distinct word ``n``-grams appear anywhere in the benchmark set, and a
@@ -225,26 +240,27 @@ def ngram_contamination(
     grams are deduplicated by ``array_distinct`` BEFORE the explode, so
     exploded row count = per-doc vocabulary, not document length.
 
-    Both gram relations are materialized (spread + persist) before their
-    explode: a generator fused over the interpreted HOF shingle
-    projection is the measured ~20× pathology (dedup._cached_sets), and
-    a single-file local input would otherwise run the whole explode on
-    one core."""
+    Both gram relations are materialized (spread + ``_barrier`` persist)
+    before their explode; a single-file local input would otherwise run
+    the whole explode on one core."""
     # spread the RAW inputs, then project: wrapping spread() around the
     # projection would compute the interpreted shingle HOF on the input's
     # original (possibly single) splits before the repartition exchange
-    bench_rel = spread(bench).select(
-        shingles(F.col(text_col), n).alias("grams")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bench_rel = _barrier(
+        spread(bench).select(shingles(F.col(text_col), n).alias("grams")), cache
+    )
     bench_grams = (
         bench_rel.select(F.explode("grams").alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    train_rel = spread(train).select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    train_rel = _barrier(
+        spread(train).select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+        ),
+        cache,
+    )
     doc_grams = train_rel.select(
         F.col(id_col),
         F.size("grams").alias("n_grams"),

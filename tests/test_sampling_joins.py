@@ -246,3 +246,33 @@ def test_time_rollup_incremental_merge_equals_full_recompute(spark):
     got = {key(r): (r.n_events, r.sum_value) for r in incr.collect()}
     want = {key(r): (r.n_events, r.sum_value) for r in full.collect()}
     assert got == want  # merge(rollup(A), B) == rollup(A ∪ B), bit-exact
+
+
+def test_asof_join_drops_null_right_timestamps(spark):
+    import pytest as _pt
+    left = spark.createDataFrame([Row(k="a", lid=1, ts=_ts("2024-01-02 00:00:00"))])
+    right = spark.createDataFrame(
+        [Row(k="a", rid=10, rts=None, v=9.0),
+         Row(k="a", rid=11, rts=_ts("2024-01-05 00:00:00"), v=1.0)],
+        schema="k string, rid bigint, rts timestamp, v double",
+    )
+    out = joins.asof_join(left, right, key="k", left_ts="ts", right_ts="rts",
+                          right_cols=["rid", "v"], tie_col="rid").collect()
+    # the null-ts right row must NOT become a spurious match; no right row
+    # is at-or-before 01-02, so the left row gets nulls
+    assert [(r.lid, r.rid, r.v) for r in out] == [(1, None, None)]
+    # reserved working names are rejected loudly
+    with _pt.raises(ValueError, match="_t"):
+        joins.asof_join(left.withColumnRenamed("lid", "_t"), right, key="k",
+                        left_ts="ts", right_ts="rts", right_cols=["rid"], tie_col="rid")
+
+
+def test_input_validation_guards(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([Row(k="a", i=1, ts=_ts("2024-01-01 00:00:00"))])
+    with _pt.raises(ValueError, match="band_seconds"):
+        joins.range_join_count(df, key="k", id_col="i", ts_col="ts", band_seconds=0)
+    with _pt.raises(ValueError, match="rate"):
+        sampling.hash_sample(df, 1.5, "i")
+    with _pt.raises(ValueError, match="events or minute_partials"):
+        logops.time_rollup()
