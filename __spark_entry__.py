@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
     q["decontaminate_ngrams"] = _decontaminate
     q["asof_last_order"] = _asof_last_order
+    q["asof_last_order_bucketed"] = _asof_last_order_bucketed
     q["range_order_pairs"] = _range_order_pairs
 
     # --- the Zeek-semantics transcript parse engine itself, over the
@@ -419,6 +420,33 @@ def _asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
         tie_col="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+def _asof_last_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via the hot-key-safe bucketed plan (90-day
+    buckets): per-key work splits across time buckets, so the result must
+    be identical to asof_last_order — same DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = joins.asof_join_bucketed(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tie_col="o_orderkey",
+        bucket_seconds=90 * 86400,
     )
     return out.select(
         "event_id",
@@ -1012,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
                o_totalprice AS totalprice
         FROM j WHERE rk = 1
     """
+    o["asof_last_order_bucketed"] = o["asof_last_order"]
     o["range_order_pairs"] = """
         WITH p AS (
           SELECT a.o_orderkey AS k, count(*) AS n

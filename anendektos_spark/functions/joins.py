@@ -96,6 +96,103 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical semantics to ``asof_join``
+    (latest right row at-or-before each left timestamp per key, greatest
+    ``tie_col`` on timestamp ties, null when none), but the per-key work
+    splits across time buckets so a single hot key never becomes one
+    giant sorted task.
+
+    Two phases:
+
+    1. Boundary relation (small): per (key, bucket), the latest right
+       row — ``max_by`` over (ts, tie). A per-KEY window over the
+       BUCKET-granularity rows (|active buckets|, not |rows|) computes
+       the carry-in for every left-active bucket: the latest boundary
+       from buckets STRICTLY before it (left markers sort before the
+       same bucket's boundary, so the running ``last`` can't see the
+       current bucket).
+    2. In-bucket union-merge, partitioned by (key, bucket) — the same
+       window as ``asof_join`` but bounded by bucket occupancy. A left
+       row takes its in-bucket carried value when one exists, else the
+       bucket's carry-in (any in-bucket right at-or-before it is by
+       construction later than every earlier bucket's rows).
+
+    Parallelism for a hot key = its active time buckets; pick
+    ``bucket_seconds`` so a bucket's rows fit one task comfortably.
+    """
+    _check_reserved(
+        left.columns, ("_b", "_t", "_tag", "_tie", "_r", "_side", "_m", "_c", "_loc")
+    )
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    right = right.filter(F.col(right_ts).isNotNull())
+    bus = bucket_seconds * 1_000_000
+    rb = F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / bus)
+    lb = F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / bus)
+
+    rs = right.select(
+        F.col(key),
+        rb.alias("_b"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col(tie_col).alias("_tie"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    # phase 1: per-bucket latest right row, then per-key running carry-in
+    bnd = rs.groupBy(key, "_b").agg(
+        F.max_by(F.col("_r"), F.struct("_t", "_tie")).alias("_m")
+    )
+    lmarks = left.select(F.col(key), lb.alias("_b")).distinct()
+    marks = lmarks.select(
+        key, "_b", F.lit(0).alias("_side"),
+        F.lit(None).cast(bnd.schema["_m"].dataType).alias("_m"),
+    ).unionByName(bnd.select(key, "_b", F.lit(1).alias("_side"), "_m"))
+    wk = (
+        Window.partitionBy(key)
+        .orderBy("_b", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        marks.withColumn("_c", F.last("_m", ignorenulls=True).over(wk))
+        .filter(F.col("_side") == 0)
+        .select(key, "_b", "_c")
+    )
+
+    # phase 2: in-bucket union-merge, partitioned by (key, bucket)
+    left_cols = left.columns
+    ls = left.select(
+        *left_cols,
+        lb.alias("_b"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(rs.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(rs.schema["_r"].dataType).alias("_r"),
+    )
+    merged = ls.unionByName(rs, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy(key, "_b")
+        .orderBy("_t", "_tag", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = merged.withColumn("_loc", F.last("_r", ignorenulls=True).over(wb)).filter(
+        F.col("_tag") == 1
+    )
+    final = F.coalesce(F.col("_loc"), F.col("_c"))
+    return loc.join(carry, [key, "_b"], "left").select(
+        *left_cols, *[final.getField(c).alias(c) for c in right_cols]
+    )
+
+
 def _bucket(ts: Column, band_seconds: int) -> Column:
     return F.floor(F.unix_micros(ts.cast("timestamp")) / (band_seconds * 1_000_000))
 

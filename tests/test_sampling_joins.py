@@ -276,3 +276,51 @@ def test_input_validation_guards(spark):
         sampling.hash_sample(df, 1.5, "i")
     with _pt.raises(ValueError, match="events or minute_partials"):
         logops.time_rollup()
+
+
+def test_asof_join_bucketed_equals_plain_asof(spark):
+    import random
+
+    rng = random.Random(11)
+    base = _ts("2024-01-01 00:00:00")
+    # hot key k0 (many rows), sparse keys; right activity clustered so many
+    # left buckets have no in-bucket right rows (exercises the carry-in)
+    left = spark.createDataFrame(
+        [Row(k=f"k{0 if rng.random() < 0.7 else rng.randrange(4)}", lid=i,
+             ts=base + dt.timedelta(seconds=rng.randrange(0, 40000)))
+         for i in range(300)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=f"k{rng.randrange(4)}", rid=i,
+             rts=base + dt.timedelta(seconds=rng.choice([0, 1, 2]) * 12000
+                                     + rng.randrange(0, 300)),
+             v=float(i))
+         for i in range(60)]
+    )
+    kw = dict(key="k", left_ts="ts", right_ts="rts",
+              right_cols=["rid", "v"], tie_col="rid")
+    plain = {r.lid: (r.rid, r.v)
+             for r in joins.asof_join(left, right, **kw).collect()}
+    for bucket_seconds in (1000, 7919, 86400):  # incl. bucket >> data span
+        bucketed = {r.lid: (r.rid, r.v)
+                    for r in joins.asof_join_bucketed(
+                        left, right, bucket_seconds=bucket_seconds, **kw).collect()}
+        assert bucketed == plain, f"bucket_seconds={bucket_seconds}"
+
+
+def test_asof_join_bucketed_boundary_cases(spark):
+    # right row exactly at a bucket boundary; left row in the NEXT bucket
+    # first instant; left before any right
+    left = spark.createDataFrame(
+        [Row(k="a", lid=1, ts=_ts("2024-01-01 01:00:00")),   # == boundary
+         Row(k="a", lid=2, ts=_ts("2024-01-01 00:59:59")),
+         Row(k="a", lid=3, ts=_ts("2023-12-31 00:00:00"))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rid=10, rts=_ts("2024-01-01 01:00:00"), v=1.0),
+         Row(k="a", rid=11, rts=_ts("2024-01-01 00:30:00"), v=2.0)]
+    )
+    out = {r.lid: r.rid for r in joins.asof_join_bucketed(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        right_cols=["rid", "v"], tie_col="rid", bucket_seconds=3600).collect()}
+    assert out == {1: 10, 2: 11, 3: None}
