@@ -180,6 +180,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), "event_type", 20, "event_id", salt="s2"
     ).select("event_type", "event_id", "sample_rank")
     q["sample_quality_quota"] = _quality_quota
+    q["sample_mixture"] = lambda s, d: sampling.mixture_sample(
+        _t(s, d, "documents"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        "source",
+        "doc_id",
+        salt="mix",
+        default_rate=0.1,
+    ).select("doc_id", "source")
+    q["dedup_canonical_corpus"] = lambda s, d: dedup.canonical_corpus(
+        _t(s, d, "documents"),
+        dedup.dup_clusters(
+            _t(s, d, "documents").select("doc_id"),
+            dedup.lsh_candidates(_t(s, d, "documents")),
+        ),
+    ).select("doc_id", "source")
     q["time_rollup"] = lambda s, d: logops.time_rollup(_t(s, d, "events"))
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
     q["decontaminate_ngrams"] = _decontaminate
@@ -975,6 +990,31 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
         SELECT source, doc_id, quality, CAST(rk AS INT) AS quota_rank
         FROM r WHERE rk <= 5
+    """
+    _mix = {
+        "src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0,
+    }
+
+    def _mix_pred(rate: float) -> str:
+        if rate >= 1.0:
+            return "true"
+        if rate <= 0.0:
+            return "false"
+        t = sampling.sample_threshold_hex(rate)
+        return f"substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'"
+
+    _mix_case = " ".join(
+        f"WHEN source = '{g}' THEN {_mix_pred(r)}" for g, r in sorted(_mix.items())
+    )
+    o["sample_mixture"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE CASE {_mix_case} ELSE {_mix_pred(0.1)} END
+    """
+    o["dedup_canonical_corpus"] = f"""
+        WITH base AS ({o["dedup_clusters"]})
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN base b ON d.doc_id = b.doc_id
+        WHERE b.cluster_id = d.doc_id
     """
     o["time_rollup"] = """
         WITH m AS (

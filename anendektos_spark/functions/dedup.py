@@ -257,6 +257,22 @@ def lsh_jaccard(
     return _refine(sets, cand, id_col, threshold)
 
 
+def canonical_corpus(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The keep-one-copy step: restrict the corpus to each cluster's
+    canonical member (minimum id, per ``dup_clusters``). Join on the id,
+    keep rows that ARE their cluster's label. The clusters relation is
+    |corpus|-sized but two integer columns; at scale both sides shuffle
+    on the id (sort-merge) or the cluster table broadcasts when the
+    candidate graph is sparse enough to prune it to non-singletons."""
+    return (
+        df.join(clusters, id_col)
+        .filter(F.col("cluster_id") == F.col(id_col))
+        .drop("cluster_id")
+    )
+
+
 def dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,

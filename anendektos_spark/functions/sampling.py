@@ -67,6 +67,42 @@ def hash_sample(
     return df.filter(h < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    key_col: str,
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data-mixing sampler: keep each row with its group's configured
+    rate (e.g. ``{"wiki": 1.0, "web": 0.25}``), ``default_rate`` for
+    unlisted groups — the per-source reweighting step of a training-data
+    mixture recipe, deterministic like ``hash_sample`` (same md5-prefix
+    predicate, so re-runs, engines, and partitionings agree exactly).
+
+    Still a narrow filter (the CASE folds into the scan stage); on a
+    source-partitioned table Catalyst prunes rate-0 groups entirely."""
+    for g, r in {**rates, "<default>": default_rate}.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    h = F.substring(sample_hash_col(F.col(key_col), salt), 1, 8)
+
+    def keep(rate: float) -> Column:
+        if rate >= 1.0:
+            return F.lit(True)
+        if rate <= 0.0:
+            return F.lit(False)
+        return h < sample_threshold_hex(rate)
+
+    cond: Column | None = None
+    for g, rate in sorted(rates.items()):
+        c = F.col(group_col) == g
+        cond = F.when(c, keep(rate)) if cond is None else cond.when(c, keep(rate))
+    cond = keep(default_rate) if cond is None else cond.otherwise(keep(default_rate))
+    return df.filter(cond)
+
+
 def stratified_sample(
     df: DataFrame, group_col: str, n: int, key_col: str, salt: str = ""
 ) -> DataFrame:

@@ -324,3 +324,47 @@ def test_asof_join_bucketed_boundary_cases(spark):
         left, right, key="k", left_ts="ts", right_ts="rts",
         right_cols=["rid", "v"], tie_col="rid", bucket_seconds=3600).collect()}
     assert out == {1: 10, 2: 11, 3: None}
+
+
+def test_mixture_sample_respects_group_rates(spark):
+    from anendektos_spark.functions import dedup
+    import pytest as _pt
+
+    rows = [Row(g=f"g{i % 4}", k=i) for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    rates = {"g0": 1.0, "g1": 0.5, "g2": 0.0}
+    out = sampling.mixture_sample(df, rates, "g", "k", salt="t", default_rate=0.1)
+    got = {r.g: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.g] = got.get(r.g, 0) + 1
+    assert got.get("g0") == 1000              # rate 1.0: everything
+    assert "g2" not in got                    # rate 0.0: nothing
+    assert 400 < got.get("g1", 0) < 600       # ~50%
+    assert 50 < got.get("g3", 0) < 160        # default ~10%
+    # per-group selection must equal single-group hash_sample (same salt)
+    only_g1 = {r.k for r in out.collect() if r.g == "g1"}
+    ref = {r.k for r in sampling.hash_sample(
+        df.filter(F.col("g") == "g1"), 0.5, "k", salt="t").collect()}
+    assert only_g1 == ref
+    with _pt.raises(ValueError, match="g9"):
+        sampling.mixture_sample(df, {"g9": 1.5}, "g", "k")
+
+
+def test_canonical_corpus_keeps_one_per_cluster(spark):
+    from anendektos_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),    # near-dup of 1
+            (4, "completely different content here now"),
+        ]]
+    )
+    clusters = dedup.dup_clusters(
+        docs.select("doc_id"), dedup.lsh_candidates(docs)
+    )
+    kept = {r.doc_id for r in dedup.canonical_corpus(docs, clusters).collect()}
+    assert 1 in kept and 4 in kept            # cluster minima survive
+    assert 2 not in kept                      # exact dup of 1 removed
+    assert kept == {r.cluster_id for r in clusters.collect()}
