@@ -195,6 +195,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.lsh_candidates(_t(s, d, "documents")),
         ),
     ).select("doc_id", "source")
+    q["sample_pack_sequences"] = lambda s, d: sampling.pack_sequences(
+        _t(s, d, "documents").select(
+            "doc_id", "source", F.size(textstats.tokens(F.col("text"))).alias("n_tokens")
+        ),
+        512,
+        "source",
+        "n_tokens",
+        "doc_id",
+    )
     q["time_rollup"] = lambda s, d: logops.time_rollup(_t(s, d, "events"))
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
     q["decontaminate_ngrams"] = _decontaminate
@@ -1015,6 +1024,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d JOIN base b ON d.doc_id = b.doc_id
         WHERE b.cluster_id = d.doc_id
+    """
+    o["sample_pack_sequences"] = f"""
+        WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS INT) AS n_tokens
+                   FROM documents),
+        x AS (SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start
+              FROM t
+              WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(start / 512) AS INT) AS bin_id,
+               CAST(start % 512 AS INT) AS bin_offset
+        FROM x
     """
     o["time_rollup"] = """
         WITH m AS (

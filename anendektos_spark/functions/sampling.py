@@ -125,6 +125,41 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    size_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each row to a token-budget
+    bin — the batch/context-window construction step of a pretraining
+    data pipeline. Within each group, rows are laid out in ``order_col``
+    order and a row belongs to ``bin = floor(start_offset / budget)``
+    where start_offset is the running sum of preceding sizes (fixed
+    cumulative boundaries, not greedy first-fit: deterministic, O(1)
+    state, and every bin except a group's last is ≥ budget − max_size
+    full). Emits the bin id and the row's offset within its bin.
+
+    One shuffle on ``group_col``; the cumulative sum is a per-group
+    running window, so parallelism = groups (pick group_col so groups
+    are bounded — e.g. source × date — exactly like any windowed layout
+    job)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    return df.select(
+        "*",
+        F.floor(start / budget).cast("int").alias("bin_id"),
+        (start % budget).cast("int").alias("bin_offset"),
+    )
+
+
 def quality_quota(
     scored: DataFrame,
     group_col: str,

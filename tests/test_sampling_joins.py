@@ -368,3 +368,23 @@ def test_canonical_corpus_keeps_one_per_cluster(spark):
     assert 1 in kept and 4 in kept            # cluster minima survive
     assert 2 not in kept                      # exact dup of 1 removed
     assert kept == {r.cluster_id for r in clusters.collect()}
+
+
+def test_pack_sequences_layout_invariants(spark):
+    import pytest as _pt
+
+    rows = [Row(g="a", i=i, sz=s) for i, s in
+            enumerate([100, 200, 300, 250, 50, 400, 120])] + [Row(g="b", i=0, sz=700)]
+    df = spark.createDataFrame(rows)
+    out = sorted(
+        sampling.pack_sequences(df, 512, "g", "sz", "i").collect(),
+        key=lambda r: (r.g, r.i),
+    )
+    a = [(r.i, r.bin_id, r.bin_offset) for r in out if r.g == "a"]
+    # starts: 0,100,300,600,850,900,1300 -> bins 0,0,0,1,1,1,2; offsets start%512
+    assert a == [(0, 0, 0), (1, 0, 100), (2, 0, 300), (3, 1, 88),
+                 (4, 1, 338), (5, 1, 388), (6, 2, 276)]
+    b = [(r.bin_id, r.bin_offset) for r in out if r.g == "b"]
+    assert b == [(0, 0)]  # oversized row still lands deterministically
+    with _pt.raises(ValueError, match="budget"):
+        sampling.pack_sequences(df, 0, "g", "sz", "i")
