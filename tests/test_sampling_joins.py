@@ -388,3 +388,26 @@ def test_pack_sequences_layout_invariants(spark):
     assert b == [(0, 0)]  # oversized row still lands deterministically
     with _pt.raises(ValueError, match="budget"):
         sampling.pack_sequences(df, 0, "g", "sz", "i")
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    import random
+
+    rng = random.Random(23)
+    base = _ts("2024-01-01 00:00:00")
+    left = [Row(k=f"k{rng.randrange(3)}", lid=i,
+                ts=base + dt.timedelta(seconds=rng.randrange(0, 10000)))
+            for i in range(150)]
+    right = [Row(k=f"k{rng.randrange(3)}", rid=i,
+                 rts=base + dt.timedelta(seconds=rng.randrange(0, 10000)), v=float(i))
+             for i in range(80)]
+    out = {r.lid: (r.rid, r.v) for r in joins.asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        key="k", left_ts="ts", right_ts="rts",
+        right_cols=["rid", "v"], tie_col="rid").collect()}
+    want = {}
+    for l in left:
+        cands = [r for r in right if r.k == l.k and r.rts <= l.ts]
+        best = max(cands, key=lambda r: (r.rts, r.rid)) if cands else None
+        want[l.lid] = (best.rid, best.v) if best else (None, None)
+    assert out == want
