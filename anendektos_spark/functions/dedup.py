@@ -261,14 +261,15 @@ def canonical_corpus(
     df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """The keep-one-copy step: restrict the corpus to each cluster's
-    canonical member (minimum id, per ``dup_clusters``). Join on the id,
-    keep rows that ARE their cluster's label. The clusters relation is
-    |corpus|-sized but two integer columns; at scale both sides shuffle
-    on the id (sort-merge) or the cluster table broadcasts when the
-    candidate graph is sparse enough to prune it to non-singletons."""
+    canonical member (minimum id, per ``dup_clusters``). LEFT join on the
+    id with ``coalesce(cluster_id, id)``: a row missing from the clusters
+    relation is its own (singleton) cluster — so the relation may safely
+    be pruned to non-singleton clusters first, which makes it small
+    enough to broadcast at corpus scale (the full relation is
+    |corpus|-sized and forces a sort-merge join)."""
     return (
-        df.join(clusters, id_col)
-        .filter(F.col("cluster_id") == F.col(id_col))
+        df.join(clusters, id_col, "left")
+        .filter(F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col))
         .drop("cluster_id")
     )
 

@@ -39,10 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _check_reserved(cols: list[str], reserved: tuple[str, ...]) -> None:
+def _check_reserved(
+    cols: list[str], reserved: tuple[str, ...], what: str = "internal working names"
+) -> None:
     clash = sorted(set(cols) & set(reserved))
     if clash:
-        raise ValueError(f"input columns collide with internal names: {clash}")
+        raise ValueError(f"input columns collide with {what}: {clash}")
 
 
 def asof_join(
@@ -59,15 +61,18 @@ def asof_join(
     the same ``key`` (null when no right row precedes it).
 
     ``tie_col`` breaks timestamp ties among right rows (greatest wins),
-    making the result deterministic. Columns named in ``right_cols`` must
-    not collide with left columns, and neither input may use the internal
-    working names (checked below). Right rows with a NULL timestamp are
-    dropped: SQL comparison semantics make ``null <= ts`` unknown, so
-    they can never be the as-of match (the window's nulls-first sort
-    would otherwise hand them to every left row as a spurious fallback).
+    making the result deterministic. ``right_cols`` colliding with left
+    columns and internal working names are rejected loudly (checked
+    below). Right rows with a NULL timestamp or NULL key are dropped:
+    SQL equality/comparison semantics make them unmatchable (the
+    window's nulls-first sort — and the fact that partitionBy groups
+    NULL keys together — would otherwise hand them out as spurious
+    matches, diverging from the equi-join contract). NULL-keyed LEFT
+    rows survive with null right columns.
     """
     _check_reserved(left.columns, ("_t", "_tag", "_tie", "_r", "_last"))
-    right = right.filter(F.col(right_ts).isNotNull())
+    _check_reserved(left.columns, tuple(right_cols), "right_cols")
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
     rs = right.select(
         F.col(key),
         F.col(right_ts).alias("_t"),
@@ -133,9 +138,11 @@ def asof_join_bucketed(
     _check_reserved(
         left.columns, ("_b", "_t", "_tag", "_tie", "_r", "_side", "_m", "_c", "_loc")
     )
+    _check_reserved(left.columns, tuple(right_cols), "right_cols")
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
-    right = right.filter(F.col(right_ts).isNotNull())
+    # same unmatchable-row policy as asof_join: see its docstring
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
     bus = bucket_seconds * 1_000_000
     rb = F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / bus)
     lb = F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / bus)

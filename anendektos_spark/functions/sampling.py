@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .joins import _check_reserved
+
 
 def sample_threshold_hex(rate: float) -> str:
     """The 8-hex-digit threshold for ``hash_sample``: keep a row iff the
@@ -40,9 +42,15 @@ def sample_threshold_hex(rate: float) -> str:
 
 def sample_hash_col(key: Column, salt: str = "") -> Column:
     """The sampling hash: md5 over salt-prefixed key text. A different
-    salt yields an independent sample (for disjoint train/holdout splits,
-    hash with two salts and complementary thresholds)."""
-    return F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string")))
+    salt yields an INDEPENDENT sample (two salts overlap ~rate_a*rate_b
+    of the corpus). Disjoint train/holdout splits use the SAME salt with
+    complementary threshold ranges: train = hash < t, holdout = hash >= t.
+    NULL keys hash like the empty string (coalesce) so their fate is
+    deterministic and engine-consistent rather than riding each engine's
+    null-ordering default."""
+    return F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.coalesce(key.cast("string"), F.lit("")))
+    )
 
 
 def hash_sample(
@@ -83,7 +91,7 @@ def mixture_sample(
 
     Still a narrow filter (the CASE folds into the scan stage); on a
     source-partitioned table Catalyst prunes rate-0 groups entirely."""
-    for g, r in {**rates, "<default>": default_rate}.items():
+    for g, r in [*rates.items(), ("<default_rate>", default_rate)]:
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
     h = F.substring(sample_hash_col(F.col(key_col), salt), 1, 8)
@@ -115,7 +123,10 @@ def stratified_sample(
 
     One hash shuffle on ``group_col``; rank filtering happens inside the
     per-group sort, so output per group is capped at ``n`` regardless of
-    group skew."""
+    group skew. Keys should be distinct and non-null within a group —
+    NULL keys hash deterministically (see sample_hash_col) but rows tying
+    on both hash and key have no defined relative rank."""
+    _check_reserved(df.columns, ("sample_rank",), "output columns")
     w = Window.partitionBy(group_col).orderBy(
         sample_hash_col(F.col(key_col), salt), F.col(key_col)
     )
@@ -144,9 +155,11 @@ def pack_sequences(
     One shuffle on ``group_col``; the cumulative sum is a per-group
     running window, so parallelism = groups (pick group_col so groups
     are bounded — e.g. source × date — exactly like any windowed layout
-    job)."""
+    job). ``order_col`` must be non-null (null ordering differs between
+    engines) and unique per group for a deterministic layout."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    _check_reserved(df.columns, ("bin_id", "bin_offset"), "output columns")
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
@@ -172,6 +185,7 @@ def quality_quota(
     per source"). The score is rounded to 4 places before ranking and
     ties break on ``id_col``, so the selected set is deterministic even
     when float scores differ in the last ulp across engines."""
+    _check_reserved(scored.columns, ("quota_rank",), "output columns")
     r = F.round(F.col(score_col), 4)
     w = Window.partitionBy(group_col).orderBy(r.desc(), F.col(id_col).asc())
     return (

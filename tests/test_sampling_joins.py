@@ -333,16 +333,16 @@ def test_mixture_sample_respects_group_rates(spark):
     rows = [Row(g=f"g{i % 4}", k=i) for i in range(4000)]
     df = spark.createDataFrame(rows)
     rates = {"g0": 1.0, "g1": 0.5, "g2": 0.0}
-    out = sampling.mixture_sample(df, rates, "g", "k", salt="t", default_rate=0.1)
-    got = {r.g: 0 for r in out.collect()}
-    for r in out.collect():
+    picked = sampling.mixture_sample(df, rates, "g", "k", salt="t", default_rate=0.1).collect()
+    got: dict[str, int] = {}
+    for r in picked:
         got[r.g] = got.get(r.g, 0) + 1
     assert got.get("g0") == 1000              # rate 1.0: everything
     assert "g2" not in got                    # rate 0.0: nothing
     assert 400 < got.get("g1", 0) < 600       # ~50%
     assert 50 < got.get("g3", 0) < 160        # default ~10%
     # per-group selection must equal single-group hash_sample (same salt)
-    only_g1 = {r.k for r in out.collect() if r.g == "g1"}
+    only_g1 = {r.k for r in picked if r.g == "g1"}
     ref = {r.k for r in sampling.hash_sample(
         df.filter(F.col("g") == "g1"), 0.5, "k", salt="t").collect()}
     assert only_g1 == ref
@@ -411,3 +411,53 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
         best = max(cands, key=lambda r: (r.rts, r.rid)) if cands else None
         want[l.lid] = (best.rid, best.v) if best else (None, None)
     assert out == want
+
+
+def test_asof_join_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [Row(k=None, lid=1, ts=_ts("2024-01-10 00:00:00")),
+         Row(k="a", lid=2, ts=_ts("2024-01-10 00:00:00"))],
+        schema="k string, lid bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [Row(k=None, rid=10, rts=_ts("2024-01-05 00:00:00")),
+         Row(k="a", rid=11, rts=_ts("2024-01-05 00:00:00"))],
+        schema="k string, rid bigint, rts timestamp",
+    )
+    kw = dict(key="k", left_ts="ts", right_ts="rts", right_cols=["rid"], tie_col="rid")
+    for fn in (joins.asof_join,
+               lambda l, r, **kws: joins.asof_join_bucketed(l, r, bucket_seconds=3600, **kws)):
+        out = {r.lid: r.rid for r in fn(left, right, **kw).collect()}
+        # equi-join semantics: null never equals null; null-keyed left
+        # rows survive unmatched
+        assert out == {1: None, 2: 11}
+
+
+def test_canonical_corpus_accepts_pruned_cluster_relation(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 6)])
+    # only the non-singleton cluster {2,4} is present; 1,3,5 are implicit
+    # singletons and must survive
+    pruned = spark.createDataFrame(
+        [Row(doc_id=2, cluster_id=2), Row(doc_id=4, cluster_id=2)]
+    )
+    from anendektos_spark.functions import dedup
+    kept = {r.doc_id for r in dedup.canonical_corpus(docs, pruned).collect()}
+    assert kept == {1, 2, 3, 5}
+
+
+def test_sampling_output_column_guards(spark):
+    import pytest as _pt
+    df = spark.createDataFrame([Row(g="a", k=1, sample_rank=9)])
+    with _pt.raises(ValueError, match="sample_rank"):
+        sampling.stratified_sample(df, "g", 1, "k")
+    df2 = spark.createDataFrame([Row(g="a", k=1, sz=5, bin_id=0)])
+    with _pt.raises(ValueError, match="bin_id"):
+        sampling.pack_sequences(df2, 10, "g", "sz", "k")
+    with _pt.raises(ValueError, match="right_cols"):
+        joins.asof_join(
+            spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01 00:00:00"))]),
+            spark.createDataFrame([Row(k="a", rts=_ts("2024-01-01 00:00:00"), ts=1)]),
+            key="k", left_ts="ts", right_ts="rts", right_cols=["ts"], tie_col="ts",
+        )
+    with _pt.raises(ValueError, match="<default_rate>"):
+        sampling.mixture_sample(df, {}, "g", "k", default_rate=5.0)
