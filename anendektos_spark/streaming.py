@@ -214,6 +214,56 @@ def stream_conv_stats(
     return writer.start()
 
 
+def stream_rollup_partials(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuously maintained hierarchical rollup, streaming form: each
+    micro-batch aggregates to minute-level mergeable partials
+    (logops.time_rollup_partials) and commits them to an epoch-keyed
+    partition — the same exactly-once overwrite-per-epoch protocol as
+    route_batch, so crash replays replace rather than double-count.
+
+    The stored table is append-only partials; ``read_rollup`` merges at
+    read time (sum of counts + decimal sums is associative), then runs
+    the standard cascade. This is the streaming realization of the
+    incremental-maintenance property time_rollup_merge pins in batch:
+    state per epoch is O(touched minute buckets), never a history scan."""
+    from .functions.logops import time_rollup_partials
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        time_rollup_partials(batch).write.mode("overwrite").parquet(
+            f"{output_dir}/epoch={epoch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merge the streamed per-epoch minute partials and emit the full
+    minute/hour/day/total hierarchy (identical to batch time_rollup over
+    the union of all streamed rows)."""
+    from pyspark.sql import functions as SF
+
+    from .functions.logops import time_rollup
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("event_type", "bucket")
+        .agg(SF.sum("n").alias("n"), SF.sum("s").cast("decimal(20,6)").alias("s"))
+    )
+    return time_rollup(minute_partials=merged)
+
+
 def run_streaming_counts(
     stream: DataFrame,
     output_dir: str,

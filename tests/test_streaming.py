@@ -164,3 +164,32 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path, input_dir):
     got = spark.read.parquet(out)
     assert got.count() == 26  # no duplicates emitted
     assert got.select("conv_id", "turn_idx").distinct().count() == 26
+
+
+def test_stream_rollup_partials_match_batch_rollup(spark, tmp_path):
+    from anendektos_spark.functions import logops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    d = str(tmp_path / "evin")
+    # two writes -> several files; maxFilesPerTrigger=1 forces multiple
+    # micro-batches so the read-side merge actually merges across epochs
+    ev.filter(F.dayofmonth("ts") <= 15).write.parquet(d)
+    ev.filter(F.dayofmonth("ts") > 15).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp_ntz, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, ckpt = str(tmp_path / "roll"), str(tmp_path / "ck")
+    q = streaming.stream_rollup_partials(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert len(spark.read.parquet(out).inputFiles()) >= 2  # multiple epochs
+
+    key = lambda r: (r.level, r.event_type, r.bucket)  # noqa: E731
+    got = {key(r): (r.n_events, r.sum_value)
+           for r in streaming.read_rollup(spark, out).collect()}
+    want = {key(r): (r.n_events, r.sum_value)
+            for r in logops.time_rollup(ev).collect()}
+    assert got == want  # streamed partials merge to the exact batch answer
