@@ -206,6 +206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["time_rollup"] = lambda s, d: logops.time_rollup(_t(s, d, "events"))
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
+    q["text_redact_pii"] = lambda s, d: textstats.redact_pii(
+        _t(s, d, "events"), id_col="event_id", text_col="props"
+    )
+    q["profile_columns"] = lambda s, d: logops.profile_columns(
+        _t(s, d, "events"), ["event_type", "user_id", "event_id"]
+    )
     q["decontaminate_ngrams"] = _decontaminate
     q["asof_last_order"] = _asof_last_order
     q["asof_last_order_bucketed"] = _asof_last_order_bucketed
@@ -1061,6 +1067,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(s, 2) AS DOUBLE) FROM d
         UNION ALL SELECT 'total', event_type, bucket, n,
                CAST(round(s, 2) AS DOUBLE) FROM t
+    """
+    _pii = dict(textstats.PII_PATTERNS)
+    o["text_redact_pii"] = f"""
+        WITH s0 AS (SELECT event_id, props AS t FROM events),
+        s1 AS (SELECT event_id,
+                      CAST(len(regexp_extract_all(t, '{_pii["email"]}')) AS INT) AS n_email,
+                      regexp_replace(t, '{_pii["email"]}', '<EMAIL>', 'g') AS t
+               FROM s0),
+        s2 AS (SELECT event_id, n_email,
+                      CAST(len(regexp_extract_all(t, '{_pii["ipv4"]}')) AS INT) AS n_ipv4,
+                      regexp_replace(t, '{_pii["ipv4"]}', '<IPV4>', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT event_id, n_email, n_ipv4,
+                      CAST(len(regexp_extract_all(t, '{_pii["number"]}')) AS INT) AS n_number,
+                      regexp_replace(t, '{_pii["number"]}', '<NUMBER>', 'g') AS t
+               FROM s2)
+        SELECT event_id, n_email, n_ipv4, n_number, md5(t) AS scrubbed_md5 FROM s3
+    """
+    o["profile_columns"] = """
+        SELECT 'event_type' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT event_type) AS n_distinct,
+               CAST(min(event_type) AS VARCHAR) AS min_str,
+               CAST(max(event_type) AS VARCHAR) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'user_id', count(*),
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT user_id),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_id', count(*),
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT event_id),
+               CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+        FROM events
     """
     _BIGRAMS = "list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])"
     o["text_repetition"] = f"""

@@ -321,6 +321,42 @@ def time_rollup_merge(minute_partials: DataFrame, late_events: DataFrame,
     )
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Table profiling (ANALYZE-style): one output row per requested
+    column with row/null/exact-distinct counts and min/max (as strings,
+    so heterogeneous column types stack into one relation).
+
+    Single scan: all per-column aggregates run in ONE df.agg (map-side
+    partials), then the 1-row result unpivots driver-free via an
+    explode over per-column structs. N exact distincts expand the
+    aggregate input N-fold (Spark's multi-distinct Expand) — at 100 TB
+    profile with approx_count_distinct instead, or one column per pass;
+    exact is kept here because the driver contract hash-checks it."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_str"),
+                F.col(f"_mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     previous event of the same user exceeds ``gap_seconds``. Returns per

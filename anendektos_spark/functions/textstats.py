@@ -279,6 +279,40 @@ def ngram_contamination(
     )
 
 
+# PII patterns ordered by specificity: email before generic digit runs,
+# IPv4 before digit runs (so an address is one ip hit, not four number
+# hits). Java regex and RE2 agree on this alternation-free set.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("number", r"\b[0-9]{6,}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training-data release: replace emails, IPv4
+    addresses, and long digit runs with ``<TYPE>`` tokens, emitting the
+    scrubbed text's md5 plus a per-pattern hit count. Patterns apply in
+    specificity order over the progressively-scrubbed text, so one email
+    is one email hit — its digits are not re-counted as numbers.
+
+    Pure regexp_replace / regexp_count column chain: narrow map, stays in
+    the scan stage, no UDF — at corpus scale this pipelines with the read
+    exactly like the quality/token operators."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact-dup key)
     and the minimum shingle hash (winnowing-style near-dup-stable key).

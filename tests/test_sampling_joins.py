@@ -461,3 +461,30 @@ def test_sampling_output_column_guards(spark):
         )
     with _pt.raises(ValueError, match="<default_rate>"):
         sampling.mixture_sample(df, {}, "g", "k", default_rate=5.0)
+
+
+def test_redact_pii_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a.b@x.com from 10.0.0.1 acct 12345678"),
+         Row(doc_id=2, text="clean text only")]
+    )
+    out = {r.doc_id: r for r in textstats.redact_pii(df).collect()}
+    r1 = out[1]
+    # email digits are scrubbed before the number pass: one hit per class
+    assert (r1.n_email, r1.n_ipv4, r1.n_number) == (1, 1, 1)
+    import hashlib
+    want = hashlib.md5(b"mail <EMAIL> from <IPV4> acct <NUMBER>").hexdigest()
+    assert r1.scrubbed_md5 == want
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_number) == (0, 0, 0)
+
+
+def test_profile_columns_values(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b=1), Row(a=None, b=3), Row(a="y", b=1)],
+        schema="a string, b bigint",
+    )
+    out = {r.column: r for r in logops.profile_columns(df, ["a", "b"]).collect()}
+    assert out["a"].n_rows == 3 and out["a"].n_nulls == 1
+    assert out["a"].n_distinct == 2 and out["a"].min_str == "x" and out["a"].max_str == "y"
+    assert out["b"].n_nulls == 0 and out["b"].n_distinct == 2
+    assert (out["b"].min_str, out["b"].max_str) == ("1", "3")
