@@ -212,6 +212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_columns"] = lambda s, d: logops.profile_columns(
         _t(s, d, "events"), ["event_type", "user_id", "event_id"]
     )
+    q["latest_event_per_user"] = lambda s, d: logops.latest_by_key(
+        _t(s, d, "events").select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        "ts",
+        "event_id",
+    ).select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"), "event_type",
+    )
+    q["sessionize_events"] = lambda s, d: logops.sessionize_events(
+        _t(s, d, "events").filter(F.col("user_id") < 20)
+    )
     q["decontaminate_ngrams"] = _decontaminate
     q["asof_last_order"] = _asof_last_order
     q["asof_last_order_bucketed"] = _asof_last_order_bucketed
@@ -1067,6 +1079,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(s, 2) AS DOUBLE) FROM d
         UNION ALL SELECT 'total', event_type, bucket, n,
                CAST(round(s, 2) AS DOUBLE) FROM t
+    """
+    o["latest_event_per_user"] = """
+        WITH r AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events)
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_type
+        FROM r WHERE rk = 1
+    """
+    o["sessionize_events"] = """
+        WITH x AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WHERE user_id < 20
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS INT) AS session_id
+        FROM x
     """
     _pii = dict(textstats.PII_PATTERNS)
     o["text_redact_pii"] = f"""

@@ -321,6 +321,50 @@ def time_rollup_merge(minute_partials: DataFrame, late_events: DataFrame,
     )
 
 
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], version_col: str, tie_col: str
+) -> DataFrame:
+    """Log compaction / SCD-1 upsert resolution: keep each key's latest
+    record by ``version_col`` (ties broken by ``tie_col``, greatest
+    wins). One row_number window per key — a single hash shuffle with
+    the rank filter applied inside the per-key sort, so output is one
+    row per key regardless of update skew. The canonical read-side
+    collapse of an append-only changelog table."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-event session assignment: like ``sessionize`` but emits each
+    event's session ordinal (1-based per user) — a running sum of
+    new-session flags over the same (ts, event_id)-ordered window, so
+    downstream session-level aggregates can group on (user_id,
+    session_id). Same single shuffle as sessionize; the two windows
+    share one sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).cast("int").alias("session_id"),
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Table profiling (ANALYZE-style): one output row per requested
     column with row/null/exact-distinct counts and min/max (as strings,

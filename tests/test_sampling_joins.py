@@ -488,3 +488,23 @@ def test_profile_columns_values(spark):
     assert out["a"].n_distinct == 2 and out["a"].min_str == "x" and out["a"].max_str == "y"
     assert out["b"].n_nulls == 0 and out["b"].n_distinct == 2
     assert (out["b"].min_str, out["b"].max_str) == ("1", "3")
+
+
+def test_latest_by_key_and_sessionize_events(spark):
+    base = _ts("2024-01-01 00:00:00")
+    ev = spark.createDataFrame(
+        [Row(user_id=1, event_id=i, ts=base + dt.timedelta(seconds=s), event_type="e")
+         for i, s in [(1, 0), (2, 100), (3, 100), (4, 5000)]]  # 2,3 tie on ts
+        + [Row(user_id=2, event_id=9, ts=base, event_type="e")]
+    )
+    latest = {r.user_id: r.event_id for r in logops.latest_by_key(
+        ev, ["user_id"], "ts", "event_id").collect()}
+    assert latest == {1: 4, 2: 9}  # newest ts; within ties, greatest id
+
+    sess = {r.event_id: r.session_id for r in
+            logops.sessionize_events(ev, gap_seconds=1800).collect()}
+    # 5000s > 1800s gap: event 4 starts session 2; ties stay in session 1
+    assert sess == {1: 1, 2: 1, 3: 1, 4: 2, 9: 1}
+    # session counts agree with the aggregate sessionize
+    agg = {r.user_id: r.n_sessions for r in logops.sessionize(ev, 1800).collect()}
+    assert agg == {1: 2, 2: 1}
