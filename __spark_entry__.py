@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.lsh_candidates(_t(s, d, "documents")),
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
+    q["dedup_incremental"] = _dedup_incremental
 
     # --- similarity search over embeddings ---
     q["embed_norm"] = _embed_norm
@@ -410,6 +411,19 @@ def _dedup_ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
     )
     return dedup.jaccard_pairs(docs, pairs, threshold=0.0)
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the corpus minus every 5th doc is the
+    already-indexed history (signature index only — its text is never
+    re-read), docs with doc_id % 5 == 0 are the arriving batch. Matches
+    are LSH band collisions scored by the signature-estimated Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_dedup(
+        new, dedup.signature_index(old), threshold=0.25
+    )
 
 
 def _embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,6 +873,40 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
                      / CAST(len(list_distinct(list_concat(sa.shd, sb.shd))) AS DOUBLE), 4) AS jaccard
         FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+    """
+    o["dedup_incremental"] = f"""
+        {_sig_cte},
+        new_sig AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+        old_sig AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+        nb AS (
+          SELECT doc_id, j,
+                 md5(array_to_string(sigs[j*2+1 : j*2+2], ',')) AS band_hash
+          FROM new_sig, range(8) AS r(j)
+        ),
+        ob AS (
+          SELECT doc_id, j,
+                 md5(array_to_string(sigs[j*2+1 : j*2+2], ',')) AS band_hash
+          FROM old_sig, range(8) AS r(j)
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS dup_id, o.doc_id AS match_id
+          FROM nb n JOIN ob o ON n.j = o.j AND n.band_hash = o.band_hash
+          UNION
+          SELECT DISTINCT a.doc_id AS dup_id, b.doc_id AS match_id
+          FROM nb a JOIN nb b
+            ON a.j = b.j AND a.band_hash = b.band_hash
+           AND b.doc_id < a.doc_id
+        ),
+        est AS (
+          SELECT c.dup_id, c.match_id,
+                 round(CAST(len(list_filter(range(16),
+                                i -> sa.sigs[i+1] = sb.sigs[i+1])) AS DOUBLE)
+                       / 16.0, 4) AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON c.dup_id = sa.doc_id
+          JOIN sig sb ON c.match_id = sb.doc_id
+        )
+        SELECT dup_id, match_id, est_jaccard FROM est WHERE est_jaccard >= 0.25
     """
     o["dedup_ngram_jaccard"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 30),

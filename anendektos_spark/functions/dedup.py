@@ -393,3 +393,133 @@ def simhash(
         *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
     )
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+# --- incremental dedup against a persisted signature index ------------------
+#
+# The continuous-ingest scale path: a corpus that grows by batches must not
+# re-shingle its history on every arrival. The index is the MinHash signature
+# table — ONE fixed-width row per document (H 32-hex-char strings ≈ H*32
+# bytes), ~0.5 KB/doc at H=16 regardless of document length — persisted via
+# StageStore (Iceberg table in production). Each new batch:
+#   1. computes signatures for the NEW docs only (one scan of new text),
+#   2. derives LSH bands from both new signatures and the stored index
+#      (a narrow projection — md5 over fixed-width columns, no text touched),
+#   3. joins new-bands to index-bands plus new-bands to itself on the
+#      high-cardinality (band, band_hash) key,
+#   4. scores candidates with the signature-estimated Jaccard
+#      (matching-position fraction — the standard MinHash estimator),
+#   5. appends the non-duplicate new signatures to the index (index_merge).
+# The old corpus' TEXT is never re-read and its signatures are never
+# recomputed; per-batch cost is O(|new|) + one join against the index. At
+# 100 TB, store the index bucketed by a band_hash prefix so the index side
+# of the candidate join is storage-partitioned (zero shuffle on the big
+# side); AQE handles the residual skew of hot buckets.
+
+
+def signature_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """Build the dedup index relation (id, h0..h{H-1}) for a corpus.
+
+    This is the table to persist (StageStore.commit / an Iceberg table);
+    ``incremental_dedup`` consumes it for every subsequent batch.
+    Documents with fewer than ``n`` tokens have no shingles, hence no
+    signature — they are exempt from near-dup detection (route them to
+    ``exact_dups``), matching the batch LSH operators."""
+    return minhash_table(df, id_col, text_col, num_hashes, n, cache)
+
+
+def _sig_est_jaccard(num_hashes: int) -> Column:
+    """Estimated Jaccard from two aligned signatures ha*/hb*: the fraction
+    of matching MinHash positions (unbiased estimator of true Jaccard,
+    std-err ~ sqrt(j(1-j)/H)). Integer count / constant ⇒ deterministic."""
+    eq = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        eq = term if eq is None else eq + term
+    return F.round(eq.cast("double") / F.lit(float(num_hashes)), 4)
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.25,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-dup matches of a new batch against an existing signature index.
+
+    Returns (dup_id, match_id, est_jaccard): ``dup_id`` is a new document,
+    ``match_id`` is either an indexed document or an earlier (smaller-id)
+    document of the same batch, and ``est_jaccard`` is the signature-
+    estimated Jaccard, kept when >= ``threshold``. Candidates are LSH band
+    collisions, exactly as in the batch path, so running batches
+    incrementally finds the same new-vs-old and new-vs-new pairs the
+    full-corpus ``lsh_candidates`` would (old-vs-old pairs were found when
+    those batches arrived). The refine uses signatures only — the index
+    carries no text — so the estimator (not exact set Jaccard) is the
+    score; callers needing exact Jaccard re-read only the matched docs'
+    text (O(matches), not O(corpus))."""
+    new_sig = minhash_table(new_df, id_col, text_col, num_hashes, n, cache)
+    if cache:
+        # feeds band generation AND the two est-join sides: one compute.
+        # Fixed-width rows — the cache is ~H*32 bytes per new doc.
+        new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    nb = _bands_from_sig(new_sig, id_col, num_hashes, rows_per_band)
+    ob = _bands_from_sig(index, id_col, num_hashes, rows_per_band)
+    new_side = nb.select("band", "band_hash", F.col(id_col).alias("dup_id"))
+    cand_old = new_side.join(
+        ob.select("band", "band_hash", F.col(id_col).alias("match_id")),
+        ["band", "band_hash"],
+    )
+    cand_new = new_side.join(
+        nb.select("band", "band_hash", F.col(id_col).alias("match_id")),
+        ["band", "band_hash"],
+    ).filter(F.col("match_id") < F.col("dup_id"))
+    cand = (
+        cand_old.select("dup_id", "match_id")
+        .union(cand_new.select("dup_id", "match_id"))
+        .distinct()
+    )
+    a = new_sig.select(
+        F.col(id_col).alias("dup_id"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    b = index.unionByName(new_sig).select(
+        F.col(id_col).alias("match_id"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    est = _sig_est_jaccard(num_hashes)
+    return (
+        cand.join(a, "dup_id")
+        .join(b, "match_id")
+        .select("dup_id", "match_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def index_merge(
+    index: DataFrame,
+    new_sig: DataFrame,
+    matches: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index maintenance: append the new batch's NON-duplicate signatures.
+
+    ``matches`` is ``incremental_dedup``'s output; any new doc appearing
+    as a dup_id is represented by its match and is not indexed (the
+    canonical-copy policy of ``canonical_corpus``). In production this is
+    an Iceberg append snapshot — no rewrite of existing index files."""
+    dups = matches.select(F.col("dup_id").alias(id_col)).distinct()
+    keep = new_sig.join(dups, id_col, "left_anti")
+    return index.unionByName(keep)

@@ -94,6 +94,95 @@ def test_lsh_jaccard_equals_composed_form(docs):
     assert one_pass == composed and one_pass
 
 
+def _pyref_sig(text: str, num_hashes: int = 16) -> list[str] | None:
+    """Independent python re-derivation of the MinHash signature."""
+    toks = text.split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    if not sh:
+        return None
+    return [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+        for i in range(num_hashes)
+    ]
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    """36 docs with deterministic near-dups crossing the old/new split
+    (new = doc_id % 3 == 0, so dup partners land on both sides)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu".split()
+    rows = []
+    for i in range(24):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(8))))
+    for i in range(12):  # docs 24..35 are one-word-changed copies of 0..11
+        toks = rows[i][1].split()
+        toks[3] = vocab[(i + 5) % len(vocab)]
+        rows.append((24 + i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_matches_batch_oracle(split_corpus):
+    """incremental_dedup(new, index(old)) must equal the full-corpus LSH
+    est-Jaccard pairs that involve a new doc, per an independent python
+    re-derivation of signatures, bands, candidates, and the estimator."""
+    rows = {r.doc_id: r.text for r in split_corpus.collect()}
+    new_ids = {i for i in rows if i % 3 == 0}
+    sigs = {i: _pyref_sig(t) for i, t in rows.items()}
+    sigs = {i: s for i, s in sigs.items() if s is not None}
+    bands = {
+        i: [hashlib.md5(",".join(s[2 * b : 2 * b + 2]).encode()).hexdigest()
+            for b in range(8)]
+        for i, s in sigs.items()
+    }
+    thr = 0.2
+    expected = set()
+    for a in sigs:
+        for b in sigs:
+            if a >= b or not any(x == y for x, y in zip(bands[a], bands[b])):
+                continue
+            a_new, b_new = a in new_ids, b in new_ids
+            if not (a_new or b_new):
+                continue  # old-vs-old: found when the old batch arrived
+            dup, match = (max(a, b), min(a, b)) if (a_new and b_new) else (
+                (a, b) if a_new else (b, a)
+            )
+            est = round(sum(x == y for x, y in zip(sigs[a], sigs[b])) / 16.0, 4)
+            if est >= thr:
+                expected.add((dup, match, est))
+    assert expected, "fixture must produce cross-split near-dups"
+
+    from pyspark.sql import functions as SF
+
+    old = split_corpus.filter(SF.col("doc_id") % 3 != 0)
+    new = split_corpus.filter(SF.col("doc_id") % 3 == 0)
+    index = dedup.signature_index(old, cache=False)
+    got = {
+        (r.dup_id, r.match_id, r.est_jaccard)
+        for r in dedup.incremental_dedup(
+            new, index, threshold=thr, cache=False
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_index_merge_appends_nondup_signatures(split_corpus):
+    old = split_corpus.filter(F.col("doc_id") % 3 != 0)
+    new = split_corpus.filter(F.col("doc_id") % 3 == 0)
+    index = dedup.signature_index(old, cache=False)
+    matches = dedup.incremental_dedup(new, index, threshold=0.2, cache=False)
+    new_sig = dedup.minhash_table(new, cache=False)
+    merged = dedup.index_merge(index, new_sig, matches)
+    dup_ids = {r.dup_id for r in matches.select("dup_id").distinct().collect()}
+    new_ids = {r.doc_id for r in new_sig.select("doc_id").collect()}
+    got_ids = {r.doc_id for r in merged.select("doc_id").collect()}
+    old_ids = {r.doc_id for r in index.select("doc_id").collect()}
+    assert got_ids == old_ids | (new_ids - dup_ids)
+    assert merged.columns == index.columns
+
+
 def test_simhash_properties(docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
