@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from anendektos_spark.functions import (
     dedup,
     joins,
+    layout,
     logops,
     sampling,
     similarity,
@@ -206,6 +207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id",
     )
     q["time_rollup"] = lambda s, d: logops.time_rollup(_t(s, d, "events"))
+    # Z-order layout: per-file pruning metadata (64 Morton-range files
+    # over the (user_id, value) plane) — the data-skipping layout op
+    q["zorder_events"] = lambda s, d: layout.zorder_file_stats(
+        _t(s, d, "events"), "user_id", "value", n_files=64
+    )
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
     q["text_redact_pii"] = lambda s, d: textstats.redact_pii(
         _t(s, d, "events"), id_col="event_id", text_col="props"
@@ -1103,6 +1109,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(start / 512) AS INT) AS bin_id,
                CAST(start % 512 AS INT) AS bin_offset
         FROM x
+    """
+    _QZ = (
+        "CAST(least(greatest(CASE WHEN CAST({hi} - {lo} AS DOUBLE) = 0 THEN 0 "
+        "ELSE floor((CAST({c} - {lo} AS DOUBLE) / CAST({hi} - {lo} AS DOUBLE)) "
+        "* 65535.0) END, 0), 65535) AS BIGINT)"
+    )
+    o["zorder_events"] = f"""
+        WITH b AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+                          min(value) AS ylo, max(value) AS yhi FROM events),
+        q AS (SELECT e.user_id, e.value,
+                {_QZ.format(c="e.user_id", lo="xlo", hi="xhi")} AS qx,
+                {_QZ.format(c="e.value", lo="ylo", hi="yhi")} AS qy
+              FROM events e, b),
+        s1 AS (SELECT user_id, value,
+                 ((qx & 65535) | ((qx & 65535) << 8)) & 16711935 AS x1,
+                 ((qy & 65535) | ((qy & 65535) << 8)) & 16711935 AS y1
+               FROM q),
+        s2 AS (SELECT user_id, value,
+                 ((x1 | (x1 << 4)) & 252645135) AS x2,
+                 ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+        s3 AS (SELECT user_id, value,
+                 ((x2 | (x2 << 2)) & 858993459) AS x3,
+                 ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+        s4 AS (SELECT user_id, value,
+                 ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                 ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+        z AS (SELECT user_id, value, (x4 | (y4 << 1)) AS z FROM s4)
+        SELECT z >> 26 AS file_id, count(*) AS n_rows,
+               min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+               min(value) AS min_value, max(value) AS max_value
+        FROM z GROUP BY 1
     """
     o["time_rollup"] = """
         WITH m AS (
