@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zorder_events"] = lambda s, d: layout.zorder_file_stats(
         _t(s, d, "events"), "user_id", "value", n_files=64
     )
+    # compaction planner over a per-(type,user) synthetic file listing —
+    # deterministic cumulative-size binning within each table partition
+    q["compaction_plan"] = _compaction_plan
     q["text_repetition"] = lambda s, d: textstats.repetition_stats(_t(s, d, "documents"))
     q["text_redact_pii"] = lambda s, d: textstats.redact_pii(
         _t(s, d, "events"), id_col="event_id", text_col="props"
@@ -429,6 +432,26 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     return dedup.incremental_dedup(
         new, dedup.signature_index(old), threshold=0.25
+    )
+
+
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite-bin assignment for a synthetic file listing derived from
+    events (one 'file' per (event_type, user_id), 128 B per row) —
+    exercises the per-partition cumulative-size binning of
+    layout.plan_compaction on driver tables."""
+    files = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg((F.count("*") * 128).alias("bytes"))
+        .select(
+            "event_type",
+            F.concat_ws("/", "event_type", "user_id").alias("file"),
+            "bytes",
+        )
+    )
+    return layout.plan_compaction(
+        files, partition_cols=["event_type"], target_bytes=4096
     )
 
 
@@ -1140,6 +1163,22 @@ def oracle_sql() -> dict[str, str]:
                min(user_id) AS min_user_id, max(user_id) AS max_user_id,
                min(value) AS min_value, max(value) AS max_value
         FROM z GROUP BY 1
+    """
+    o["compaction_plan"] = """
+        WITH f AS (
+          SELECT event_type,
+                 event_type || '/' || CAST(user_id AS VARCHAR) AS file,
+                 CAST(count(*) * 128 AS BIGINT) AS bytes
+          FROM events GROUP BY event_type, user_id
+        ),
+        c AS (
+          SELECT event_type, file, bytes,
+                 sum(bytes) OVER (PARTITION BY event_type ORDER BY file)
+                   - bytes AS cb
+          FROM f
+        )
+        SELECT event_type, file, bytes,
+               CAST(floor(cb / 4096.0) AS BIGINT) AS group_id FROM c
     """
     o["time_rollup"] = """
         WITH m AS (

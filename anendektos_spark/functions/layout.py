@@ -133,6 +133,40 @@ def linear_file_stats(
     )
 
 
+def plan_compaction(
+    files: DataFrame,
+    bytes_col: str = "bytes",
+    name_col: str = "file",
+    partition_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Group small files into ~target-size rewrite bins (the maintenance
+    pass behind Iceberg's ``rewrite_data_files``): streaming ingest leaves
+    thousands of tiny files per partition, and every future scan pays
+    per-file open cost until they are compacted.
+
+    Assignment is deterministic cumulative-size binning in file-name
+    order: ``group_id = floor(bytes_before_this_file / target)``. Each
+    group's total lands in [target, target + max_file) except the last
+    per partition, and a single file larger than target keeps a group to
+    itself. With ``partition_cols`` the window runs per table partition —
+    compaction never merges across partitions, and the global sort the
+    bare window needs degrades to many small per-partition sorts (the
+    scale path; a bare global window is fine only for one partition's
+    file listing)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(name_col)
+        if partition_cols
+        else Window.orderBy(name_col)
+    )
+    cum_before = F.sum(bytes_col).over(w) - F.col(bytes_col)
+    return files.withColumn(
+        "group_id", F.floor(cum_before / F.lit(float(target_bytes))).cast("long")
+    )
+
+
 def files_read(
     stats: DataFrame,
     x_col: str,

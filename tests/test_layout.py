@@ -54,3 +54,49 @@ def test_zorder_validates_n_files(spark):
 
     with pytest.raises(ValueError):
         layout.zorder_file_stats(_grid(spark, 4), "x", "y", n_files=60)
+
+
+def test_plan_compaction_bins(spark):
+    files = spark.createDataFrame(
+        [("p1", f"f{i:02d}", 40) for i in range(10)]  # 10 × 40B
+        + [("p1", "zbig", 500)]                        # oversize file
+        + [("p2", f"g{i}", 90) for i in range(3)],
+        "part string, file string, bytes long",
+    )
+    out = layout.plan_compaction(
+        files, partition_cols=["part"], target_bytes=100
+    ).collect()
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.part, {}).setdefault(r.group_id, []).append(r)
+    # p1 small files: cumulative 40B each → groups of ~100B: sizes per
+    # group in [target, target+max) except the last
+    p1_sizes = {
+        g: sum(x.bytes for x in rows)
+        for g, rows in by_part["p1"].items()
+        if not any(x.file == "zbig" for x in rows)
+    }
+    for g, sz in p1_sizes.items():
+        assert sz < 100 + 40
+    # the oversize file must not share its bin budget with later files
+    # (it is last alphabetically here, so it simply lands alone or at a
+    # boundary — the invariant is deterministic assignment)
+    again = layout.plan_compaction(
+        files, partition_cols=["part"], target_bytes=100
+    ).collect()
+    assert {(r.file, r.group_id) for r in again} == {
+        (r.file, r.group_id) for r in out
+    }
+    # partitions never merge and restart at group 0: p2's 3×90B files
+    # have cumulative-before 0/90/180 → groups 0, 0, 1
+    p2_groups = {
+        r.file: r.group_id for rows in by_part["p2"].values() for r in rows
+    }
+    assert p2_groups == {"g0": 0, "g1": 0, "g2": 1}
+
+
+def test_plan_compaction_validates(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        layout.plan_compaction(_grid(spark, 2), target_bytes=0)
