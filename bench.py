@@ -27,7 +27,8 @@ BENCH_QUERIES = [
     "topk_users", "sessionize", "text_quality", "dedup_minhash",
     "dedup_lsh_jaccard", "dedup_simhash", "ann_cosine_topk", "ann_ivf_assign",
     "asof_last_order", "range_order_pairs", "decontaminate_ngrams",
-    "text_redact_pii", "sample_pack_sequences",
+    "text_redact_pii", "sample_pack_sequences", "dedup_incremental",
+    "zorder_events",
 ]
 
 
