@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_subword_tokens"] = lambda s, d: textstats.subword_token_stats(
         _t(s, d, "documents")
     )
+    # context-window chunking: overlapping 32-token windows, stride 24
+    q["text_chunks"] = lambda s, d: textstats.chunk_documents(
+        _t(s, d, "documents"), chunk_tokens=32, overlap=8
+    )
 
     # --- deduplication over documents ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dups(_t(s, d, "documents"))
@@ -859,6 +863,19 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
         SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, round(cos6, 4) AS cos_sim
         FROM r WHERE rk <= 5
+    """
+    o["text_chunks"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+                greatest(1, CAST(ceil((n - 8) / 24.0) AS BIGINT)) AS n_chunks
+              FROM n),
+        s AS (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS k FROM c)
+        SELECT doc_id,
+               CAST(k AS INT) AS chunk_idx,
+               CAST(least(32, n - k * 24) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+        FROM s
     """
     o["dedup_exact"] = f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -328,3 +328,63 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("fp_md5"),
         F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking step of a training-data pipeline (long
+    documents become model-sized sequences; ``overlap`` preserves
+    continuity across chunk boundaries).
+
+    Emits (id, chunk_idx, n_chunk_tokens, chunk_text): chunk k covers
+    tokens [k*stride, k*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the chunk count ceil((n - overlap) / stride)
+    guarantees every token lands in >= 1 chunk and a document shorter
+    than one window yields exactly one (possibly short) chunk.
+
+    Shape: one narrow map (tokenize + size), a generator over the int
+    start offsets (sequence + posexplode — the array is O(n_chunks)
+    ints, not token copies), then slice + join per chunk. No shuffle,
+    no UDF; output size ≈ input · (1 + overlap/stride), the expected
+    duplication factor of overlapped chunking."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    for reserved in ("_toks", "_n", "_start", "chunk_idx"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has a {reserved!r} column")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(float(stride))),
+    )
+    starts = F.sequence(
+        F.lit(0), ((n_chunks - 1) * stride).cast("int"), F.lit(stride)
+    )
+    ex = base.select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("_toks", F.col("_start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )

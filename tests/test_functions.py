@@ -477,3 +477,52 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     got = {r.doc_id: r.cluster_id for r in
            dedup.dup_clusters(ids, pairs, checkpoint="reliable").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "a b"),                                  # shorter than a chunk
+         (3, "")],                                    # degenerate
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # stride 3 over 10 tokens -> ceil(9/3)=3 chunks at starts 0,3,6
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert d1[0].chunk_text == "t0 t1 t2 t3"
+    assert d1[1].chunk_text == "t3 t4 t5 t6"
+    assert d1[2].chunk_text == "t6 t7 t8 t9"
+    assert [r.n_chunk_tokens for r in d1] == [4, 4, 4]
+    # every token appears; consecutive chunks share exactly `overlap`
+    assert set(" ".join(r.chunk_text for r in d1).split()) == {
+        f"t{i}" for i in range(10)
+    }
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "a b" and d2[0].n_chunk_tokens == 2
+    d3 = [r for r in rows if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].n_chunk_tokens == 1  # split("") -> [""]
+
+
+def test_chunk_documents_covers_all_tokens_any_length(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.chunk_documents(df, chunk_tokens=8, overlap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for i in range(1, 40):
+        toks = [f"w{j}" for j in range(i)]
+        seen = set()
+        for r in got[i]:
+            seen.update(r.chunk_text.split())
+        assert seen == set(toks), f"doc {i} lost tokens"
+        last = max(got[i], key=lambda r: r.chunk_idx)
+        assert last.chunk_text.split()[-1] == toks[-1]
+
+
+def test_chunk_documents_validates(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, chunk_tokens=4, overlap=4)
