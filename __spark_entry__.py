@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from anendektos_spark.functions import (
+    convops,
     dedup,
     joins,
     layout,
@@ -32,6 +33,9 @@ from anendektos_spark.functions import (
 )
 
 SF001 = "/root/testdata/sf0.001"
+
+# size of the deterministic transcript relation behind the conv_* queries
+_CONV_N = 20_000
 
 _KNOWN = ", ".join(f"'{t}'" for t in logops.KNOWN_EVENT_TYPES)
 
@@ -253,6 +257,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zeek_sink_conn_pipe"] = lambda s, d: zeek_oracle.sink_query_pipe(s, "conn")
     q["zeek_topk_fields"] = lambda s, d: zeek_oracle.topk_fields_query(s, 3)
     q["zeek_golden_aggregates"] = lambda s, d: zeek_oracle.aggregates_query(s)
+
+    # --- conversation-level transcript ops (functions/convops.py) over
+    #     the deterministic generator relation — reassembly, tool-Markov
+    #     transitions, latency profile, role balance, all DuckDB-mirrored ---
+    q["conv_reconstruct"] = lambda s, d: convops.conv_reconstruct(
+        convops.synth_conv(s, _CONV_N)
+    )
+    q["conv_tool_transitions"] = lambda s, d: convops.tool_transitions(
+        convops.synth_conv(s, _CONV_N)
+    )
+    q["conv_turn_latency"] = lambda s, d: convops.turn_latency(
+        convops.synth_conv(s, _CONV_N)
+    )
+    q["conv_role_balance"] = lambda s, d: convops.role_balance(
+        convops.synth_conv(s, _CONV_N)
+    )
     return q
 
 
@@ -1343,4 +1363,10 @@ def oracle_sql() -> dict[str, str]:
     o["zeek_sink_conn_pipe"] = zeek_oracle.sink_sql_pipe("conn")
     o["zeek_topk_fields"] = zeek_oracle.topk_fields_sql(3)
     o["zeek_golden_aggregates"] = zeek_oracle.aggregates_sql()
+
+    _conv_rel = convops.synth_conv_sql(_CONV_N)
+    o["conv_reconstruct"] = convops.conv_reconstruct_sql(_conv_rel)
+    o["conv_tool_transitions"] = convops.tool_transitions_sql(_conv_rel)
+    o["conv_turn_latency"] = convops.turn_latency_sql(_conv_rel)
+    o["conv_role_balance"] = convops.role_balance_sql(_conv_rel)
     return o

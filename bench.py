@@ -88,6 +88,33 @@ def run_pipeline_bench(spark, replicas: int) -> tuple[float, int]:
     return elapsed, n_turns
 
 
+def run_conv_bench(spark, n_turns: int) -> dict[str, float]:
+    """Conversation-grain ops over a persisted 2M-turn synthetic
+    transcript relation (functions/convops.py): reassembly, tool-Markov
+    transitions, latency profile. Input is materialized before the clock
+    starts; each op timed best-of-3 on the warm cache (the generator is
+    synthesis overhead, not pipeline work)."""
+    from anendektos_spark.functions import convops
+
+    tx = convops.synth_conv(spark, n_turns, partitions=CPUS * 4).persist()
+    tx.count()
+    out: dict[str, float] = {}
+    for name, fn in (
+        ("conv_reconstruct_2m", convops.conv_reconstruct),
+        ("conv_transitions_2m", convops.tool_transitions),
+        ("conv_latency_2m", convops.turn_latency),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _force_eval(fn(tx))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+        print(f"# {name}: {out[name]}s", file=sys.stderr)
+    tx.unpersist()
+    return out
+
+
 def _force_eval(df) -> int:
     """Evaluate EVERY output column, not just enough to count: a bare
     count() lets Catalyst prune unreferenced projections, so narrow-map
@@ -137,6 +164,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    timings.update(run_conv_bench(spark, 2_000_000))
 
     timings["zeek_pipeline_1m"] = round(pipe_sec, 3)
     turns_per_sec = round(n_turns / pipe_sec, 1)

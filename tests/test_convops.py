@@ -1,0 +1,109 @@
+"""Conversation-level operators (functions/convops.py): hand-computed
+expectations on a tiny explicit transcript, plus structural properties of
+the deterministic generator relation the driver oracle uses."""
+
+import datetime as dt
+
+import pytest
+
+from anendektos_spark.functions import convops
+
+
+def _ts(s):
+    return dt.datetime(2026, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # one 5-turn conversation + one 2-turn conversation
+    rows = [
+        ("a", 0, "user", "hello there", None, _ts(0)),
+        ("a", 1, "assistant", "run scan now", "conn", _ts(10)),
+        ("a", 2, "user", "ok", None, _ts(15)),
+        ("a", 3, "assistant", "lookup done", "dns", _ts(45)),
+        ("a", 4, "assistant", "fetch page", "conn", _ts(50)),
+        ("b", 0, "user", "hi", None, _ts(0)),
+        ("b", 1, "assistant", "resolved", "dns", _ts(7)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_conv_reconstruct(tiny):
+    got = {r.conv_id: r for r in convops.conv_reconstruct(tiny).collect()}
+    assert got["a"].n_turns == 5
+    assert got["a"].n_tokens == 2 + 3 + 1 + 2 + 2
+    assert got["a"].transcript == "hello there run scan now ok lookup done fetch page"
+    assert got["b"].transcript == "hi resolved"
+    assert len(got["a"].transcript_md5) == 32
+
+
+def test_conv_reconstruct_order_independent_of_input_order(tiny):
+    shuffled = tiny.orderBy("text")  # destroy turn order on purpose
+    a = {r.conv_id: r.transcript for r in convops.conv_reconstruct(tiny).collect()}
+    b = {r.conv_id: r.transcript for r in convops.conv_reconstruct(shuffled).collect()}
+    assert a == b
+
+
+def test_tool_transitions(tiny):
+    got = {
+        (r.prev_tool, r.tool): r.n_transitions
+        for r in convops.tool_transitions(tiny).collect()
+    }
+    # conv a: conn -> dns -> conn; conv b: dns
+    assert got == {
+        ("<start>", "conn"): 1,
+        ("conn", "dns"): 1,
+        ("dns", "conn"): 1,
+        ("<start>", "dns"): 1,
+    }
+
+
+def test_turn_latency(tiny):
+    got = {r.tool: r for r in convops.turn_latency(tiny).collect()}
+    # conn waits: a1 (10-0)=10, a4 (50-45)=5; dns waits: a3 (45-15)=30, b1 7
+    assert got["conn"].n_waits == 2
+    assert got["conn"].total_wait_s == 15
+    assert (got["conn"].min_wait_s, got["conn"].max_wait_s) == (5, 10)
+    assert got["conn"].avg_total_wait_s == 7.5
+    assert got["dns"].total_wait_s == 37
+    assert got["dns"].avg_total_wait_s == 18.5
+
+
+def test_role_balance(tiny):
+    got = {r.conv_id: r for r in convops.role_balance(tiny).collect()}
+    a = got["a"]
+    assert (a.n_user_turns, a.n_assistant_turns) == (2, 3)
+    assert (a.user_tokens, a.assistant_tokens) == (3, 7)
+    assert a.assistant_token_share == 0.7
+    b = got["b"]
+    # 1/2 tokens assistant -> floor(5000)/10000
+    assert b.assistant_token_share == 0.5
+
+
+def test_synth_conv_structure(spark):
+    df = convops.synth_conv(spark, 64).orderBy("conv_id", "turn_idx")
+    rows = df.collect()
+    assert len(rows) == 64
+    convs = {r.conv_id for r in rows}
+    assert convs == {"conv0", "conv1", "conv2", "conv3"}
+    for c in convs:
+        turns = [r for r in rows if r.conv_id == c]
+        # strictly increasing ts within the conversation (stable order)
+        ts = [r.ts for r in turns]
+        assert ts == sorted(ts) and len(set(ts)) == len(ts)
+        for r in turns:
+            if r.role == "user":
+                assert r.tool is None and r.turn_idx % 2 == 0
+            else:
+                assert r.tool in convops.TOOLS
+            assert 3 <= len(r.text.split()) <= 8
+
+
+def test_synth_conv_deterministic(spark):
+    a = convops.synth_conv(spark, 100, partitions=2).collect()
+    b = convops.synth_conv(spark, 100, partitions=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
