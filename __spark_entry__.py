@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_chunks"] = lambda s, d: textstats.chunk_documents(
         _t(s, d, "documents"), chunk_tokens=32, overlap=8
     )
+    q["text_filter_chain"] = lambda s, d: textstats.filter_chain(_t(s, d, "documents"))
+    q["text_dup_gram_frac"] = lambda s, d: textstats.dup_gram_fraction(
+        _t(s, d, "documents"), n=3, min_count=2
+    )
+    q["text_tfidf_topk"] = lambda s, d: textstats.tfidf_topk(_t(s, d, "documents"), k=5)
 
     # --- deduplication over documents ---
     q["dedup_exact"] = lambda s, d: dedup.exact_dups(_t(s, d, "documents"))
@@ -896,6 +901,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(32, n - k * 24) AS INT) AS n_chunk_tokens,
                array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
         FROM s
+    """
+    o["text_filter_chain"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(toks) AS INT) AS n_tokens,
+                CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) AS mean_len,
+                CAST(len(list_filter(toks, x -> x IN ({_STOPLIST}))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+                CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) AS ttr
+              FROM t),
+        r AS (SELECT doc_id, n_tokens,
+                n_tokens >= 5 AS pass_min_tokens,
+                n_tokens <= 2000 AS pass_max_tokens,
+                mean_len >= 2.0 AND mean_len <= 12.0 AS pass_mean_tok_len,
+                stop_ratio >= 0.01 AS pass_stop_ratio,
+                ttr >= 0.3 AS pass_ttr
+              FROM m)
+        SELECT doc_id, n_tokens, pass_min_tokens, pass_max_tokens,
+               pass_mean_tok_len, pass_stop_ratio, pass_ttr,
+               CASE WHEN NOT pass_min_tokens THEN 'min_tokens'
+                    WHEN NOT pass_max_tokens THEN 'max_tokens'
+                    WHEN NOT pass_mean_tok_len THEN 'mean_tok_len'
+                    WHEN NOT pass_stop_ratio THEN 'stop_ratio'
+                    WHEN NOT pass_ttr THEN 'ttr' END AS first_fail,
+               pass_min_tokens AND pass_max_tokens AND pass_mean_tok_len
+                 AND pass_stop_ratio AND pass_ttr AS keep
+        FROM r
+    """
+    o["text_dup_gram_frac"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, {_SHINGLES} AS grams FROM t),
+        i AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        pdg AS (SELECT doc_id, gram, count(*) AS n_inst FROM i GROUP BY 1, 2),
+        freq AS (SELECT gram FROM pdg GROUP BY gram HAVING sum(n_inst) >= 2),
+        c AS (SELECT p.doc_id, sum(p.n_inst) AS n_grams,
+                     sum(CASE WHEN f.gram IS NOT NULL THEN p.n_inst ELSE 0 END)
+                       AS n_dup
+              FROM pdg p LEFT JOIN freq f USING (gram) GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_grams,
+               round(coalesce(CAST(c.n_dup AS DOUBLE)
+                              / CAST(c.n_grams AS DOUBLE), 0.0), 4)
+                 AS dup_gram_frac
+        FROM g LEFT JOIN c USING (doc_id)
+    """
+    o["text_tfidf_topk"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        inst AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tfc AS (SELECT doc_id, term, count(*) AS tf FROM inst GROUP BY 1, 2),
+        dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM t),
+        s AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+                     CAST(tfc.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                       / CAST(dfc.df AS DOUBLE) AS score
+              FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY round(score, 6) DESC, term ASC) AS rk FROM s)
+        SELECT doc_id, CAST(rk AS INT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               round(score, 4) AS tfidf
+        FROM r WHERE rk <= 5
     """
     o["dedup_exact"] = f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_docs

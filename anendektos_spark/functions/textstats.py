@@ -20,7 +20,7 @@ pruning (only ``text`` + id columns are read).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 # The only English function words present in the synthetic corpus; a real
@@ -327,6 +327,182 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),
         F.array_min(F.transform(sh, F.md5)).alias("fp_min_shingle"),
+    )
+
+
+def filter_chain(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 2000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    min_stop_ratio: float = 0.01,
+    min_ttr: float = 0.3,
+) -> DataFrame:
+    """C4/Gopher-style quality filter chain: evaluate every rule per
+    document, report each verdict, the FIRST failing rule (the standard
+    curation-report shape — rejects are attributed to one named rule,
+    like the parse stage's first-failing-column rejects, parse.py), and
+    the final keep flag.
+
+    Rules (fixed order): min_tokens, max_tokens, mean_tok_len (mean
+    non-space chars per token within [min,max]), stop_ratio (English
+    function-word mass — C4's "contains function words"), ttr
+    (type-token ratio ≥ threshold — Gopher's repetition proxy).
+
+    Pure narrow map: one projection, no shuffle/UDF; mean token length
+    is exact-int arithmetic (total non-space chars / tokens) so the
+    double compare is engine-exact."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.concat_ws("", t))  # non-space chars, exact int
+    mean_len = n_chars.cast("double") / n_tok.cast("double")
+    stop_ratio = _stop_hits(t, EN_STOPWORDS).cast("double") / n_tok.cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tok.cast("double")
+    rules = [
+        ("min_tokens", n_tok >= min_tokens),
+        ("max_tokens", n_tok <= max_tokens),
+        ("mean_tok_len", (mean_len >= min_mean_tok_len) & (mean_len <= max_mean_tok_len)),
+        ("stop_ratio", stop_ratio >= min_stop_ratio),
+        ("ttr", ttr >= min_ttr),
+    ]
+    first_fail = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        first_fail = F.when(~ok, F.lit(name)).otherwise(first_fail)
+    keep = rules[0][1]
+    for _, ok in rules[1:]:
+        keep = keep & ok
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        *[ok.alias(f"pass_{name}") for name, ok in rules],
+        first_fail.alias("first_fail"),
+        keep.alias("keep"),
+    )
+
+
+def dup_gram_fraction(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+) -> DataFrame:
+    """Soft dedup signal (RefinedWeb/Gopher "duplicate n-gram fraction"):
+    per document, the fraction of its ``n``-gram INSTANCES that are
+    corpus-frequent (appear ≥ ``min_count`` times across the corpus,
+    counting instances). High values mark boilerplate shared across many
+    documents without requiring pairwise dedup.
+
+    Plan shape for 100 TB: one gram relation is materialized (spread +
+    ``_barrier``) and read twice — (a) corpus gram counts (map-side
+    partial combine, shuffle carries distinct grams), (b) per-doc gram
+    instances joined against the frequent set. The frequent-gram
+    relation is usually small (frequency follows Zipf; the ≥min_count
+    head is a tiny fraction of the distinct-gram tail) so Spark's AQE
+    converts the join to broadcast at runtime when it fits; otherwise it
+    is a plain shuffled hash join on the gram key."""
+    rel = _barrier(
+        spread(df).select(
+            F.col(id_col), shingles(F.col(text_col), n).alias("grams")
+        ),
+        cache,
+    )
+    inst = rel.select(F.col(id_col), F.explode("grams").alias("gram"))
+    # (doc, gram) instance counts — also the partial for the corpus count
+    per_doc_gram = inst.groupBy(id_col, "gram").agg(F.count("*").alias("n_inst"))
+    frequent = (
+        per_doc_gram.groupBy("gram")
+        .agg(F.sum("n_inst").alias("_corpus_n"))
+        .filter(F.col("_corpus_n") >= min_count)
+        .select("gram")
+        .withColumn("_freq", F.lit(1))
+    )
+    counted = (
+        per_doc_gram.join(frequent, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_inst").alias("n_grams"),
+            F.sum(F.when(F.col("_freq").isNotNull(), F.col("n_inst")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    base = rel.select(F.col(id_col), F.size("grams").alias("_total"))
+    return base.join(counted, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.round(
+            F.coalesce(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_gram_frac"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf.
+
+    idf here is the exact rational ``N / df`` (linear inverse document
+    frequency) rather than ``ln(N/df)``: IEEE mul/div are correctly
+    rounded in every engine so the score — and therefore the driver's
+    cross-engine hash check — is bit-exact, while ``ln`` differs by ulps
+    between libm implementations. Rankings are preserved for any
+    monotone idf transform when comparing within a fixed term set; a
+    production corpus wanting log damping changes one expression.
+
+    Plan: one materialized token relation; (doc, term) tf counts (one
+    shuffle with map-side combine); document frequency derived from the
+    SAME tf relation (count of docs per term — no second corpus scan);
+    corpus size N via a broadcast 1-row cross join (no driver collect);
+    per-doc top-k via row_number window with (rounded score desc, term
+    asc) deterministic ordering."""
+    rel = _barrier(
+        spread(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks")),
+        cache,
+    )
+    tf = (
+        rel.select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = rel.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.col("tf").cast("double") * F.col("_n").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round("_score", 6).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("_score", 4).alias("tfidf"),
+        )
     )
 
 

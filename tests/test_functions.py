@@ -526,3 +526,86 @@ def test_chunk_documents_validates(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textstats.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_filter_chain_first_fail_and_keep(spark):
+    df = spark.createDataFrame(
+        [
+            # passes everything: 6 tokens, one stopword, all distinct
+            (1, "the quick brown fox jumps high"),
+            # too short -> min_tokens is the FIRST failing rule even
+            # though ttr/stop rules might also be judged
+            (2, "hi"),
+            # 6 tokens but no stopwords -> stop_ratio fails
+            (3, "quick brown foxes jump very high"),
+            # heavy repetition -> ttr fails (stopword 'the' present)
+            (4, "the yes yes yes yes yes yes yes yes yes"),
+            # single-char tokens -> mean_tok_len fails (has stopword 'a')
+            (5, "a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.filter_chain(df).collect()}
+    assert got[1].keep and got[1].first_fail is None
+    assert not got[2].keep and got[2].first_fail == "min_tokens"
+    assert not got[3].keep and got[3].first_fail == "stop_ratio"
+    assert got[3].pass_min_tokens and got[3].pass_ttr
+    assert not got[4].keep and got[4].first_fail == "ttr"
+    assert not got[5].keep and got[5].first_fail == "mean_tok_len"
+
+
+def test_dup_gram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # grams: abg, bgd'  (2 grams)
+            (2, "alpha beta gamma epsilon"), # shares 'alpha beta gamma'
+            (3, "zeta eta theta iota"),      # unique grams
+            (4, "x y"),                      # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textstats.dup_gram_fraction(df, n=3, min_count=2).collect()}
+    # 'alpha beta gamma' appears twice corpus-wide -> frequent
+    assert got[1].n_grams == 2 and got[1].n_dup_grams == 1
+    assert got[1].dup_gram_frac == 0.5
+    assert got[2].n_dup_grams == 1
+    assert got[3].n_dup_grams == 0 and got[3].dup_gram_frac == 0.0
+    assert got[4].n_grams == 0 and got[4].dup_gram_frac == 0.0
+
+
+def test_dup_gram_fraction_counts_instances(spark):
+    # the same gram repeated INSIDE one doc counts every instance
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c")],  # grams: abc,bca,cab,abc,bca,cab,abc
+        "doc_id long, text string",
+    )
+    r = textstats.dup_gram_fraction(df, n=3, min_count=2).collect()[0]
+    assert r.n_grams == 7
+    assert r.n_dup_grams == 7  # every instance's gram occurs >= 2 times
+    assert r.dup_gram_frac == 1.0
+
+
+def test_tfidf_topk(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_topk(df, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(got[1], key=lambda r: r.rank)
+    # doc1: apple tf=2 df=1 -> 2*3/1=6; banana tf=1 df=2 -> 1.5; common 1
+    assert [r.term for r in d1] == ["apple", "banana"]
+    assert d1[0].tfidf == 6.0 and d1[0].tf == 2 and d1[0].df == 1
+    assert d1[1].tfidf == 1.5
+    # doc3: cherry tf=2 df=2 -> 3.0 beats common tf=1 df=3 -> 1.0
+    d3 = sorted(got[3], key=lambda r: r.rank)
+    assert d3[0].term == "cherry" and d3[0].tfidf == 3.0
+    # ties broken by term asc: doc2 banana (1.5) vs cherry (1.5)
+    d2 = sorted(got[2], key=lambda r: r.rank)
+    assert [r.term for r in d2] == ["banana", "cherry"]
