@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Datasketches HLL + KLL) stays library-only with accuracy pinned in
     # tests/test_functions.py (its internals are engine-specific).
     q["approx_profile"] = lambda s, d: logops.approx_profile_portable(_t(s, d, "events"))
+    q["funnel_steps"] = lambda s, d: logops.funnel(_t(s, d, "events"))
+    q["rate_spikes"] = lambda s, d: logops.rate_spikes(_t(s, d, "events"))
 
     # --- general relational engine (filter/agg/join/sort/limit,
     #     anti/semi joins, rollup, pivot, moving windows) ---
@@ -632,6 +634,48 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """
+    o["funnel_steps"] = """
+        WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (SELECT s0.user_id, s0.t0,
+                      min(CASE WHEN e.event_type = 'click'
+                                AND epoch_us(e.ts) > s0.t0
+                               THEN epoch_us(e.ts) END) AS t1
+               FROM s0 LEFT JOIN events e ON e.user_id = s0.user_id
+               GROUP BY 1, 2),
+        s2 AS (SELECT s1.user_id, s1.t0, s1.t1,
+                      min(CASE WHEN e.event_type = 'purchase'
+                                AND s1.t1 IS NOT NULL
+                                AND epoch_us(e.ts) > s1.t1
+                               THEN epoch_us(e.ts) END) AS t2
+               FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+               GROUP BY 1, 2, 3)
+        SELECT user_id, t0 AS t_view, t1 AS t_click, t2 AS t_purchase,
+               CAST(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS furthest_stage
+        FROM s2
+    """
+    o["rate_spikes"] = """
+        WITH c AS (SELECT event_type,
+                          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                            AS bucket,
+                          count(*) AS n_events
+                   FROM events GROUP BY 1, 2),
+        h AS (SELECT event_type, bucket, n_events,
+                     CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS sum_prev,
+                     CAST(count(n_events) OVER w AS BIGINT) AS n_prev
+              FROM c
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, bucket, n_events, sum_prev, n_prev,
+               (n_prev >= 4 AND n_events * n_prev > 3 * sum_prev) AS is_spike,
+               CASE WHEN sum_prev > 0
+                    THEN CAST((n_events * n_prev * 10000) // sum_prev AS BIGINT)
+               END AS ratio_x10k
+        FROM h
     """
     o["stable_ordinal"] = """
         SELECT user_id, event_id,

@@ -417,3 +417,101 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first time each step was
+    reached IN ORDER (step k counts only after the user's step-k-1
+    time). The classic product-analytics query, and the transcript
+    analogue of "did this conversation reach tool A then B then C".
+
+    Emits one row per user who reached step 0: first-reach epoch micros
+    per step (null once the funnel breaks) and ``furthest_stage``
+    (1-based count of completed steps).
+
+    Plan shape: one aggregate per step plus a per-step left join, all
+    keyed on user_id — k small fixed joins, no window over the full
+    event stream, no collect. Epoch math is integer (unix_micros) so
+    cross-engine equality is exact. Conversion-rate rollups are a
+    trivial count over this output."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], 1):
+        nxt = events.filter(F.col("event_type") == step).select(
+            F.col("user_id").alias("_u"), us.alias("_e")
+        )
+        cond = (cur["user_id"] == nxt["_u"]) & (nxt["_e"] > cur[f"t_{i-1}"])
+        carried = ["user_id"] + [f"t_{j}" for j in range(i)]
+        cur = (
+            cur.join(nxt, cond, "left")
+            .groupBy(*carried)
+            .agg(F.min("_e").alias(f"t_{i}"))
+        )
+    stage = sum(
+        (F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0) for i in range(len(steps))),
+        F.lit(0),
+    )
+    return cur.select(
+        "user_id",
+        *[F.col(f"t_{i}").alias(f"t_{s}") for i, s in enumerate(steps)],
+        stage.cast("int").alias("furthest_stage"),
+    )
+
+
+def rate_spikes(
+    events: DataFrame,
+    bucket: str = "hour",
+    window: int = 8,
+    factor: int = 3,
+    min_history: int = 4,
+) -> DataFrame:
+    """Volume-spike detection per event type: a bucket is a spike when
+    its count exceeds ``factor``× the trailing-window mean, given at
+    least ``min_history`` observed prior buckets.
+
+    The comparison is pure integer cross-multiplication
+    (count · n_prev > factor · sum_prev) — no float mean, so the flag is
+    engine-exact; the reported ratio is fixed-point ×10⁴ floor division.
+    The trailing window is over OBSERVED buckets (sparse series skip
+    empty buckets; at production density every bucket is populated).
+
+    Plan: one groupBy (type, bucket) with map-side partial count, then a
+    per-type ordered window — partitions are event types, so the window
+    state is tiny and parallel across types."""
+    b = F.date_format(F.date_trunc(bucket, F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:mm:ss")
+    counts = events.groupBy(
+        F.col("event_type"), b.alias("bucket")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-window, -1)
+    hist = counts.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("sum_prev"),
+        F.count("n_events").over(w).alias("n_prev"),
+    )
+    ok_hist = F.col("n_prev") >= min_history
+    return hist.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "sum_prev",
+        "n_prev",
+        (
+            ok_hist
+            & (F.col("n_events") * F.col("n_prev") > factor * F.col("sum_prev"))
+        ).alias("is_spike"),
+        F.when(
+            F.col("sum_prev") > 0,
+            F.expr("(n_events * n_prev * 10000) DIV sum_prev").cast("long"),
+        ).alias("ratio_x10k"),
+    )

@@ -609,3 +609,78 @@ def test_tfidf_topk(spark):
     # ties broken by term asc: doc2 banana (1.5) vs cherry (1.5)
     d2 = sorted(got[2], key=lambda r: r.rank)
     assert [r.term for r in d2] == ["banana", "cherry"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, (ts, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_orders_and_breaks(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = _ev(spark, [
+        # user 1 completes in order
+        (T(0), 1, "view"), (T(10), 1, "click"), (T(20), 1, "purchase"),
+        # user 2: purchase BEFORE click -> funnel breaks at click... no:
+        # view t0=0, click t=30, purchase at t=5 is before click -> only 2 stages
+        (T(0), 2, "view"), (T(5), 2, "purchase"), (T(30), 2, "click"),
+        # user 3: view only
+        (T(0), 3, "view"),
+        # user 4: never views -> absent from output
+        (T(0), 4, "click"), (T(1), 4, "purchase"),
+        # user 5: click at the SAME instant as view does not count (strict >)
+        (T(0), 5, "view"), (T(0), 5, "click"), (T(9), 5, "purchase"),
+    ])
+    got = {r.user_id: r for r in logops.funnel(df).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    B = 1704067200 * 10**6  # 2024-01-01T00:00:00Z in micros (UTC session)
+    assert got[1].furthest_stage == 3
+    assert (got[1].t_view, got[1].t_click, got[1].t_purchase) == (
+        B, B + 10_000_000, B + 20_000_000)
+    assert got[2].furthest_stage == 2 and got[2].t_purchase is None
+    assert got[3].furthest_stage == 1 and got[3].t_click is None
+    # same-instant click rejected, purchase can't follow a null click
+    assert got[5].furthest_stage == 1
+
+
+def test_funnel_picks_first_qualifying_times(spark):
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = _ev(spark, [
+        (T(5), 1, "view"), (T(2), 1, "view"),          # first view = t2
+        (T(1), 1, "click"), (T(4), 1, "click"),        # click at t1 is before view
+        (T(3), 1, "purchase"), (T(50), 1, "purchase"), # purchase t3 before click t4
+    ])
+    r = logops.funnel(df).collect()[0]
+    B = 1704067200 * 10**6
+    assert r.t_view == B + 2_000_000
+    assert r.t_click == B + 4_000_000    # first click AFTER the first view
+    assert r.t_purchase == B + 50_000_000
+
+
+def test_rate_spikes_integer_exact(spark):
+    import datetime as dt
+
+    rows = []
+    # 6 quiet hours of 2 events, then one hour with 10 events
+    for h in range(6):
+        for j in range(2):
+            rows.append((dt.datetime(2024, 1, 1, h, j), 1, "click"))
+    for j in range(10):
+        rows.append((dt.datetime(2024, 1, 1, 6, j), 1, "click"))
+    df = _ev(spark, rows)
+    got = {r.bucket: r for r in logops.rate_spikes(df, window=8, factor=3,
+                                                   min_history=4).collect()}
+    spike = got["2024-01-01 06:00:00"]
+    # 10 * 6 prior buckets > 3 * 12 prior events -> spike
+    assert spike.is_spike and spike.n_prev == 6 and spike.sum_prev == 12
+    assert spike.ratio_x10k == (10 * 6 * 10000) // 12  # 50000
+    early = got["2024-01-01 02:00:00"]  # only 2 prior buckets
+    assert not early.is_spike and early.n_prev == 2
+    assert all(not got[f"2024-01-01 0{h}:00:00"].is_spike for h in range(6))
