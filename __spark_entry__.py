@@ -455,14 +455,19 @@ def _dedup_ngram_jaccard_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: the corpus minus every 5th doc is the
-    already-indexed history (signature index only — its text is never
-    re-read), docs with doc_id % 5 == 0 are the arriving batch. Matches
-    are LSH band collisions scored by the signature-estimated Jaccard."""
+    already-indexed history, docs with doc_id % 5 == 0 are the arriving
+    batch. Matches are LSH band collisions scored by the signature-
+    estimated Jaccard. In production the history side is the persisted
+    index table (its text is never re-read); here both sides derive from
+    one MinHash pass over the driver table, split by id — signatures are
+    per-row deterministic so the split equals two separate builds while
+    scanning + shingling the text once instead of twice."""
     docs = _t(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 5 != 0)
-    new = docs.filter(F.col("doc_id") % 5 == 0)
+    sig = dedup.signature_index(docs).persist()
+    old_sig = sig.filter(F.col("doc_id") % 5 != 0)
+    new_sig = sig.filter(F.col("doc_id") % 5 == 0)
     return dedup.incremental_dedup(
-        new, dedup.signature_index(old), threshold=0.25
+        None, old_sig, threshold=0.25, new_sig=new_sig
     )
 
 

@@ -456,8 +456,15 @@ def incremental_dedup(
     n: int = 3,
     threshold: float = 0.25,
     cache: bool = True,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of a new batch against an existing signature index.
+
+    ``new_sig`` lets a caller that already computed the batch signatures
+    (e.g. one MinHash pass over old∪new, split by id — signatures are
+    per-row deterministic so the split equals two separate builds) skip
+    the second text scan; when provided, ``new_df``/``text_col`` are not
+    read at all.
 
     Returns (dup_id, match_id, est_jaccard): ``dup_id`` is a new document,
     ``match_id`` is either an indexed document or an earlier (smaller-id)
@@ -470,11 +477,12 @@ def incremental_dedup(
     carries no text — so the estimator (not exact set Jaccard) is the
     score; callers needing exact Jaccard re-read only the matched docs'
     text (O(matches), not O(corpus))."""
-    new_sig = minhash_table(new_df, id_col, text_col, num_hashes, n, cache)
-    if cache:
-        # feeds band generation AND the two est-join sides: one compute.
-        # Fixed-width rows — the cache is ~H*32 bytes per new doc.
-        new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if new_sig is None:
+        new_sig = minhash_table(new_df, id_col, text_col, num_hashes, n, cache)
+        if cache:
+            # feeds band generation AND the two est-join sides: one
+            # compute. Fixed-width rows — ~H*32 bytes per new doc.
+            new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
     nb = _bands_from_sig(new_sig, id_col, num_hashes, rows_per_band)
     ob = _bands_from_sig(index, id_col, num_hashes, rows_per_band)
     new_side = nb.select("band", "band_hash", F.col(id_col).alias("dup_id"))

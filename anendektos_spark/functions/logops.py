@@ -491,27 +491,46 @@ def rate_spikes(
     counts = events.groupBy(
         F.col("event_type"), b.alias("bucket")
     ).agg(F.count("*").alias("n_events"))
-    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-window, -1)
+    return spike_flags(counts, "event_type", window=window, factor=factor,
+                       min_history=min_history)
+
+
+def spike_flags(
+    counts: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket",
+    n_col: str = "n_events",
+    window: int = 8,
+    factor: int = 3,
+    min_history: int = 4,
+) -> DataFrame:
+    """Spike verdicts over an already-bucketed count relation
+    (``key, bucket, n``) — the shared core of :func:`rate_spikes` and
+    ``streaming.stream_rate_spikes`` (batch and streaming apply the SAME
+    integer-exact rule to their count tables)."""
+    w = (
+        Window.partitionBy(key_col).orderBy(bucket_col).rowsBetween(-window, -1)
+    )
     hist = counts.select(
-        "event_type",
-        "bucket",
-        "n_events",
-        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("sum_prev"),
-        F.count("n_events").over(w).alias("n_prev"),
+        key_col,
+        bucket_col,
+        n_col,
+        F.coalesce(F.sum(n_col).over(w), F.lit(0)).alias("sum_prev"),
+        F.count(n_col).over(w).alias("n_prev"),
     )
     ok_hist = F.col("n_prev") >= min_history
     return hist.select(
-        "event_type",
-        "bucket",
-        "n_events",
+        key_col,
+        bucket_col,
+        n_col,
         "sum_prev",
         "n_prev",
         (
             ok_hist
-            & (F.col("n_events") * F.col("n_prev") > factor * F.col("sum_prev"))
+            & (F.col(n_col) * F.col("n_prev") > factor * F.col("sum_prev"))
         ).alias("is_spike"),
         F.when(
             F.col("sum_prev") > 0,
-            F.expr("(n_events * n_prev * 10000) DIV sum_prev").cast("long"),
+            F.expr(f"({n_col} * n_prev * 10000) DIV sum_prev").cast("long"),
         ).alias("ratio_x10k"),
     )

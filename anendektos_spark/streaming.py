@@ -284,3 +284,86 @@ def run_streaming_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rate_spikes(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    history_dir: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    trailing: int = 8,
+    factor: int = 3,
+    min_history: int = 4,
+    available_now: bool = False,
+):
+    """Streaming volume-spike detection per tool: watermarked tumbling-
+    window counts (append mode — each bucket is emitted exactly once,
+    when finalized) feed an incremental spike check against the
+    persisted count history, applying the SAME integer-exact rule as the
+    batch operator (functions/logops.spike_flags) — a bucket is a spike
+    when count·n_prev > factor·sum_prev over the trailing observed
+    buckets, given >= min_history of them.
+
+    Exactly-once: both the verdicts and the history increments are
+    written to the micro-batch's OWN epoch-keyed partition in overwrite
+    mode (the route_batch convention) — crash-replay replaces the
+    epoch's files instead of duplicating them. The history table grows
+    by finalized buckets only, so each batch re-reads a compact count
+    relation (buckets, not events); the per-batch spike_flags window
+    recomputes trailing sums over history ∪ new and keeps verdicts for
+    the new buckets only (left_semi on the batch's keys)."""
+    from .functions import logops
+
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("tool"), F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "tool",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+        )
+    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        batch = batch.persist()
+        try:
+            try:
+                hist = s.read.parquet(history_dir)
+                # crash-replay: this epoch's history increment may already
+                # be on disk (crash after the history write, before the
+                # checkpoint commit) — exclude it or the replayed verdict
+                # would double-count the batch. epoch is the partition
+                # column, so the filter is partition pruning, not a scan.
+                if "epoch" in hist.columns:
+                    hist = hist.filter(F.col("epoch") != epoch_id)
+                hist = hist.select("tool", "bucket", "n_events")
+            except Exception:  # first epoch: no history yet
+                hist = None
+            combined = (
+                batch if hist is None else hist.unionByName(batch)
+            )
+            flags = logops.spike_flags(
+                combined, "tool", window=trailing, factor=factor,
+                min_history=min_history,
+            )
+            new_keys = batch.select("tool", "bucket")
+            out = flags.join(new_keys, ["tool", "bucket"], "left_semi")
+            out.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
+            batch.write.mode("overwrite").parquet(f"{history_dir}/epoch={epoch_id}")
+        finally:
+            batch.unpersist()
+
+    writer = (
+        counts.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

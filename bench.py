@@ -28,7 +28,8 @@ BENCH_QUERIES = [
     "dedup_lsh_jaccard", "dedup_simhash", "ann_cosine_topk", "ann_ivf_assign",
     "asof_last_order", "range_order_pairs", "decontaminate_ngrams",
     "text_redact_pii", "sample_pack_sequences", "dedup_incremental",
-    "zorder_events",
+    "zorder_events", "text_tfidf_topk", "text_dup_gram_frac", "text_chunks",
+    "funnel_steps", "rate_spikes",
 ]
 
 

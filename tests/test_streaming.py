@@ -193,3 +193,77 @@ def test_stream_rollup_partials_match_batch_rollup(spark, tmp_path):
     want = {key(r): (r.n_events, r.sum_value)
             for r in logops.time_rollup(ev).collect()}
     assert got == want  # streamed partials merge to the exact batch answer
+
+
+def test_stream_rate_spikes_incremental_matches_batch(spark, tmp_path):
+    """Drive the streaming spike detector through MULTIPLE micro-batches
+    (maxFilesPerTrigger=1) so the spike hour is judged against history
+    persisted by EARLIER epochs, then check every emitted verdict equals
+    the batch rule (logops.spike_flags) on the same counts."""
+    import datetime as dt
+    import time as _time
+
+    from anendektos_spark.functions import logops
+
+    ind = str(tmp_path / "in")
+    out, ck, hist = (str(tmp_path / p) for p in ("spikes", "ckpt", "hist"))
+
+    def write(rows):
+        spark.createDataFrame(rows, "tool string, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(ind)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    quiet = [("conn", T(h, m)) for h in range(6) for m in (0, 1)]
+    spike = [("conn", T(6, m)) for m in range(10)]
+    write(quiet)          # batch 1: hours 0-5, 2 events each
+    write(spike)          # batch 2: hour 6, 10 events
+    write([("conn", T(9, 0))])   # watermark pushers: flush hours 5, 6
+    write([("conn", T(10, 0))])
+
+    stream = (
+        spark.readStream.schema("tool string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ind)
+    )
+    q = streaming.stream_rate_spikes(
+        stream, out, ck, hist, window="1 hour", watermark="0 seconds",
+        trailing=8, factor=3, min_history=4, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = {r.bucket: r for r in got.collect()}
+    # hours 0-6 and 9 finalized (hour 9's window end == final watermark;
+    # hour 10 still pending at shutdown)
+    assert set(rows) == {f"2024-01-01 0{h}:00:00" for h in range(7)} | {
+        "2024-01-01 09:00:00"
+    }
+    sp = rows["2024-01-01 06:00:00"]
+    assert sp.is_spike and sp.n_prev == 6 and sp.sum_prev == 12
+    assert sp.ratio_x10k == (10 * 6 * 10000) // 12
+    assert not any(r.is_spike for b, r in rows.items() if b != sp.bucket)
+    # incrementality: verdicts were produced across multiple epochs
+    assert got.select("epoch").distinct().count() >= 2
+
+    # every emitted verdict == the batch rule on the full count relation
+    all_rows = quiet + spike + [("conn", T(9, 0)), ("conn", T(10, 0))]
+    counts = (
+        spark.createDataFrame(all_rows, "tool string, ts timestamp")
+        .groupBy(
+            "tool",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    batch_rows = {
+        r.bucket: r
+        for r in logops.spike_flags(counts, "tool", window=8, factor=3,
+                                    min_history=4).collect()
+        if r.bucket in rows
+    }
+    for b, r in rows.items():
+        e = batch_rows[b]
+        assert (r.n_events, r.sum_prev, r.n_prev, r.is_spike, r.ratio_x10k) == (
+            e.n_events, e.sum_prev, e.n_prev, e.is_spike, e.ratio_x10k), b
