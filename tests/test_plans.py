@@ -104,3 +104,60 @@ def test_no_row_at_a_time_python_in_library():
             if ".rdd" in line and "getNumPartitions" not in line:
                 offenders.append(f"{py}: rdd usage: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_chunk_documents_is_shuffle_free(spark, tmp_path):
+    from anendektos_spark.functions import textstats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string").write.parquet(p)
+    plan = plan_of(textstats.chunk_documents(spark.read.parquet(p), chunk_tokens=4, overlap=1))
+    assert "Exchange" not in plan  # pure narrow map + generate
+
+
+def test_tfidf_pushes_topk_below_shuffle(spark, tmp_path):
+    from anendektos_spark.functions import textstats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w x y z") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(p)
+    df = textstats.tfidf_topk(spark.read.parquet(p), cache=False)
+    plan = plan_of(df)
+    # rank<=k must become a WindowGroupLimit (partial top-k before the
+    # window shuffle) — at corpus scale this is the difference between
+    # shuffling k terms per doc and shuffling the whole vocabulary
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the deliberate 1-row corpus-size join
+    # (simple mode prints each node once; formatted lists nodes twice)
+    assert plan_of(df, "simple").count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_funnel_and_dupgram_have_no_cartesian(spark, tmp_path):
+    from anendektos_spark.functions import logops, textstats
+
+    ed = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, None, 1, "view", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(ed)
+    plan = plan_of(logops.funnel(spark.read.parquet(ed)))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    dd = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string").write.parquet(dd)
+    plan = plan_of(textstats.dup_gram_fraction(spark.read.parquet(dd), cache=False))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conv_reconstruct_needs_no_window_pass(spark):
+    from anendektos_spark.functions import convops
+
+    df = convops.synth_conv(spark, 64)
+    plan = plan_of(convops.conv_reconstruct(df))
+    # in-group ordering comes from array_sort inside the aggregate — a
+    # separate Window (global per-conv sort pass) would be a second
+    # shuffle+sort the operator is designed to avoid
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan  # collect_list agg
