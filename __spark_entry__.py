@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q3"] = _tpch_q3
     q["tpch_q5"] = _tpch_q5
     q["tpch_q6"] = _tpch_q6
+    q["tpch_q7"] = _tpch_q7
+    q["tpch_q10"] = _tpch_q10
+    q["tpch_q14"] = _tpch_q14
+    q["tpch_q18"] = _tpch_q18
+    q["tpch_q19"] = _tpch_q19
     q["orders_without_items"] = _orders_without_items
     q["big_spender_segments"] = _big_spender_segments
     q["rollup_lineitem"] = _rollup_lineitem
@@ -249,6 +254,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sessionize_events"] = lambda s, d: logops.sessionize_events(
         _t(s, d, "events").filter(F.col("user_id") < 20)
     )
+    # SCD-2 history build: per-user event_type changelog → validity
+    # intervals (write-side companion of latest_event_per_user)
+    q["scd2_user_type"] = lambda s, d: logops.scd2_intervals(
+        _t(s, d, "events").select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "event_type",
+        "ts",
+        tie_col="event_id",
+    )
+    # SemDeDup: cluster-blocked embedding near-dup (centroids = the same
+    # fixed vec_id<8 model the ann_ivf_* queries use)
+    q["semantic_dup_pairs"] = lambda s, d: similarity.semantic_dup_pairs(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding"),
+        threshold=0.25,
+    )
+    # inverted index with the head-term posting cap exercised (cap 50 at
+    # sf0.01 truncates every common term deterministically)
+    q["text_inverted_index"] = lambda s, d: textstats.inverted_index(
+        _t(s, d, "documents"), max_postings=50
+    ).select(
+        "term",
+        "doc_freq",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",").alias(
+            "postings_str"
+        ),
+        "truncated",
+    )
+    q["text_search_and"] = lambda s, d: textstats.search_conjunctive(
+        _t(s, d, "documents"), ("vector", "stream", "spark"), keep_cols=("source",)
+    )
     q["decontaminate_ngrams"] = _decontaminate
     q["asof_last_order"] = _asof_last_order
     q["asof_last_order_bucketed"] = _asof_last_order_bucketed
@@ -359,6 +397,148 @@ def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations: 6-way join with the two
+    nation aliases resolved independently (supplier's vs customer's),
+    grouped by flow direction and ship year. supplier/nation are
+    broadcast; the disjunctive nation-pair filter sits above the joins
+    where Catalyst can still push each side's half down."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: revenue lost to returns per customer over
+    one quarter, top 20. The order-date filter prunes orders before the
+    join; TakeOrderedAndProject caps the result without a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share over one month: conditional aggregate over a
+    broadcast part join. The share is integer fixed-point over exact
+    cent sums ((promo_cents·10⁶) DIV total_cents → ×10⁴ per cent) —
+    engine-identical floor semantics, no double division drift."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(25,10)"))
+    cents = lambda col: (F.round(F.sum(col), 2) * 100).cast("long")  # noqa: E731
+    agg = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+        cents(promo).alias("_pc"), cents(revenue).alias("_tc")
+    )
+    return agg.select(
+        (F.col("_pc").cast("double") / 100).alias("promo_revenue"),
+        (F.col("_tc").cast("double") / 100).alias("total_revenue"),
+        (
+            F.expr("(_pc * 1000000) DIV _tc").cast("long") / F.lit(10000.0)
+        ).alias("promo_share_pct"),
+    )
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: HAVING-filtered per-order quantity rollup
+    joined back to orders/customer. The heavy aggregate runs FIRST and
+    its survivors (few) drive the joins — orders/customer probe a small
+    build side instead of the reverse."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(20,6)")), 2).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(20,6)"), 2).cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue (q19 shape, adapted to the trimmed
+    part schema): OR-of-ANDs across brand/size/quantity bands. The
+    disjunction references both join sides, so it evaluates as the
+    broadcast-hash-join's post-condition — one scan each side, no
+    fallback to NLJ (the equi-key l_partkey = p_partkey still drives
+    the join)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 5) & q.between(20, 30))
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -811,6 +991,74 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.02 AND 0.09
           AND l_quantity < 24
+    """
+    o["tpch_q7"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """
+    o["tpch_q10"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """
+    o["tpch_q14"] = """
+        WITH a AS (
+          SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,10))
+                       ELSE CAST(0 AS DECIMAL(25,10)) END), 2) * 100 AS BIGINT) AS pc,
+                 CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,10))), 2) * 100 AS BIGINT) AS tc
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+            AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        )
+        SELECT CAST(pc AS DOUBLE) / 100 AS promo_revenue,
+               CAST(tc AS DOUBLE) / 100 AS total_revenue,
+               CAST((pc * 1000000) // tc AS BIGINT) / 10000.0 AS promo_share_pct
+        FROM a
+    """
+    o["tpch_q18"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) > 300
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(round(CAST(o.o_totalprice AS DECIMAL(20,6)), 2) AS DOUBLE) AS totalprice,
+               big.sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+    o["tpch_q19"] = """
+        SELECT CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 20 AND 30)
     """
     o["orders_without_items"] = """
         SELECT o_orderpriority, count(*) AS n_orders
@@ -1383,6 +1631,63 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS INT) AS session_id
         FROM x
+    """
+    o["scd2_user_type"] = """
+        WITH b AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        chg AS (
+          SELECT user_id, event_type, es AS valid_from, event_id
+          FROM b WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER w2 AS valid_to,
+               lead(valid_from) OVER w2 IS NULL AS is_current
+        FROM chg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """
+    o["semantic_dup_pairs"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        s AS (SELECT e.vec_id, c.cid, round({_cos_sql('e.v', 'c.cv')}, 6) AS sim
+              FROM e, c),
+        r AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cid ASC) AS rk
+              FROM s),
+        a AS (SELECT e.vec_id, r.cid, e.v
+              FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+        p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid AS centroid_id,
+                     round({_cos_sql('x.v', 'y.v')}, 6) AS cs
+              FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, centroid_id, round(cs, 4) AS cos_sim
+        FROM p WHERE cs >= 0.25
+    """
+    o["text_inverted_index"] = f"""
+        WITH p AS (
+          SELECT DISTINCT doc_id, t.term
+          FROM documents, unnest({_TOKS}) AS t(term)
+          WHERE t.term <> ''
+        ),
+        r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
+                     count(*) OVER (PARTITION BY term) AS df
+              FROM p)
+        SELECT term, CAST(max(df) AS BIGINT) AS doc_freq,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_str,
+               max(df) > count(*) AS truncated
+        FROM r WHERE rk <= 50 GROUP BY term
+    """
+    o["text_search_and"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE list_contains({_TOKS}, 'vector')
+          AND list_contains({_TOKS}, 'stream')
+          AND list_contains({_TOKS}, 'spark')
     """
     _pii = dict(textstats.PII_PATTERNS)
     o["text_redact_pii"] = f"""

@@ -340,6 +340,48 @@ def latest_by_key(
     )
 
 
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """SCD-2 history build: collapse an append-only changelog into
+    validity intervals per key. A row opens a new interval iff its
+    ``attr_col`` differs from the key's previous value (consecutive
+    duplicates are absorbed); the interval closes at the NEXT change's
+    timestamp (``valid_to`` null = current version).
+
+    Plan: one hash shuffle on the key; the change-detect lag window and
+    the interval-close lead window share that exchange (the lead runs
+    over the filtered change rows — same partitioning, so Catalyst
+    reuses the exchange and only re-sorts the much smaller change set).
+    Epoch math is integer seconds (``unix_seconds``) so the interval
+    bounds are engine-exact. The companion read-side collapse is
+    :func:`latest_by_key`; this is the write-side history table a
+    warehouse keeps alongside it."""
+    tie = [F.col(tie_col)] if tie_col else []
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), *tie)
+    us = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    # null-safe change detect: the key's first row always opens an
+    # interval; a null attr differs from any non-null neighbor
+    changed = F.row_number().over(w) == 1
+    changed = changed | ~F.lag(F.col(attr_col)).over(w).eqNullSafe(F.col(attr_col))
+    changes = df.withColumn("_chg", changed).filter(F.col("_chg")).select(
+        *key_cols, F.col(attr_col), us.alias("valid_from"), *tie
+    )
+    # the lead window repeats the tie-break: two changes inside the same
+    # epoch second must close in the same order in every engine
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from"), *tie)
+    return changes.select(
+        *key_cols,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def sessionize_events(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Per-event session assignment: like ``sessionize`` but emits each
     event's session ordinal (1-based per user) — a running sum of

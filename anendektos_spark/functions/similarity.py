@@ -333,6 +333,46 @@ def lsh_dup_pairs(
     )
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster-blocked
+    exact cosine. Every vector is assigned to its nearest centroid
+    (``ivf_assign`` — broadcast centroids, narrow map + tiny argmax
+    shuffle), then pairs are formed ONLY within a cluster and refined
+    with the fold-deterministic cosine.
+
+    This is the k-means analog of ``lsh_dup_pairs``: the quadratic blow-up
+    is bounded to O(Σ cluster²) and the self-join shuffles on
+    ``centroid_id`` — with k clusters the pair work drops ~k× vs the
+    exhaustive cross join, and AQE's skew-join split handles an
+    oversized cluster. Recall < 1 exactly when a near-dup pair straddles
+    a centroid boundary (the SemDeDup trade-off; raise k-means k for
+    finer blocks or union multiple assignments for multi-probe).
+
+    Returns (id_a < id_b, centroid_id, cos_sim) with cos rounded to 4 at
+    emission; the threshold is applied to the 6-digit rounding, matching
+    the other near-dup operators' determinism contract."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    vecs = emb.join(assign, id_col).select(
+        "centroid_id", F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    )
+    a = vecs.select("centroid_id", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select("centroid_id", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    sim6 = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("centroid_id", "id_a", "id_b", sim6.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "centroid_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     pairs: DataFrame | None = None,

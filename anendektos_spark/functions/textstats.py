@@ -564,3 +564,89 @@ def chunk_documents(
             F.slice("_toks", F.col("_start") + 1, chunk_tokens), " "
         ).alias("chunk_text"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Inverted-index build: one row per term with its exact document
+    frequency and a (optionally bounded) sorted posting list.
+
+    ``max_postings`` is the head-term guard: a Zipf-head term's posting
+    list is O(corpus) and would concentrate in one aggregation row, so
+    with a cap only the first ``max_postings`` doc ids (ascending) are
+    kept and ``truncated`` marks the loss — the cap is applied BEFORE
+    ``collect_list`` (window rank filter), so no executor ever
+    materializes an unbounded list. ``doc_freq`` stays exact either way
+    (computed on the un-truncated pairs, same shuffle).
+
+    Plan: narrow explode of per-doc distinct terms → ONE hash shuffle on
+    ``term`` shared by the rank/df windows and the final aggregate
+    (exchange reuse; the windows add only a sort). Search-side
+    consumption: :func:`search_via_index` (posting intersection) or
+    :func:`search_conjunctive` (scan form, no index needed)."""
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    wt = Window.partitionBy("term")
+    ranked = pairs.select(
+        "term",
+        "doc_id",
+        F.row_number().over(wt.orderBy("doc_id")).alias("_rk"),
+        F.count("*").over(wt).alias("_df"),
+    )
+    if max_postings is not None:
+        ranked = ranked.filter(F.col("_rk") <= max_postings)
+    return ranked.groupBy("term").agg(
+        F.max("_df").alias("doc_freq"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        (F.max("_df") > F.count("*")).alias("truncated"),
+    )
+
+
+def search_via_index(
+    index: DataFrame, terms: tuple[str, ...] | list[str]
+) -> DataFrame:
+    """Conjunctive (AND) term search by posting-list intersection over an
+    UNTRUNCATED :func:`inverted_index` relation: filter to the query's
+    terms (partition-prunable on a term-partitioned index table), explode
+    their postings, and keep docs hit by every term. The explode size is
+    Σ df(term) — query cost scales with the queried terms' selectivity,
+    never the corpus."""
+    terms = list(terms)
+    hits = (
+        index.filter(F.col("term").isin(terms))
+        .select(F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return hits.filter(F.col("_n") == len(terms)).select("doc_id")
+
+
+def search_conjunctive(
+    df: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Conjunctive term search, scan form: a single narrow pass computes
+    each document's distinct-token set and counts query-term membership;
+    docs matching ALL terms survive. Semantically identical to
+    intersecting the inverted index's posting lists (pinned in tests)
+    but needs no index materialization — at 100 TB this is the shape for
+    one-off searches, while repeated query workloads amortize
+    :func:`inverted_index` + :func:`search_via_index`."""
+    terms = list(terms)
+    tset = F.array_distinct(tokens(F.col(text_col)))
+    hits = None
+    for t in terms:
+        h = F.array_contains(tset, t).cast("int")
+        hits = h if hits is None else hits + h
+    return df.filter(hits == F.lit(len(terms))).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols]
+    )

@@ -684,3 +684,78 @@ def test_rate_spikes_integer_exact(spark):
     early = got["2024-01-01 02:00:00"]  # only 2 prior buckets
     assert not early.is_spike and early.n_prev == 2
     assert all(not got[f"2024-01-01 0{h}:00:00"].is_spike for h in range(6))
+
+
+def test_scd2_intervals(spark):
+    rows = [
+        # user 1: A@10, A@20 (consecutive dup absorbed), B@30, A@40
+        (1, 100, "A", 10), (1, 101, "A", 20), (1, 102, "B", 30), (1, 103, "A", 40),
+        (2, 200, "X", 50),                      # single row → current from start
+        (3, 300, None, 60), (3, 301, "C", 60),  # same-ts tie + null attr
+    ]
+    df = spark.createDataFrame(
+        [(u, e, a, float(t)) for u, e, a, t in rows],
+        "user_id int, event_id int, event_type string, tsd double",
+    ).select(
+        "user_id", "event_id", "event_type", F.timestamp_seconds("tsd").alias("ts")
+    )
+    out = logops.scd2_intervals(df, ["user_id"], "event_type", "ts", tie_col="event_id")
+    got = {
+        (r.user_id, r.event_type, r.valid_from): (r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert got[(1, "A", 10)] == (30, False)
+    assert (1, "A", 20) not in got
+    assert got[(1, "B", 30)] == (40, False)
+    assert got[(1, "A", 40)] == (None, True)
+    assert got[(2, "X", 50)] == (None, True)
+    # null attr opens an interval (first row) and closes at the same-second
+    # change, ordered by the tie column
+    assert got[(3, None, 60)] == (60, False)
+    assert got[(3, "C", 60)] == (None, True)
+    assert len(got) == 6
+
+
+def test_semantic_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.99, 0.14]),   # x-axis cluster
+            (2, [0.0, 1.0]), (3, [0.1, 0.99]),    # y-axis cluster
+            (4, [0.72, 0.69]),                    # straddler → x cluster
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, embedding array<double>"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in similarity.semantic_dup_pairs(emb, cents, threshold=0.9).collect()
+    }
+    assert set(out) == {(0, 1), (2, 3)}  # only within-cluster pairs survive
+    assert out[(0, 1)].centroid_id == 0 and out[(2, 3)].centroid_id == 1
+    assert out[(0, 1)].cos_sim == pytest.approx(0.9901, abs=1e-4)
+
+
+def test_inverted_index_and_search(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d"), (2, "c d e"), (3, "c b a")],
+        "doc_id long, text string",
+    )
+    idx = {r.term: r for r in textstats.inverted_index(df).collect()}
+    assert idx["c"].doc_freq == 4 and idx["c"].postings == [0, 1, 2, 3]
+    assert not idx["c"].truncated
+    assert idx["a"].postings == [0, 3]
+    capped = {r.term: r for r in textstats.inverted_index(df, max_postings=2).collect()}
+    # df stays exact under the cap; postings keep the FIRST cap ids
+    assert capped["c"].doc_freq == 4 and capped["c"].postings == [0, 1]
+    assert capped["c"].truncated
+    assert capped["a"].postings == [0, 3] and not capped["a"].truncated
+    scan = {r.doc_id for r in textstats.search_conjunctive(df, ("b", "c")).collect()}
+    via = {
+        r.doc_id
+        for r in textstats.search_via_index(
+            textstats.inverted_index(df), ("b", "c")
+        ).collect()
+    }
+    assert scan == via == {0, 1, 3}
