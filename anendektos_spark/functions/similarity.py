@@ -333,33 +333,62 @@ def lsh_dup_pairs(
     )
 
 
+def nearest_centroid(
+    vec: Column, centroid_list: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid id by 6-digit-rounded cosine (ties → lower cid)
+    as a PURE Column expression: the centroid model enters the plan as
+    array literals (the ``hyperplane_weights`` pattern), so assignment is
+    a narrow map — no join, no shuffle, and any engine given the same
+    literals reproduces it exactly. Semantics identical to
+    :func:`ivf_assign`'s max-struct argmax."""
+    entries = [
+        F.struct(
+            F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cv])), 6).alias("sim"),
+            F.lit(-cid).alias("neg_cid"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in centroid_list
+    ]
+    return F.array_max(F.array(*entries))["cid"]
+
+
 def semantic_dup_pairs(
     emb: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster-blocked
-    exact cosine. Every vector is assigned to its nearest centroid
-    (``ivf_assign`` — broadcast centroids, narrow map + tiny argmax
-    shuffle), then pairs are formed ONLY within a cluster and refined
-    with the fold-deterministic cosine.
+    exact cosine. The centroid model (small by definition: k×dims — the
+    output of ``kmeans_fit``) is collected to the driver ONCE and inlined
+    as literals, so assignment is a zero-shuffle narrow map
+    (:func:`nearest_centroid`); pairs are then formed ONLY within a
+    cluster and refined with the fold-deterministic cosine.
 
     This is the k-means analog of ``lsh_dup_pairs``: the quadratic blow-up
-    is bounded to O(Σ cluster²) and the self-join shuffles on
-    ``centroid_id`` — with k clusters the pair work drops ~k× vs the
-    exhaustive cross join, and AQE's skew-join split handles an
-    oversized cluster. Recall < 1 exactly when a near-dup pair straddles
-    a centroid boundary (the SemDeDup trade-off; raise k-means k for
-    finer blocks or union multiple assignments for multi-probe).
+    is bounded to O(Σ cluster²) and the only corpus shuffle is the
+    self-join's hash exchange on ``centroid_id`` — the two sides are the
+    identical subplan, so the exchange is computed once and reused
+    (ReusedExchange), and AQE's skew-join split handles an oversized
+    cluster. Recall < 1 exactly when a near-dup pair straddles a
+    centroid boundary (the SemDeDup trade-off; raise k-means k for finer
+    blocks or union multiple assignments for multi-probe).
 
     Returns (id_a < id_b, centroid_id, cos_sim) with cos rounded to 4 at
     emission; the threshold is applied to the 6-digit rounding, matching
     the other near-dup operators' determinism contract."""
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
-    vecs = emb.join(assign, id_col).select(
-        "centroid_id", F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    model = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id, vec_col).collect()
+    ]
+    v = as_double(F.col(vec_col))
+    vecs = emb.select(
+        nearest_centroid(v, model).alias("centroid_id"),
+        F.col(id_col),
+        v.alias("v"),
     )
     a = vecs.select("centroid_id", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = vecs.select("centroid_id", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))

@@ -161,3 +161,58 @@ def test_conv_reconstruct_needs_no_window_pass(spark):
     # shuffle+sort the operator is designed to avoid
     assert "Window" not in plan
     assert "ObjectHashAggregate" in plan  # collect_list agg
+
+
+def test_scd2_windows_share_one_exchange(spark, tmp_path):
+    from anendektos_spark.functions import logops
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 1, "A", 0.0), (1, 2, "B", 9.0)],
+        "user_id int, event_id int, event_type string, v double",
+    ).select(
+        "user_id", "event_id", "event_type", F.timestamp_seconds("v").alias("ts")
+    ).write.parquet(p)
+    df = logops.scd2_intervals(
+        spark.read.parquet(p), ["user_id"], "event_type", "ts", tie_col="event_id"
+    )
+    plan = plan_of(df, "simple")
+    # the change-detect lag window and the interval-close lead window are
+    # both keyed on user_id: ONE hash exchange, the second window only
+    # re-sorts the (much smaller) change rows
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semantic_dup_pairs_broadcasts_centroids(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, embedding array<double>",
+    )
+    df = similarity.semantic_dup_pairs(emb, cents)
+    plan = plan_of(df, "simple")
+    # centroid model is inlined as literals → assignment is a narrow map:
+    # the ONLY corpus shuffles are the self-join's two identical
+    # centroid_id exchanges (runtime-deduped to one ReusedExchange)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df.collect()
+    assert "ReusedExchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_inverted_index_single_shuffle(spark, tmp_path):
+    from anendektos_spark.functions import textstats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    ).write.parquet(p)
+    plan = plan_of(textstats.inverted_index(spark.read.parquet(p), max_postings=4), "simple")
+    # explode → rank/df windows → final aggregate all key on `term`:
+    # one hash exchange end-to-end (the cap filter and collect_list reuse
+    # the windows' partitioning)
+    assert plan.count("Exchange hashpartitioning") == 1
