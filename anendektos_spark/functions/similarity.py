@@ -334,22 +334,40 @@ def lsh_dup_pairs(
 
 
 def nearest_centroid(
-    vec: Column, centroid_list: list[tuple[int, list[float]]]
+    vec: Column,
+    centroid_list: list[tuple[int, list[float]]],
+    vnorm: Column | None = None,
 ) -> Column:
     """Nearest-centroid id by 6-digit-rounded cosine (ties → lower cid)
     as a PURE Column expression: the centroid model enters the plan as
     array literals (the ``hyperplane_weights`` pattern), so assignment is
     a narrow map — no join, no shuffle, and any engine given the same
     literals reproduces it exactly. Semantics identical to
-    :func:`ivf_assign`'s max-struct argmax."""
-    entries = [
-        F.struct(
-            F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cv])), 6).alias("sim"),
-            F.lit(-cid).alias("neg_cid"),
-            F.lit(cid).alias("cid"),
+    :func:`ivf_assign`'s max-struct argmax.
+
+    Cost discipline: each centroid's norm is pre-folded driver-side into
+    a literal — Python's left-fold over IEEE doubles is the same fold
+    the engines run, so the value is bit-identical. Pass ``vnorm`` as a
+    MATERIALIZED column (project it first): HOF folds are interpreted
+    (CodegenFallback), so a repeated sub-expression gets no CSE — an
+    inline norm would be re-folded once per centroid. With both, per-row
+    work drops from 3k folds to k+1."""
+    import math
+
+    vnorm = vnorm if vnorm is not None else l2_norm(vec)
+    entries = []
+    for cid, cv in centroid_list:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        w = F.array(*[F.lit(float(x)) for x in cv])
+        entries.append(
+            F.struct(
+                F.round(dot(vec, w) / (vnorm * F.lit(math.sqrt(acc))), 6).alias("sim"),
+                F.lit(-cid).alias("neg_cid"),
+                F.lit(cid).alias("cid"),
+            )
         )
-        for cid, cv in centroid_list
-    ]
     return F.array_max(F.array(*entries))["cid"]
 
 
@@ -384,15 +402,29 @@ def semantic_dup_pairs(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.select(centroid_id, vec_col).collect()
     ]
+    # two-step projection: the norm fold materializes FIRST so the argmax
+    # and the pair refine reference it as a column (interpreted HOFs get
+    # no CSE — see nearest_centroid docstring). The pair cosine is then
+    # dot/(na·nb): identical fold order and operations as cosine(a, b),
+    # so the values (and the DuckDB oracle) are bit-unchanged, but each
+    # pair costs ONE fold instead of three.
     v = as_double(F.col(vec_col))
-    vecs = emb.select(
-        nearest_centroid(v, model).alias("centroid_id"),
+    normed = emb.select(F.col(id_col), v.alias("v"), l2_norm(v).alias("nrm"))
+    vecs = normed.select(
+        nearest_centroid(F.col("v"), model, vnorm=F.col("nrm")).alias("centroid_id"),
         F.col(id_col),
-        v.alias("v"),
+        "v",
+        "nrm",
     )
-    a = vecs.select("centroid_id", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = vecs.select("centroid_id", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    sim6 = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    a = vecs.select(
+        "centroid_id", F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        "centroid_id", F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim6 = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -29,7 +29,8 @@ BENCH_QUERIES = [
     "asof_last_order", "range_order_pairs", "decontaminate_ngrams",
     "text_redact_pii", "sample_pack_sequences", "dedup_incremental",
     "zorder_events", "text_tfidf_topk", "text_dup_gram_frac", "text_chunks",
-    "funnel_steps", "rate_spikes",
+    "funnel_steps", "rate_spikes", "scd2_user_type", "semantic_dup_pairs",
+    "text_inverted_index", "tpch_q18",
 ]
 
 
