@@ -48,19 +48,25 @@ def brute_topk(
     """Exact cosine top-k: broadcast the query set against every vector.
 
     Output (query_id, neighbor_id, rank, cos_sim); ranking on
-    round(cos, 6) desc then neighbor id asc — deterministic."""
+    round(cos, 6) desc then neighbor id asc — deterministic.
+
+    Norms are materialized per SIDE before the candidate join (see
+    semantic_dup_pairs: interpreted HOF folds get no CSE), so each
+    candidate costs one dot fold; dot/(nq·nn) is the identical fold
+    order as cosine(q, n) — values bit-unchanged."""
+    qv = as_double(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), qv.alias("qv"), l2_norm(qv).alias("qn")
     )
-    base = emb.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    nv = as_double(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), nv.alias("nv"), l2_norm(nv).alias("nn")
+    )
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     sims = (
         base.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id").asc())
     return (
@@ -82,14 +88,21 @@ def ivf_assign(
     Centroids are broadcast, and the argmax is a hash aggregate on a
     (sim, -cid, cid) struct — partial map-side combine collapses each
     vector's candidates before the (tiny) shuffle. Ties break to the
-    lower centroid id."""
+    lower centroid id.
+
+    Both sides materialize their L2 norm BEFORE the candidate join
+    (interpreted HOF folds get no CSE), so each (vector, centroid)
+    candidate costs one dot fold; dot/(vn·cn) is the identical fold
+    order as cosine(v, cv) — values bit-unchanged."""
+    cv = as_double(F.col(vec_col))
     c = centroids.select(
-        F.col(centroid_id).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        F.col(centroid_id).alias("cid"), cv.alias("cv"), l2_norm(cv).alias("cn")
     )
-    scored = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).join(
+    v = as_double(F.col(vec_col))
+    scored = emb.select(F.col(id_col), v.alias("v"), l2_norm(v).alias("vn")).join(
         F.broadcast(c)
     )
-    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6)
     best = F.max(
         F.struct(sim.alias("sim"), (-F.col("cid")).alias("neg_cid"), F.col("cid").alias("cid"))
     ).alias("best")
@@ -114,24 +127,25 @@ def ivf_topk(
     the 100 TB path. Recall < 1.0 near cluster boundaries by design
     (probe 1 cluster; raise n_probe by unioning more clusters)."""
     assign = ivf_assign(emb, centroids, id_col, vec_col)
+    nv = as_double(F.col(vec_col))
     base = emb.join(assign, id_col).select(
         F.col("centroid_id"),
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("nv"),
+        nv.alias("nv"),
+        l2_norm(nv).alias("nn"),
     )
+    qv = as_double(F.col(vec_col))
     q = queries.join(assign, id_col).select(
         F.col("centroid_id"),
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
+        qv.alias("qv"),
+        l2_norm(qv).alias("qn"),
     )
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     sims = (
         base.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id").asc())
     return (
@@ -317,18 +331,27 @@ def lsh_dup_pairs(
     the shuffle keys (buckets) are high-cardinality and AQE handles any
     hot bucket. Recall < 1 by LSH nature; raise by lowering n_planes or
     multi-probing."""
+    v = as_double(F.col(vec_col))
     b = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v"),
-        hyperplane_bucket(as_double(F.col(vec_col)), n_planes, dims).alias("bucket"),
+        F.col(id_col), v.alias("v"), l2_norm(v).alias("nrm"),
+        hyperplane_bucket(v, n_planes, dims).alias("bucket"),
     )
-    a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    a = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    c = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    # dot/(na·nb): identical fold order as cosine(va, vb) with the norms
+    # pre-folded once per row per side (before the bucket shuffle), so
+    # values are bit-unchanged at 1/3 the per-candidate fold cost.
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
-        )
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -450,8 +473,10 @@ def cosine_dup_pairs(
     be requested explicitly with ``exhaustive=True`` — a guard against
     accidentally shipping the quadratic plan to a 100 TB run (use
     ``lsh_dup_pairs`` there)."""
-    a = emb.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    va = as_double(F.col(vec_col))
+    a = emb.select(F.col(id_col).alias("id_a"), va.alias("va"), l2_norm(va).alias("na"))
+    vb = as_double(F.col(vec_col))
+    b = emb.select(F.col(id_col).alias("id_b"), vb.alias("vb"), l2_norm(vb).alias("nb"))
     if pairs is None:
         if not exhaustive:
             raise ValueError(
@@ -462,6 +487,9 @@ def cosine_dup_pairs(
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         joined = pairs.join(a, "id_a").join(b, "id_b")
+    # per-side materialized norms: dot/(na·nb) == cosine(va, vb) bit-for-bit
+    # (same fold order), one fold per candidate instead of three.
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return joined.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        "id_a", "id_b", F.round(cos, 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
