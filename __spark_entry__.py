@@ -28,6 +28,7 @@ from anendektos_spark.functions import (
     logops,
     sampling,
     similarity,
+    sketches,
     textstats,
     zeek_oracle,
 )
@@ -287,6 +288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_search_and"] = lambda s, d: textstats.search_conjunctive(
         _t(s, d, "documents"), ("vector", "stream", "spark"), keep_cols=("source",)
     )
+    # bigram-LM quality proxy (integer fixed point, engine-exact)
+    q["text_lm_score"] = lambda s, d: textstats.lm_score(_t(s, d, "documents"))
+    # Count-Min sketch: build on user_id, estimate every distinct user,
+    # exact companion column makes the one-sided error driver-visible
+    q["freq_cms_users"] = _freq_cms_users
     q["decontaminate_ngrams"] = _decontaminate
     q["asof_last_order"] = _asof_last_order
     q["asof_last_order_bucketed"] = _asof_last_order_bucketed
@@ -694,6 +700,17 @@ def _quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.quality_quota(scored, "source", "quality", 5, "doc_id").select(
         "source", "doc_id", "quality", "quota_rank"
     )
+
+
+def _freq_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for every distinct user_id, alongside
+    the exact count (est >= exact always; equality except on md5-bucket
+    collisions — both engines reproduce the same collisions)."""
+    ev = _t(spark, sf_dir, "events")
+    cms = sketches.cms_build(ev, "user_id")
+    est = sketches.cms_estimate(cms, ev.select("user_id").distinct(), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "user_id").select("user_id", "cms_count", "exact_count")
 
 
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,6 +1279,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                round(score, 4) AS tfidf
         FROM r WHERE rk <= 5
+    """
+    # bigram-LM fixed-point score: integer counts + truncating division
+    # mirror textstats.lm_score exactly (fp_scale = 10^6)
+    o["text_lm_score"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, toks,
+                     list_transform(range(len(toks) - 1),
+                                    i -> toks[i+1] || ' ' || toks[i+2]) AS grams
+              FROM t),
+        uc AS (SELECT w, count(*) AS c_uni
+               FROM (SELECT unnest(toks) AS w FROM g) GROUP BY 1),
+        v AS (SELECT count(*) AS _v FROM uc),
+        inst AS (SELECT doc_id, unnest(grams) AS bigram FROM g),
+        bc AS (SELECT bigram, count(*) AS c_big FROM inst GROUP BY 1),
+        prob AS (SELECT bigram,
+                        (c_big + 1) * 1000000 // (c_uni + _v) AS prob_fp
+                 FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w
+                 CROSS JOIN v),
+        sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                      sum(prob_fp) // count(*) AS lm_score_fp
+               FROM inst JOIN prob USING (bigram) GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(sc.lm_score_fp AS BIGINT) AS lm_score_fp,
+               round(CAST(sc.lm_score_fp AS DOUBLE) / 1000000.0, 6) AS lm_score
+        FROM g LEFT JOIN sc USING (doc_id)
+    """
+    # Count-Min sketch: same md5 bucket construction as sketches.py
+    _hx = lambda e, p: (  # noqa: E731 — hex digit at position p of e → int
+        f"(strpos('0123456789abcdef', substr({e}, {p}, 1)) - 1)"
+    )
+    _cms_b = (
+        lambda salt: f"({_hx(f'md5({salt})', 1)} * 16 + {_hx(f'md5({salt})', 2)})"
+    )  # noqa: E731
+    o["freq_cms_users"] = f"""
+        WITH rows(i) AS (VALUES (0), (1), (2), (3)),
+        hb AS (
+          SELECT i AS row,
+                 {_cms_b("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+                   AS bucket
+          FROM events CROSS JOIN rows
+        ),
+        cms AS (SELECT row, bucket, count(*) AS cnt FROM hb GROUP BY 1, 2),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        kb AS (
+          SELECT k.user_id, r.i AS row,
+                 {_cms_b("CAST(r.i AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)")}
+                   AS bucket
+          FROM keys k CROSS JOIN rows r
+        ),
+        est AS (SELECT user_id, min(coalesce(cnt, 0)) AS cms_count
+                FROM kb LEFT JOIN cms USING (row, bucket) GROUP BY 1)
+        SELECT e.user_id, CAST(e.cms_count AS BIGINT) AS cms_count,
+               x.exact_count
+        FROM est e
+        JOIN (SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1) x
+          USING (user_id)
     """
     o["dedup_exact"] = f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -51,14 +51,18 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of the text (empty array when < n tokens)."""
-    t = tokens(col)
+def gram_arr(t: Column, n: int) -> Column:
+    """Word n-grams over an already-tokenized array (empty when < n)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),
         lambda i: F.array_join(F.slice(t, i + 1, n), " "),
     )
     return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the text (empty array when < n tokens)."""
+    return gram_arr(tokens(col), n)
 
 
 def _stop_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
@@ -503,6 +507,76 @@ def tfidf_topk(
             "df",
             F.round("_score", 4).alias("tfidf"),
         )
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_scale: int = 10**6,
+    cache: bool = True,
+) -> DataFrame:
+    """KenLM-style fluency/quality proxy: per-document mean Laplace-
+    smoothed bigram probability under a corpus-trained count model, in
+    deterministic integer fixed point.
+
+    ``prob_fp(w1 w2) = (C(w1 w2) + 1) · fp_scale DIV (C(w1) + V)``
+    ``lm_score_fp   = Σ prob_fp over the doc's bigram instances DIV n``
+
+    All-integer arithmetic (counts, truncating DIV) is shuffle-order
+    independent and identical in every engine — the usual ln-perplexity
+    is a float sum whose order Spark does not pin. Ranking by mean
+    linear bigram probability cuts the same low-fluency tail the
+    Gopher/CCNet perplexity filters target, with no libm in the hot
+    path and a driver-checkable DuckDB mirror.
+
+    Plan (100 TB shape): ONE materialized token+bigram relation feeds
+    the unigram counts, the bigram counts, and the per-doc instance
+    join — gram-keyed shuffles with map-side partial combine (Zipf-head
+    skew is AQE's skew-join case); the vocabulary size arrives as a
+    broadcast 1-row relation (``tfidf_topk``'s N pattern — no driver
+    collect). Documents with < 2 tokens emit n_bigrams = 0, NULL score.
+    """
+    t = tokens(F.col(text_col))
+    rel = _barrier(
+        spread(df).select(
+            F.col(id_col), t.alias("toks"), gram_arr(t, 2).alias("grams")
+        ),
+        cache,
+    )
+    uni = (
+        rel.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    vocab = uni.select(F.count(F.lit(1)).alias("_v"))
+    inst = rel.select(F.col(id_col), F.explode("grams").alias("bigram"))
+    big = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_big"))
+    prob = (
+        big.withColumn("w", F.substring_index("bigram", " ", 1))
+        .join(uni, "w")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.expr(f"(c_big + 1L) * {fp_scale}L div (c_uni + _v)").alias("prob_fp"),
+        )
+    )
+    scored = (
+        inst.join(prob, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(prob_fp) div count(1)").alias("lm_score_fp"),
+        )
+    )
+    return rel.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("lm_score_fp").cast("long").alias("lm_score_fp"),
+        F.round(
+            F.col("lm_score_fp").cast("double") / F.lit(float(fp_scale)), 6
+        ).alias("lm_score"),
     )
 
 

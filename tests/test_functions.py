@@ -759,3 +759,105 @@ def test_inverted_index_and_search(spark):
         ).collect()
     }
     assert scan == via == {0, 1, 3}
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_cms_bucket_matches_python(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.createDataFrame([("alpha",), ("42",)], "k string")
+    # direct per-key check against hashlib
+    rows = df.select(
+        "k", *[sketches._bucket(F.col("k"), i).alias(f"b{i}") for i in range(4)]
+    ).collect()
+    for r in rows:
+        for i in range(4):
+            exp = int(hashlib.md5(f"{i}:{r.k}".encode()).hexdigest()[:2], 16)
+            assert r[f"b{i}"] == exp
+
+
+def test_cms_estimates_exact_small_domain(spark):
+    from anendektos_spark.functions import sketches
+
+    data = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(data, "k string")
+    cms = sketches.cms_build(df, "k")
+    est = {
+        r.k: r.cms_count
+        for r in sketches.cms_estimate(cms, df.select("k").distinct(), "k").collect()
+    }
+    # 3 keys in 256 buckets x 4 rows: the min over rows is collision-free
+    assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_cms_never_underestimates(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(300).select(F.concat(F.lit("key"), F.col("id")).alias("k"))
+    cms = sketches.cms_build(df, "k")
+    rows = sketches.cms_estimate(cms, df.select("k").distinct(), "k").collect()
+    assert len(rows) == 300
+    assert all(r.cms_count >= 1 for r in rows)  # CMS is one-sided
+
+
+def test_cms_merge_equals_full_build(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(500).select((F.col("id") % 37).cast("string").alias("k"))
+    full = sketches.cms_build(df, "k")
+    h1 = sketches.cms_build(df.filter(F.col("k").cast("int") % 2 == 0), "k")
+    h2 = sketches.cms_build(df.filter(F.col("k").cast("int") % 2 == 1), "k")
+    merged = sketches.cms_merge(h1, h2)
+    a = {(r.row, r.bucket): r.cnt for r in full.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------- lm_score
+
+
+def test_lm_score_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    # independent python model over the same corpus
+    toks = {0: ["a", "b", "a", "b"], 1: ["a", "c"], 2: ["solo"]}
+    uni: dict[str, int] = {}
+    big: dict[str, int] = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ts, ts[1:]):
+            big[f"{x} {y}"] = big.get(f"{x} {y}", 0) + 1
+    V = len(uni)
+    FP = 10**6
+
+    def prob(g: str) -> int:
+        return (big[g] + 1) * FP // (uni[g.split(" ")[0]] + V)
+
+    def score(ts: list[str]) -> tuple[int, int | None]:
+        gs = [f"{x} {y}" for x, y in zip(ts, ts[1:])]
+        if not gs:
+            return 0, None
+        return len(gs), sum(prob(g) for g in gs) // len(gs)
+
+    out = {r.doc_id: r for r in textstats.lm_score(df, cache=False).collect()}
+    assert set(out) == {0, 1, 2}
+    for d, ts in toks.items():
+        n_exp, fp_exp = score(ts)
+        assert out[d].n_bigrams == n_exp, d
+        assert out[d].lm_score_fp == fp_exp, d
+    assert out[2].lm_score is None
+    assert out[0].lm_score == pytest.approx(out[0].lm_score_fp / FP, abs=1e-9)
+
+
+def test_lm_score_repeated_doc_scores_higher(spark):
+    # a document made of corpus-frequent bigrams outscores a unique one
+    rows = [(i, "the cat sat on the mat") for i in range(5)]
+    rows.append((99, "zebra quark vortex plasma"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lm_score_fp for r in textstats.lm_score(df, cache=False).collect()}
+    assert out[0] > out[99]

@@ -216,3 +216,34 @@ def test_inverted_index_single_shuffle(spark, tmp_path):
     # one hash exchange end-to-end (the cap filter and collect_list reuse
     # the windows' partitioning)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cms_estimate_broadcasts_sketch(spark, tmp_path):
+    from anendektos_spark.functions import sketches
+
+    p = str(tmp_path / "keys")
+    spark.range(100).select(F.col("id").cast("string").alias("k")).write.parquet(p)
+    keys = spark.read.parquet(p)
+    cms = sketches.cms_build(keys, "k")
+    plan = plan_of(sketches.cms_estimate(cms, keys, "k"))
+    # the counter table joins broadcast (it is <= depth*256 rows by
+    # construction) — estimating any number of keys never shuffles them
+    # against the sketch
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # build side: partial+final hash aggregate (map-side combine caps the
+    # shuffle at depth*width rows per task)
+    assert plan_of(cms).count("HashAggregate") >= 2
+
+
+def test_lm_score_no_cartesian(spark, tmp_path):
+    from anendektos_spark.functions import textstats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b c a b") for i in range(6)], "doc_id long, text string"
+    ).write.parquet(p)
+    plan = plan_of(textstats.lm_score(spark.read.parquet(p), cache=False), "simple")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the deliberate 1-row vocabulary-size join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
