@@ -133,6 +133,62 @@ def stream_windowed_counts(
     )
 
 
+def stream_turn_pairs(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    max_wait: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner self-join: each assistant (tool-invoking)
+    turn paired with the user request turn immediately before it in the
+    same conversation — the streaming form of the request/response
+    pairing behind ``convops.turn_latency``.
+
+    Both sides are watermarked and the join carries a TIME-RANGE
+    condition (``resp_ts`` within [req_ts, req_ts + max_wait]) on top of
+    the (conv_id, adjacent turn_idx) equality — that range bound is what
+    lets Spark evict both state stores as the watermark advances, so
+    state is O(traffic within the wait window), not O(stream history).
+    A request whose response never arrives inside ``max_wait`` emits
+    nothing and its state ages out (inner-join semantics); pairs that
+    STRADDLE micro-batches join from state — pinned in
+    test_streaming.py by forcing each side into its own file/trigger.
+
+    Append output mode; ``wait_s`` is integer epoch arithmetic
+    (engine-exact, same rule as convops)."""
+    req = (
+        stream.filter(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("r_conv"),
+            F.col("turn_idx").alias("r_turn"),
+            F.col("ts").alias("req_ts"),
+        )
+        .withWatermark("req_ts", watermark)
+    )
+    resp = (
+        stream.filter((F.col("role") == "assistant") & F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool", F.col("ts").alias("resp_ts"))
+        .withWatermark("resp_ts", watermark)
+    )
+    return (
+        resp.join(
+            req,
+            (F.col("conv_id") == F.col("r_conv"))
+            & (F.col("turn_idx") == F.col("r_turn") + 1)
+            & (F.col("resp_ts") >= F.col("req_ts"))
+            & (F.col("resp_ts") <= F.col("req_ts") + F.expr(f"INTERVAL {max_wait}")),
+            "inner",
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            "req_ts",
+            "resp_ts",
+            (F.unix_seconds("resp_ts") - F.unix_seconds("req_ts")).alias("wait_s"),
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     output_dir: str,

@@ -267,3 +267,56 @@ def test_stream_rate_spikes_incremental_matches_batch(spark, tmp_path):
         e = batch_rows[b]
         assert (r.n_events, r.sum_prev, r.n_prev, r.is_spike, r.ratio_x10k) == (
             e.n_events, e.sum_prev, e.n_prev, e.is_spike, e.ratio_x10k), b
+
+
+def test_stream_turn_pairs_joins_across_epochs(spark, tmp_path):
+    """Stream-stream self-join: with each role written to its OWN file
+    and maxFilesPerTrigger=1, every request/response pair straddles
+    micro-batches — matches must come from the join state store, and the
+    full result must equal the static-relation join."""
+    from anendektos_spark import streaming
+    from anendektos_spark.functions import convops
+
+    conv = convops.synth_conv(spark, 400)
+    d = str(tmp_path / "in")
+    conv.filter(F.col("role") == "user").coalesce(1).write.mode("append").parquet(d)
+    conv.filter(F.col("role") == "assistant").coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(conv.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        streaming.stream_turn_pairs(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx): (r.tool, r.wait_s)
+        for r in spark.read.parquet(out).collect()
+    }
+    u = conv.filter(F.col("role") == "user").select(
+        F.col("conv_id").alias("c"),
+        F.col("turn_idx").alias("t"),
+        F.col("ts").alias("req_ts"),
+    )
+    a = conv.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "tool", F.col("ts").alias("resp_ts")
+    )
+    exp_rows = a.join(
+        u,
+        (F.col("conv_id") == F.col("c"))
+        & (F.col("turn_idx") == F.col("t") + 1)
+        & (F.col("resp_ts") >= F.col("req_ts"))
+        & (F.col("resp_ts") <= F.col("req_ts") + F.expr("INTERVAL 5 minutes")),
+    ).select(
+        "conv_id", "turn_idx", "tool",
+        (F.unix_seconds("resp_ts") - F.unix_seconds("req_ts")).alias("wait_s"),
+    ).collect()
+    exp = {(r.conv_id, r.turn_idx): (r.tool, r.wait_s) for r in exp_rows}
+    assert len(exp) > 100  # the fixture really produces pairs
+    assert got == exp
