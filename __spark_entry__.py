@@ -115,8 +115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q7"] = _tpch_q7
     q["tpch_q10"] = _tpch_q10
     q["tpch_q14"] = _tpch_q14
+    q["tpch_q4"] = _tpch_q4
+    q["tpch_q13"] = _tpch_q13
     q["tpch_q18"] = _tpch_q18
     q["tpch_q19"] = _tpch_q19
+    q["tpch_q22"] = _tpch_q22
     q["orders_without_items"] = _orders_without_items
     q["big_spender_segments"] = _big_spender_segments
     q["rollup_lineitem"] = _rollup_lineitem
@@ -492,6 +495,78 @@ def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("(_pc * 1000000) DIV _tc").cast("long") / F.lit(10000.0)
         ).alias("promo_share_pct"),
+    )
+
+
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the driver schema:
+    orders in a quarter with at least one line shipped AFTER the order
+    date (the testdata has no commit/receipt dates), counted per
+    priority. The EXISTS is a LEFT SEMI join — the probe side never
+    widens, no duplicate-orderkey blow-up, distinct-free."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    zero-order customers survive, two-level aggregate (per-customer
+    count, then histogram). The priority filter stands in for the
+    original comment-pattern exclusion (no o_comment column)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: customers with an
+    above-average positive balance and no LARGE order (>300k — plain
+    "no orders" is empty on this data), grouped by nation (no phone
+    column → c_nationkey is the country code). Plan pattern: the scalar
+    AVG subquery enters as a broadcast 1-row cross join (no driver
+    collect), the no-large-orders test is a LEFT ANTI join with the
+    selective filter pushed below it; the threshold compare runs in
+    integer cents (DIV avg) so both engines agree exactly."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    cents = (F.col("c_acctbal").cast("decimal(20,6)") * 100).cast("long")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("_sc"), F.count(F.lit(1)).alias("_n")
+    ).select(F.expr("_sc DIV _n").alias("avg_cents"))
+    return (
+        c.withColumn("_cents", cents)
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("_cents") > F.col("avg_cents"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("_cents").cast("double") / 100).alias("totacctbal"),
+        )
     )
 
 
@@ -1076,6 +1151,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 20 AND 30)
+    """
+    o["tpch_q4"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY 1
+    """
+    o["tpch_q13"] = """
+        WITH per AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                     WHERE o_orderpriority <> '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY 1
+        )
+        SELECT c_count, count(*) AS custdist FROM per GROUP BY 1
+    """
+    o["tpch_q22"] = """
+        WITH cents AS (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 CAST(CAST(c_acctbal AS DECIMAL(20,6)) * 100 AS BIGINT) AS _cents
+          FROM customer
+        ),
+        avgpos AS (
+          SELECT sum(_cents) // count(*) AS avg_cents
+          FROM cents WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(_cents) AS DOUBLE) / 100 AS totacctbal
+        FROM cents CROSS JOIN avgpos
+        WHERE _cents > avg_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = cents.c_custkey
+                            AND o.o_totalprice > 300000)
+        GROUP BY 1
     """
     o["orders_without_items"] = """
         SELECT o_orderpriority, count(*) AS n_orders
