@@ -320,6 +320,46 @@ def read_rollup(spark: SparkSession, partials_dir: str) -> DataFrame:
     return time_rollup(minute_partials=merged)
 
 
+def stream_cms_partials(
+    stream: DataFrame,
+    key_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuously maintained Count-Min sketch: each micro-batch builds
+    its own ≤ depth×width counter partial (sketches.cms_build — the
+    shuffle is O(sketch)) and commits it to an epoch-keyed partition with
+    the same exactly-once overwrite-per-epoch protocol as route_batch /
+    stream_rollup_partials. The stored table is append-only integer
+    partials; ``read_cms`` folds them with cms_merge at read time —
+    frequency estimates over an unbounded stream with O(1 KiB) state per
+    epoch and no history re-scan."""
+    from .functions.sketches import cms_build
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        cms_build(batch, key_col).write.mode("overwrite").parquet(
+            f"{output_dir}/epoch={epoch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Fold the streamed per-epoch sketch partials into one counter
+    table (identical to a batch cms_build over the union of all rows)."""
+    from .functions.sketches import cms_merge
+
+    return cms_merge(spark.read.parquet(partials_dir).select("row", "bucket", "cnt"))
+
+
 def run_streaming_counts(
     stream: DataFrame,
     output_dir: str,

@@ -320,3 +320,35 @@ def test_stream_turn_pairs_joins_across_epochs(spark, tmp_path):
     exp = {(r.conv_id, r.turn_idx): (r.tool, r.wait_s) for r in exp_rows}
     assert len(exp) > 100  # the fixture really produces pairs
     assert got == exp
+
+
+def test_stream_cms_partials_match_batch_sketch(spark, tmp_path):
+    """Multi-epoch CMS maintenance: the merged streamed partials must
+    equal the batch sketch over the same rows, and estimates from the
+    streamed sketch must match batch estimates."""
+    from anendektos_spark import streaming
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(600).select((F.col("id") % 53).cast("string").alias("k"))
+    d = str(tmp_path / "in")
+    # several files -> several epochs with maxFilesPerTrigger=1
+    df.filter(F.col("k").cast("int") < 20).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("k").cast("int") >= 20).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema("k string").option("maxFilesPerTrigger", 1).parquet(d)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming.stream_cms_partials(stream, "k", out, ckpt, available_now=True)
+    q.awaitTermination(180)
+    assert len(list(__import__("pathlib").Path(out).glob("epoch=*"))) >= 2
+    streamed = {
+        (r.row, r.bucket): r.cnt for r in streaming.read_cms(spark, out).collect()
+    }
+    batch = {(r.row, r.bucket): r.cnt for r in sketches.cms_build(df, "k").collect()}
+    assert streamed == batch
+    est_s = {
+        r.k: r.cms_count
+        for r in sketches.cms_estimate(
+            streaming.read_cms(spark, out), df.select("k").distinct(), "k"
+        ).collect()
+    }
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(est_s[k] >= n for k, n in exact.items())
