@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from anendektos_spark.functions import (
     convops,
     dedup,
+    graph,
     joins,
     layout,
     logops,
@@ -293,6 +294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # bigram-LM quality proxy (integer fixed point, engine-exact)
     q["text_lm_score"] = lambda s, d: textstats.lm_score(_t(s, d, "documents"))
+    # iterative integer PageRank over the deterministic link relation
+    q["graph_pagerank"] = lambda s, d: graph.pagerank(
+        graph.synth_links(s, 20_000, 1_000), iters=5
+    )
     # Count-Min sketch: build on user_id, estimate every distinct user,
     # exact companion column makes the one-sided error driver-visible
     q["freq_cms_users"] = _freq_cms_users
@@ -1981,4 +1986,8 @@ def oracle_sql() -> dict[str, str]:
     o["conv_tool_transitions"] = convops.tool_transitions_sql(_conv_rel)
     o["conv_turn_latency"] = convops.turn_latency_sql(_conv_rel)
     o["conv_role_balance"] = convops.role_balance_sql(_conv_rel)
+
+    o["graph_pagerank"] = graph.pagerank_sql(
+        graph.synth_links_sql(20_000, 1_000), iters=5
+    )
     return o

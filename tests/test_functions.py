@@ -861,3 +861,55 @@ def test_lm_score_repeated_doc_scores_higher(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.lm_score_fp for r in textstats.lm_score(df, cache=False).collect()}
     assert out[0] > out[99]
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _py_pagerank(edges: list[tuple[int, int]], iters: int = 5,
+                 d: int = 85, scale: int = 10**9) -> dict[int, int]:
+    nodes = sorted({u for e in edges for u in e})
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    base = (100 - d) * scale // 100
+    for _ in range(iters):
+        c: dict[int, int] = {n: 0 for n in nodes}
+        for s, t in edges:
+            c[t] += r[s] // deg[s]
+        r = {n: base + (d * c[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from anendektos_spark.functions import graph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_fp for r in graph.pagerank(df, iters=4).collect()}
+    assert got == _py_pagerank(edges, iters=4)
+    # sink-heavy node 2 (fed by 1 and 3) outranks the dangling-ish 3
+    assert got[2] > got[3]
+
+
+def test_pagerank_partitioning_independent(spark):
+    from anendektos_spark.functions import graph
+
+    e = graph.synth_links(spark, 2000, 100)
+    a = {r.node: r.rank_fp for r in graph.pagerank(e, iters=3).collect()}
+    b = {
+        r.node: r.rank_fp
+        for r in graph.pagerank(e.repartition(17), iters=3).collect()
+    }
+    assert a == b and len(a) == 100
+
+
+def test_synth_links_matches_duckdb(spark):
+    import duckdb
+
+    from anendektos_spark.functions import graph
+
+    s = {(r.src, r.dst) for r in graph.synth_links(spark, 500, 37).collect()}
+    d = set(duckdb.sql(graph.synth_links_sql(500, 37)).fetchall())
+    assert s == d and len(s) > 400
