@@ -298,6 +298,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_pagerank"] = lambda s, d: graph.pagerank(
         graph.synth_links(s, 20_000, 1_000), iters=5
     )
+    # deterministic train/val/test assignment (cumulative md5 ranges)
+    q["sample_split"] = lambda s, d: sampling.split_dataset(
+        _t(s, d, "documents").select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+    )
+    # shuffle-skew diagnostic for a prospective key
+    q["profile_skew"] = lambda s, d: logops.skew_stats(_t(s, d, "events"), "user_id")
     # Count-Min sketch: build on user_id, estimate every distinct user,
     # exact companion column makes the one-sided error driver-visible
     q["freq_cms_users"] = _freq_cms_users
@@ -1990,4 +1998,22 @@ def oracle_sql() -> dict[str, str]:
     o["graph_pagerank"] = graph.pagerank_sql(
         graph.synth_links_sql(20_000, 1_000), iters=5
     )
+    _split_case = sampling.split_dataset_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    )
+    o["sample_split"] = f"SELECT doc_id, {_split_case} AS split FROM documents"
+    o["profile_skew"] = """
+        WITH counts AS (SELECT user_id AS k, count(*) AS n
+                        FROM events GROUP BY 1)
+        SELECT count(*) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_key_n,
+               round(quantile_cont(n, 0.5), 4) AS p50_key_n,
+               round(quantile_cont(n, 0.99), 4) AS p99_key_n,
+               (SELECT CAST(k AS VARCHAR) FROM counts
+                ORDER BY n DESC, k DESC LIMIT 1) AS top_key,
+               CAST((max(n) * count(*) * 10000) // sum(n) AS BIGINT)
+                 AS skew_x10k
+        FROM counts
+    """
     return o

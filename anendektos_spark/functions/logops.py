@@ -576,3 +576,37 @@ def spike_flags(
             F.expr(f"({n_col} * n_prev * 10000) DIV sum_prev").cast("long"),
         ).alias("ratio_x10k"),
     )
+
+
+def skew_stats(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row shuffle-skew diagnostic for a prospective join/groupBy
+    key: per-key count distribution (p50/p99, max), the heaviest key,
+    and the max/mean ratio in integer fixed point (×10⁴). At 100 TB the
+    relevant question before keying a shuffle on a column is "how hot is
+    the hottest key" — this answers it with ONE partial-combine pass
+    over the data plus a tiny aggregate over the distinct keys.
+
+    ratio_x10k = (max_n · n_keys · 10⁴) DIV n_rows — all integer, so
+    the row (percentiles aside, which follow the value_percentiles
+    parity rule) hash-checks across engines."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    top = F.max(F.struct(F.col("n").alias("n"), F.col("k").alias("k"))).alias("_top")
+    return (
+        counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_n"),
+            F.round(F.percentile(F.col("n"), F.lit(0.5)), 4).alias("p50_key_n"),
+            F.round(F.percentile(F.col("n"), F.lit(0.99)), 4).alias("p99_key_n"),
+            top,
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_n",
+            "p50_key_n",
+            "p99_key_n",
+            F.col("_top.k").cast("string").alias("top_key"),
+            F.expr("(max_key_n * n_keys * 10000) DIV n_rows").alias("skew_x10k"),
+        )
+    )

@@ -111,6 +111,57 @@ def mixture_sample(
     return df.filter(cond)
 
 
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint-and-exhaustive dataset split (train/val/
+    test): each row's split is decided by where its md5-prefix falls in
+    the cumulative weight ranges — ``train = h < t₁``, ``val = t₁ ≤ h <
+    t₂``, …, last split takes the remainder. One hash, contiguous
+    ranges: the splits are guaranteed disjoint and cover every row, and
+    growing one split's weight only MOVES the shared boundary — rows
+    never flip between non-adjacent splits when weights are retuned.
+
+    Same determinism contract as ``hash_sample`` (same salt ⇒ same
+    assignment in any engine/partitioning); a narrow map — the CASE
+    folds into the scan stage, no shuffle."""
+    if len(weights) < 2:
+        raise ValueError("split_dataset needs at least two splits")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    for name, w in weights.items():
+        if w <= 0.0:
+            raise ValueError(f"weight for {name!r} must be > 0, got {w}")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    h = F.substring(sample_hash_col(F.col(key_col), salt), 1, 8)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < sample_threshold_hex(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def split_dataset_sql(weights: dict[str, float], key_col: str, salt: str = "") -> str:
+    """DuckDB mirror of :func:`split_dataset`'s CASE (for oracles)."""
+    h = f"substr(md5('{salt}' || ':' || coalesce(CAST({key_col} AS VARCHAR), '')), 1, 8)"
+    names = list(weights)
+    cum, arms = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        arms.append(f"WHEN {h} < '{sample_threshold_hex(cum)}' THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
 def stratified_sample(
     df: DataFrame, group_col: str, n: int, key_col: str, salt: str = ""
 ) -> DataFrame:

@@ -508,3 +508,67 @@ def test_latest_by_key_and_sessionize_events(spark):
     # session counts agree with the aggregate sessionize
     agg = {r.user_id: r.n_sessions for r in logops.sessionize(ev, 1800).collect()}
     assert agg == {1: 2, 2: 1}
+
+
+def test_split_dataset_disjoint_exhaustive_and_python_exact(spark):
+    import hashlib
+
+    from anendektos_spark.functions import sampling
+
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r.doc_id: r.split for r in sampling.split_dataset(df, w, "doc_id").collect()}
+    assert len(out) == 400  # exhaustive, one label per row
+
+    def py_split(k: int) -> str:
+        h = hashlib.md5(f":{k}".encode()).hexdigest()[:8]
+        if h < format(int(0.8 * 16**8), "08x"):
+            return "train"
+        if h < format(int(0.9 * 16**8), "08x"):
+            return "val"
+        return "test"
+
+    assert out == {i: py_split(i) for i in range(400)}
+    # all three splits materialize at this n
+    assert {"train", "val", "test"} == set(out.values())
+
+
+def test_split_dataset_boundary_growth_is_monotone(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split
+         for r in sampling.split_dataset(df, {"train": 0.5, "rest": 0.5}, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in sampling.split_dataset(df, {"train": 0.7, "rest": 0.3}, "doc_id").collect()}
+    # growing train only ADDS rows to it; no row leaves
+    assert all(b[i] == "train" for i in a if a[i] == "train")
+
+
+def test_split_dataset_validation(spark):
+    import pytest
+
+    from anendektos_spark.functions import sampling
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        sampling.split_dataset(df, {"a": 0.5, "b": 0.4}, "doc_id")
+    with pytest.raises(ValueError, match="at least two"):
+        sampling.split_dataset(df, {"a": 1.0}, "doc_id")
+    with pytest.raises(ValueError, match="already exists"):
+        sampling.split_dataset(
+            df.withColumn("split", F.lit("x")), {"a": 0.5, "b": 0.5}, "doc_id"
+        )
+
+
+def test_skew_stats_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = logops.skew_stats(df, "k").collect()[0]
+    assert r.n_keys == 3 and r.n_rows == 10 and r.max_key_n == 6
+    assert r.top_key == "a"
+    assert r.p50_key_n == 2.0
+    # max/mean = 6 / (10/3) = 1.8 -> 18000 fixed point
+    assert r.skew_x10k == 6 * 3 * 10000 // 10
