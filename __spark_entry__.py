@@ -1189,7 +1189,8 @@ def oracle_sql() -> dict[str, str]:
     o["tpch_q22"] = """
         WITH cents AS (
           SELECT c_custkey, c_nationkey, c_acctbal,
-                 CAST(CAST(c_acctbal AS DECIMAL(20,6)) * 100 AS BIGINT) AS _cents
+                 CAST(trunc(CAST(c_acctbal AS DECIMAL(20,6)) * 100) AS BIGINT)
+                   AS _cents
           FROM customer
         ),
         avgpos AS (
@@ -2012,7 +2013,7 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n, 0.99), 4) AS p99_key_n,
                (SELECT CAST(k AS VARCHAR) FROM counts
                 ORDER BY n DESC, k DESC LIMIT 1) AS top_key,
-               CAST((max(n) * count(*) * 10000) // sum(n) AS BIGINT)
+               CAST((max(n) * 10000) // (sum(n) // count(*)) AS BIGINT)
                  AS skew_x10k
         FROM counts
     """

@@ -73,7 +73,12 @@ def pagerank(
     The loop-invariant relations — edges pre-joined with their source's
     out-degree, and the node set — are computed ONCE and persisted
     (``cache=False`` to opt out), so each round is exactly one
-    edges⋈ranks join plus one groupBy(dst) aggregate."""
+    edges⋈ranks join plus one groupBy(dst) aggregate.
+    ``checkpoint_every=0`` disables lineage truncation.
+
+    Capacity: contribution sums stay within long while total mass
+    n_nodes·scale < 2⁶³ — at the default scale that is ~9·10⁹ nodes;
+    shrink ``scale`` for larger graphs."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     from pyspark import StorageLevel
@@ -97,14 +102,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        # the damping multiply runs in decimal(38,0): on a power-law
+        # graph a hub's Σ contributions approaches total mass
+        # (n_nodes·scale), and damping_pct·s would wrap long past
+        # ~1e17 while DuckDB's HUGEINT stays correct. floor(dec/100)
+        # == integer DIV on non-negatives, so values are unchanged
+        # where long math was safe.
+        damped = (
+            f"CAST(floor((CAST({damping_pct} AS DECIMAL(38,0)) "
+            f"* coalesce(s, 0L)) / 100) AS BIGINT)"
+        )
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(s, 0L)) DIV 100")
-            ).cast("long").alias("r"),
+            (F.lit(base) + F.expr(damped)).cast("long").alias("r"),
         )
-        if it % checkpoint_every == 0 and it < iters:
+        if checkpoint_every and it % checkpoint_every == 0 and it < iters:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_fp"))
 

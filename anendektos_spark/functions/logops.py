@@ -586,9 +586,12 @@ def skew_stats(df: DataFrame, key_col: str) -> DataFrame:
     the hottest key" — this answers it with ONE partial-combine pass
     over the data plus a tiny aggregate over the distinct keys.
 
-    ratio_x10k = (max_n · n_keys · 10⁴) DIV n_rows — all integer, so
-    the row (percentiles aside, which follow the value_percentiles
-    parity rule) hash-checks across engines."""
+    skew_x10k = (max_n · 10⁴) DIV (n_rows DIV n_keys) — the mean is
+    floored FIRST so the widest intermediate is max_n·10⁴ (overflow-safe
+    up to ~9·10¹⁴ rows on one key; the naive max·keys·10⁴ product wraps
+    long at billions of keys, where DuckDB's HUGEINT would silently
+    diverge). All integer, so the row (percentiles aside, which follow
+    the value_percentiles parity rule) hash-checks across engines."""
     counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
     top = F.max(F.struct(F.col("n").alias("n"), F.col("k").alias("k"))).alias("_top")
     return (
@@ -607,6 +610,6 @@ def skew_stats(df: DataFrame, key_col: str) -> DataFrame:
             "p50_key_n",
             "p99_key_n",
             F.col("_top.k").cast("string").alias("top_key"),
-            F.expr("(max_key_n * n_keys * 10000) DIV n_rows").alias("skew_x10k"),
+            F.expr("(max_key_n * 10000) DIV (n_rows DIV n_keys)").alias("skew_x10k"),
         )
     )

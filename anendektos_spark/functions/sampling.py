@@ -135,8 +135,11 @@ def split_dataset(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1.0, got {total}")
     for name, w in weights.items():
-        if w <= 0.0:
-            raise ValueError(f"weight for {name!r} must be > 0, got {w}")
+        # 1e-6 floor: a sub-ppm split is a configuration error, and a
+        # last weight inside the 1e-9 sum tolerance would otherwise push
+        # a cumulative boundary to 1.0 and fail obscurely downstream
+        if w < 1e-6:
+            raise ValueError(f"weight for {name!r} must be >= 1e-6, got {w}")
     if split_col in df.columns:
         raise ValueError(f"column {split_col!r} already exists")
     h = F.substring(sample_hash_col(F.col(key_col), salt), 1, 8)

@@ -87,7 +87,19 @@ def cms_estimate(
     (key, cms_count). min over the key's ``depth`` counters; a bucket
     absent from the counter table contributes 0 (nothing ever hashed
     there). The sketch side is broadcast — estimating any number of keys
-    is a narrow map + tiny-side join + per-key min aggregate."""
+    is a narrow map + tiny-side join + per-key min aggregate.
+
+    ``depth`` must match the build depth: a row index the sketch never
+    populated would coalesce to 0 and silently invert the one-sided
+    error guarantee, so the (tiny, O(sketch)) row-index check below
+    REFUSES a depth mismatch instead."""
+    present = {r[0] for r in cms.select("row").distinct().collect()}
+    # an empty sketch (no input yet) estimates 0 everywhere — correct
+    if present and present != set(range(depth)):
+        raise ValueError(
+            f"sketch rows {sorted(present)} do not match depth={depth}; "
+            "estimate with the same depth the sketch was built with"
+        )
     kb = keys.select(
         F.col(key_col), F.explode(_row_buckets(F.col(key_col), depth)).alias("p")
     ).select(key_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))

@@ -913,3 +913,18 @@ def test_synth_links_matches_duckdb(spark):
     s = {(r.src, r.dst) for r in graph.synth_links(spark, 500, 37).collect()}
     d = set(duckdb.sql(graph.synth_links_sql(500, 37)).fetchall())
     assert s == d and len(s) > 400
+
+
+def test_cms_estimate_rejects_depth_mismatch(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.createDataFrame([("a",)] * 3, "k string")
+    shallow = sketches.cms_build(df, "k", depth=2)
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cms_estimate(shallow, df.select("k").distinct(), "k", depth=4)
+    # matching depth still fine; empty sketch estimates 0 everywhere
+    ok = sketches.cms_estimate(shallow, df.select("k").distinct(), "k", depth=2)
+    assert ok.collect()[0].cms_count == 3
+    empty = sketches.cms_build(df.filter(F.lit(False)), "k")
+    est = sketches.cms_estimate(empty, df.select("k").distinct(), "k").collect()
+    assert est[0].cms_count == 0

@@ -570,5 +570,5 @@ def test_skew_stats_hand_computed(spark):
     assert r.n_keys == 3 and r.n_rows == 10 and r.max_key_n == 6
     assert r.top_key == "a"
     assert r.p50_key_n == 2.0
-    # max/mean = 6 / (10/3) = 1.8 -> 18000 fixed point
-    assert r.skew_x10k == 6 * 3 * 10000 // 10
+    # floored mean = 10 DIV 3 = 3; (6 * 10000) DIV 3 = 20000
+    assert r.skew_x10k == (6 * 10000) // (10 // 3)
