@@ -317,3 +317,110 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(idx).alias("frame_idx"), n_frames.alias("n_frames")
     )
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_rgb", ArrayType(DoubleType())),
+])
+
+
+def synth_ppm_video(spark, n: int = 8, frames: int = 12, partitions: int = 4) -> DataFrame:
+    """Deterministic "video" container: the payload is ``frames``
+    concatenated VALID P6 PPM frames (8×6), pixel value a fixed function
+    of (x, y, id, frame). mime video/x-ppm-stream. Same distributed
+    mapInPandas generation as the image/audio synths — no driver data."""
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "mime": [], "n_bytes": [], "payload": []}
+            for mid in pdf["id"]:
+                w, h = 8, 6
+                y, x = _np.mgrid[0:h, 0:w]
+                chunks = []
+                for f in range(frames):
+                    px = ((x * 7 + y * 13 + int(mid) + f * 29) % 256).astype(_np.uint8)
+                    rgb = _np.stack([px, (px * 2) % 256, (px * 3) % 256], axis=-1)
+                    chunks.append(
+                        b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(_np.uint8).tobytes()
+                    )
+                payload = b"".join(chunks)
+                rows["media_id"].append(int(mid))
+                rows["mime"].append("video/x-ppm-stream")
+                rows["n_bytes"].append(len(payload))
+                rows["payload"].append(payload)
+            yield _pd.DataFrame(rows)
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 3) -> DataFrame:
+    """REAL frame sampling over the PPM-stream container (the executable
+    counterpart of ``frame_sample_plan``): walk the payload frame by
+    frame — parse each P6 header, then either DECODE (every ``every_n``-th
+    frame → per-frame mean RGB) or SKIP the w·h·3 pixel bytes without
+    touching them. One output row per sampled frame.
+
+    This is the shape a production video sampler has: the container is
+    scanned once per row inside an Arrow-batched mapInPandas, skipped
+    frames cost a header parse + pointer bump (no pixel I/O), and only
+    the mime-matched rows reach Python (JVM-side filter). Real codecs
+    (mp4/h264) slot into ``_decode_frame`` behind the same schema; those
+    libs are absent in this container, so PPM is the executable kernel
+    (reference scope note: the source engine has no media surface at
+    all — anendektos parses Zeek logs only; this extends the pipeline
+    per the training-data brief)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def header(raw: bytes, off: int) -> tuple[int, int, int]:
+            if raw[off : off + 3] != b"P6\n":
+                raise ValueError(f"bad P6 header at offset {off}")
+            i = raw.index(b"\n", off + 3)
+            w, h = (int(v) for v in raw[off + 3 : i].split())
+            j = raw.index(b"\n", i + 1)  # maxval line
+            return w, h, j + 1
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [], "mean_rgb": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                off, idx, sampled = 0, 0, []
+                while off < len(raw):
+                    w, h, start = header(raw, off)
+                    end = start + w * h * 3
+                    if idx % every_n == 0:
+                        img = _np.frombuffer(
+                            raw, dtype=_np.uint8, count=w * h * 3, offset=start
+                        ).reshape(h, w, 3)
+                        means = [
+                            round(float(v), 6)
+                            for v in img.reshape(-1, 3).mean(axis=0) / 255.0
+                        ]
+                        sampled.append((idx, w, h, means))
+                    off, idx = end, idx + 1
+                for fidx, w, h, means in sampled:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fidx)
+                    out["n_frames"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_rgb"].append(means)
+            yield _pd.DataFrame(out)
+
+    vid = media.filter(F.col("mime") == "video/x-ppm-stream")
+    return vid.select("media_id", "payload").mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

@@ -928,3 +928,23 @@ def test_cms_estimate_rejects_depth_mismatch(spark):
     empty = sketches.cms_build(df.filter(F.lit(False)), "k")
     est = sketches.cms_estimate(empty, df.select("k").distinct(), "k").collect()
     assert est[0].cms_count == 0
+
+
+def test_video_frame_sampling_real_decode(spark):
+    import numpy as np
+
+    vids = multimodal.synth_ppm_video(spark, n=3, frames=10)
+    out = multimodal.sample_video_frames(vids, every_n=3).collect()
+    by = {(r.media_id, r.frame_idx): r for r in out}
+    # 10 frames, every 3rd -> indices 0,3,6,9 per video
+    assert {k[1] for k in by} == {0, 3, 6, 9} and len(by) == 12
+    assert all(r.n_frames == 10 and r.width == 8 and r.height == 6 for r in by.values())
+    # independent python recomputation of frame (mid=1, idx=3)
+    y, x = np.mgrid[0:6, 0:8]
+    px = (x * 7 + y * 13 + 1 + 3 * 29) % 256
+    rgb = np.stack([px, (px * 2) % 256, (px * 3) % 256], axis=-1)
+    exp = [round(float(v), 6) for v in rgb.reshape(-1, 3).mean(axis=0) / 255.0]
+    assert by[(1, 3)].mean_rgb == exp
+    # non-video mimes never reach the sampler
+    imgs = multimodal.synth_ppm_media(spark, n=4)
+    assert multimodal.sample_video_frames(imgs).count() == 0
