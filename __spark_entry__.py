@@ -82,7 +82,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries(): one entry per operator; oracle_sql(): the DuckDB mirrors.
 # --------------------------------------------------------------------------
 
+# The driver's CORRECTNESS gate verifies only the FIRST ``DRIVER_WINDOW``
+# entries of queries() (dict-insertion order). PRIORITY_QUERIES pins the
+# window's contents explicitly so an insertion elsewhere can never silently
+# push a core query out of the verified set (guarded by
+# tests/test_entry_contract.py::test_driver_window_priority). Round 3's
+# window = the 48 operators registered after the round-2 cutoff (all green
+# under the driver's own protocol via scripts/check_oracle.py that round,
+# but with no official CORRECTNESS row) — led by the six zeek_sink_* golden
+# parsers, the heart of the reference rebuild — plus the flagship pipeline
+# pair. Every query, in and out of the window, is additionally swept each
+# round by scripts/check_oracle.py → ORACLE_FULL_r<k>.json.
+DRIVER_WINDOW = 50
+PRIORITY_QUERIES = [
+    # the Zeek-semantics parse engine goldens (SURVEY §2 O1-O18)
+    "zeek_sink_conn",
+    "zeek_sink_dns",
+    "zeek_sink_http",
+    "zeek_sink_files",
+    "zeek_sink_ssl",
+    "zeek_sink_x509",
+    "zeek_rejects",
+    "zeek_conn_latency",
+    "zeek_sink_conn_pipe",
+    "zeek_topk_fields",
+    "zeek_golden_aggregates",
+    # conversation-transcript ops (north_star payload)
+    "conv_reconstruct",
+    "conv_tool_transitions",
+    "conv_turn_latency",
+    "conv_role_balance",
+    # temporal joins
+    "asof_last_order",
+    "asof_last_order_bucketed",
+    "range_order_pairs",
+    # deterministic sampling / curation
+    "sample_hash",
+    "sample_stratified",
+    "sample_quality_quota",
+    "sample_mixture",
+    "sample_pack_sequences",
+    "sample_split",
+    "dedup_canonical_corpus",
+    # changelog / history ops
+    "scd2_user_type",
+    "latest_event_per_user",
+    "sessionize_events",
+    # embedding / similarity round-2 additions
+    "semantic_dup_pairs",
+    "ann_ivf_assign",
+    "embed_dup_pairs",
+    "embed_lsh_buckets",
+    "embed_lsh_dup_pairs",
+    "embed_quantize_int8",
+    "ann_quantized_topk",
+    # graph / sketch / decontamination
+    "graph_pagerank",
+    "freq_cms_users",
+    "decontaminate_ngrams",
+    # text round-2 additions
+    "text_inverted_index",
+    "text_search_and",
+    "text_lm_score",
+    "text_repetition",
+    "text_redact_pii",
+    # profiling / layout
+    "profile_columns",
+    "profile_skew",
+    "time_rollup",
+    "zorder_events",
+    "compaction_plan",
+    # flagship pipeline pair (driver-verified green in CORRECTNESS_r02;
+    # kept in-window as the north_star headline)
+    "route_counts",
+    "enrich_events",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All registered queries, PRIORITY_QUERIES first (driver window)."""
+    q = _register_all()
+    missing = [n for n in PRIORITY_QUERIES if n not in q]
+    if missing:
+        raise RuntimeError(f"PRIORITY_QUERIES references unregistered: {missing}")
+    out = {n: q[n] for n in PRIORITY_QUERIES}
+    out.update({n: f for n, f in q.items() if n not in out})
+    return out
+
+
+def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- log pipeline over events (O4/O5-O7/O17/O18/O19 + north_star) ---

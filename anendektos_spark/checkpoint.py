@@ -132,13 +132,31 @@ class StageStore:
     ) -> DataFrame:
         """Read a stage's current snapshot, or — with ``version`` — a
         retained historical one (time travel)."""
+        if version is not None and (not isinstance(version, int) or version < 1):
+            raise ValueError(f"version must be a positive int, got {version!r}")
         if self.format == "iceberg":
             tbl = f"{self.iceberg_table_prefix}.{stage}"
             if version is None:
                 return spark.table(tbl)
-            # Iceberg's native time travel (snapshot retention is the
-            # table's own; requires the runtime jar like every iceberg op)
-            return spark.sql(f"SELECT * FROM {tbl} VERSION AS OF {version}")
+            # Iceberg's VERSION AS OF takes a snapshot id (or branch/tag),
+            # NOT the sequential 1..k counter the parquet backend uses —
+            # map the counter onto the k-th snapshot via the table's own
+            # history so `version` means the same thing on both backends.
+            snaps = (
+                spark.sql(
+                    f"SELECT snapshot_id FROM {tbl}.history "
+                    "ORDER BY made_current_at"
+                )
+                .limit(version)
+                .collect()
+            )
+            if len(snaps) < version:
+                raise FileNotFoundError(
+                    f"stage {stage!r} has only {len(snaps)} iceberg snapshots; "
+                    f"version {version} does not exist (or was expired)"
+                )
+            snap_id = snaps[version - 1]["snapshot_id"]
+            return spark.sql(f"SELECT * FROM {tbl} VERSION AS OF {snap_id}")
         if version is None:
             return spark.read.parquet(self.data_path(stage))
         snap = next(
@@ -207,12 +225,24 @@ class StageStore:
         if self.retain_versions and self.format == "parquet":
             # each commit is a NEW snapshot directory; a failed attempt
             # leaves an orphan dir without a manifest, and the retry
-            # recomputes the same version and overwrites it (idempotent)
-            version = ((prev.get("version") or 0) if prev else 0) + 1
+            # recomputes the same version and overwrites it (idempotent).
+            # The counter is the max over BOTH the current manifest and the
+            # snapshot log: the log is append-only and survives a crash in
+            # the publish window, so a retry can never recompute version=1
+            # and clobber a retained data_v1 snapshot.
+            prev_ver = (prev.get("version") or 0) if prev else 0
+            log_ver = max(
+                (m.get("version") or 0 for m in self.history(stage)), default=0
+            )
+            version = max(prev_ver, log_ver) + 1
             data_dir = f"data_v{version}"
-
-        # a stale manifest from a different fingerprint must not survive
-        if os.path.exists(self._manifest_path(stage)):
+            # versioned commits write to a fresh directory, so the current
+            # manifest stays published (and readable) until the atomic
+            # os.replace below swaps it — no removal needed or wanted.
+        elif os.path.exists(self._manifest_path(stage)):
+            # non-versioned commits overwrite data/ in place: a stale
+            # manifest from a different fingerprint must not survive a
+            # crash mid-write, so unpublish before touching the data.
             os.remove(self._manifest_path(stage))
 
         self._write(df, stage, partition_by, data_dir)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from . import iterutils
 from .textstats import normalize_text, shingles, spread as _spread, tokens
 
 
@@ -280,7 +281,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 20,
     check_every: int = 2,
-    checkpoint: str = "local",
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components with
     the minimum member id as the canonical label (the keep-one-copy step
@@ -301,13 +302,12 @@ def dup_clusters(
     silently returning unconverged (wrong) labels — an unconverged result
     would disagree with the exact connected-components oracle.
 
-    ``checkpoint``: "local" (executor-local, fast — fine single-JVM and
-    for short jobs) or "reliable" (``DataFrame.checkpoint`` to the
-    SparkContext checkpoint dir — survives executor loss; set
-    ``spark.sparkContext.setCheckpointDir`` first; the cluster-scale
-    choice)."""
-    if checkpoint not in ("local", "reliable"):
-        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+    ``checkpoint``: "auto" (default — reliable iff the session has a
+    checkpoint dir configured, i.e. on cluster deployments; local
+    otherwise), "local" (executor-local, fast — fine single-JVM and for
+    short jobs) or "reliable" (``DataFrame.checkpoint`` to the
+    SparkContext checkpoint dir — survives executor loss)."""
+    checkpoint = iterutils.resolve_checkpoint_mode(ids, checkpoint)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -333,11 +333,7 @@ def dup_clusters(
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
         )
-        new_labels = (
-            new_labels.checkpoint(eager=True)
-            if checkpoint == "reliable"
-            else new_labels.localCheckpoint(eager=True)
-        )
+        new_labels = iterutils.truncate_lineage(new_labels, checkpoint)
         if it % check_every == 0 or it == max_iter:
             changed = (
                 new_labels.alias("n")

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import iterutils
+
 PR_SCALE = 10**9
 
 
@@ -62,6 +64,7 @@ def pagerank(
     scale: int = PR_SCALE,
     checkpoint_every: int = 2,
     cache: bool = True,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Fixed-iteration integer PageRank → (node, rank_fp).
 
@@ -74,13 +77,17 @@ def pagerank(
     out-degree, and the node set — are computed ONCE and persisted
     (``cache=False`` to opt out), so each round is exactly one
     edges⋈ranks join plus one groupBy(dst) aggregate.
-    ``checkpoint_every=0`` disables lineage truncation.
+    ``checkpoint_every=0`` disables lineage truncation; ``checkpoint``
+    picks the truncation kind — "auto" (reliable iff the session has a
+    checkpoint dir configured, i.e. cluster deployments; executor-local
+    otherwise), "local", or "reliable".
 
     Capacity: contribution sums stay within long while total mass
     n_nodes·scale < 2⁶³ — at the default scale that is ~9·10⁹ nodes;
     shrink ``scale`` for larger graphs."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    checkpoint = iterutils.resolve_checkpoint_mode(edges, checkpoint)
     from pyspark import StorageLevel
 
     nodes = (
@@ -117,7 +124,7 @@ def pagerank(
             (F.lit(base) + F.expr(damped)).cast("long").alias("r"),
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = iterutils.truncate_lineage(ranks, checkpoint, eager=True)
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 

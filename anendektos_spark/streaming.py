@@ -26,6 +26,8 @@ the per-stage resume contract checkpoint.py gives the batch path).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .parse import ParseOptions, parse_sink
@@ -48,6 +50,7 @@ def route_batch(
     dialect=None,
     opts: ParseOptions | None = None,
     epoch_id: int | None = None,
+    require_epoch: bool = True,
 ) -> None:
     """One micro-batch of the fan-out: parse each tool, write good rows
     to <root>/sink_<tool>, rejects (parse failures + unknown tools) to
@@ -63,7 +66,15 @@ def route_batch(
 
     Without ``epoch_id`` (ad-hoc batch use): plain appends that
     ACCUMULATE across calls — at-least-once; replaying the same batch
-    duplicates rows. Callers wanting idempotence must key their calls."""
+    duplicates rows. Because that's a silent double-write footgun, the
+    default is STRICT: callers must either pass ``epoch_id`` or opt into
+    append semantics explicitly with ``require_epoch=False``."""
+    if epoch_id is None and require_epoch:
+        raise ValueError(
+            "route_batch without epoch_id is at-least-once (appends "
+            "accumulate across replays); pass epoch_id for exactly-once, "
+            "or require_epoch=False to opt into append semantics"
+        )
     suffix = "" if epoch_id is None else f"/epoch={epoch_id}"
     mode = "append" if epoch_id is None else "overwrite"
     batch = batch.persist()
@@ -429,7 +440,14 @@ def stream_rate_spikes(
         s = batch.sparkSession
         batch = batch.persist()
         try:
-            try:
+            # first-epoch detection is an explicit existence check; any
+            # OTHER read failure (corrupt file, permissions, partial
+            # write) propagates and fails the micro-batch so the
+            # checkpoint retries it — silently computing spike verdicts
+            # with no history would be wrong-but-green (round-3 ADVICE).
+            if not os.path.isdir(history_dir):
+                hist = None
+            else:
                 hist = s.read.parquet(history_dir)
                 # crash-replay: this epoch's history increment may already
                 # be on disk (crash after the history write, before the
@@ -439,8 +457,6 @@ def stream_rate_spikes(
                 if "epoch" in hist.columns:
                     hist = hist.filter(F.col("epoch") != epoch_id)
                 hist = hist.select("tool", "bucket", "n_events")
-            except Exception:  # first epoch: no history yet
-                hist = None
             combined = (
                 batch if hist is None else hist.unionByName(batch)
             )

@@ -23,6 +23,23 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == set(), rows_only
 
 
+def test_driver_window_priority():
+    """The driver records CORRECTNESS rows for only the first DRIVER_WINDOW
+    entries of queries() (dict-insertion order). Pin the window to the
+    documented PRIORITY_QUERIES list so a future registration can't
+    silently push a core query out of the verified set (round-2 lesson)."""
+    q = entrymod.queries()
+    window = list(q)[: entrymod.DRIVER_WINDOW]
+    assert len(entrymod.PRIORITY_QUERIES) == entrymod.DRIVER_WINDOW
+    assert window == entrymod.PRIORITY_QUERIES
+    # the core reference goldens must always be inside the window
+    core = {f"zeek_sink_{t}" for t in ("conn", "dns", "http", "files", "ssl", "x509")}
+    core |= {"zeek_rejects", "zeek_golden_aggregates"}
+    assert core <= set(window), core - set(window)
+    # no duplicates in the priority list (dict would silently collapse them)
+    assert len(set(entrymod.PRIORITY_QUERIES)) == len(entrymod.PRIORITY_QUERIES)
+
+
 def test_query_callables_shape():
     q = entrymod.queries()
     assert len(q) >= 30

@@ -79,12 +79,17 @@ def test_route_batch_replay_is_idempotent(spark, tmp_path):
 
 
 def test_route_batch_without_epoch_accumulates(spark, tmp_path):
-    """Ad-hoc batch use (no epoch_id) keeps legacy append semantics:
-    successive calls accumulate, never clobber."""
+    """Ad-hoc batch use (no epoch_id) keeps legacy append semantics —
+    but only behind an explicit require_epoch=False opt-in; the strict
+    default refuses rather than silently double-writing on replay."""
+    import pytest as _pt
+
     out = str(tmp_path / "out")
     conn = fixture_transcripts(spark).filter(F.col("tool") == "conn")
-    streaming.route_batch(conn, out)
-    streaming.route_batch(conn, out)
+    with _pt.raises(ValueError, match="at-least-once"):
+        streaming.route_batch(conn, out)
+    streaming.route_batch(conn, out, require_epoch=False)
+    streaming.route_batch(conn, out, require_epoch=False)
     assert spark.read.parquet(f"{out}/sink_conn").count() == 2 * GOLDEN_COUNTS["conn"]
 
 

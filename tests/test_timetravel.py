@@ -52,3 +52,53 @@ def test_unversioned_store_unchanged(spark, tmp_path):
     assert store.read(spark, "s").count() == 4
     with pytest.raises(FileNotFoundError):
         store.read(spark, "s", version=1)
+
+
+def test_crash_between_unpublish_and_republish_preserves_v1(spark, tmp_path):
+    """Regression (round-3 ADVICE): a crash mid-commit must not let the
+    retry recompute version=1 and overwrite the retained data_v1 snapshot.
+    The version counter is derived from the snapshot LOG (crash-survivable),
+    and versioned commits no longer unpublish the manifest early."""
+    import os
+
+    store = StageStore(str(tmp_path), retain_versions=True)
+    store.commit(_df(spark, 3), "agg", fingerprint="fpA")
+
+    # simulate the worst pre-fix crash window: manifest gone, log intact
+    os.remove(os.path.join(str(tmp_path), "agg", "_MANIFEST.json"))
+    store.commit(_df(spark, 5), "agg", fingerprint="fpB")
+
+    # v1 data survived and the new commit became v2, not a v1 overwrite
+    assert store.read(spark, "agg", version=1).count() == 3
+    assert store.read(spark, "agg", version=2).count() == 5
+    assert [m["version"] for m in store.history("agg")] == [1, 2]
+
+
+def test_versioned_commit_keeps_prior_manifest_published(spark, tmp_path):
+    """Versioned commits write to a fresh data_v<k> dir, so the prior
+    manifest must stay readable until the atomic republish."""
+    store = StageStore(str(tmp_path), retain_versions=True)
+    store.commit(_df(spark, 3), "agg", fingerprint="fpA")
+
+    orig_write = store._write
+    observed = {}
+
+    def spying_write(df, stage, partition_by, data_dir="data"):
+        observed["manifest_during_write"] = store.manifest(stage)
+        return orig_write(df, stage, partition_by, data_dir)
+
+    store._write = spying_write
+    store.commit(_df(spark, 5), "agg", fingerprint="fpB")
+    m = observed["manifest_during_write"]
+    assert m is not None and m["fingerprint"] == "fpA" and m["version"] == 1
+
+
+def test_read_rejects_bad_version(spark, tmp_path):
+    store = StageStore(str(tmp_path), retain_versions=True)
+    store.commit(_df(spark, 2), "s", fingerprint="a")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        store.read(spark, "s", version=0)
+    with _pt.raises(ValueError):
+        store.read(spark, "s", version="1")  # type: ignore[arg-type]
