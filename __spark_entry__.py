@@ -428,6 +428,23 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_role_balance"] = lambda s, d: convops.role_balance(
         convops.synth_conv(s, _CONV_N)
     )
+
+    # --- round-3 additions (registered AFTER the driver window by design:
+    #     verified by scripts/check_oracle.py → ORACLE_FULL_r03.json this
+    #     round, rotated into PRIORITY_QUERIES next round) ---
+    q["conv_context_growth"] = lambda s, d: convops.context_growth(
+        convops.synth_conv(s, _CONV_N)
+    )
+    q["hll_registers_events"] = lambda s, d: sketches.hll_registers(
+        _t(s, d, "events"), "event_id"
+    )
+    q["hll_distinct_events"] = _hll_distinct_events
+    q["bloom_probe_users"] = _bloom_probe_users
+    q["tpch_q8"] = _tpch_q8
+    q["tpch_q9"] = _tpch_q9
+    q["tpch_q12"] = _tpch_q12
+    q["tpch_q15"] = _tpch_q15
+    q["tpch_q17"] = _tpch_q17
     return q
 
 
@@ -948,6 +965,177 @@ def _asof_last_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+def _hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct estimate for event_id next to the exact
+    count — the one-sided sketch error is driver-visible, like
+    freq_cms_users. Integer fixed-point estimate (sketches.hll_estimate);
+    the oracle mirrors the whole construction in HUGEINT."""
+    ev = _t(spark, sf_dir, "events")
+    est = sketches.hll_estimate(sketches.hll_registers(ev, "event_id"))
+    exact = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _bloom_probe_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter join pruning: build over every third
+    customer key, probe all distinct event user_ids → (user_id,
+    maybe_member). No false negatives; md5-determined false positives
+    reproduce identically in the oracle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    bloom = sketches.bloom_build(cust, "c_custkey")
+    keys = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return sketches.bloom_probe(bloom, keys, "user_id")
+
+
+def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 adapted to the driver schema (PROMO parts, EUROPE
+    customers, supplier-nation market share by order year). Share uses
+    the repo's exact-cents integer fixed point (same recipe as q14)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    base = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("vol"), "supp_nation")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_7", F.col("vol")).otherwise(
+        F.lit(0).cast("decimal(25,10)")
+    )
+    cents = lambda col: (F.round(F.sum(col), 2) * 100).cast("long")  # noqa: E731
+    return (
+        base.groupBy("o_year")
+        .agg(cents(nat).alias("_nc"), cents(F.col("vol")).alias("_tc"))
+        .select(
+            "o_year",
+            (F.expr("(_nc * 1000000) DIV _tc").cast("long") / F.lit(10000.0)).alias(
+                "mkt_share_pct"
+            ),
+            (F.col("_tc").cast("double") / 100).alias("total_volume"),
+        )
+    )
+
+
+def _tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 adapted (no partsupp table → profit = discounted
+    revenue): profit by supplier nation and order year for parts whose
+    name contains 'widget'."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 adapted (no l_shipmode → group by l_returnflag):
+    priority mix of 1997 shipments per return flag."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 (top supplier): revenue view over one quarter, suppliers
+    at the exact maximum. Revenue in exact cents (bigint) so the max
+    equality is engine-exact; reported as double for display."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,10)"
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        (F.round(F.sum(rev), 2) * 100).cast("long").alias("_rc")
+    )
+    mx = revenue.agg(F.max("_rc").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("_rc") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("_rc").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 (small-quantity-order revenue), integer-exact: the
+    `l_quantity < 0.2 * avg(l_quantity)` predicate becomes
+    `5 * qty * cnt < sum_qty` over integral quantities — no float
+    boundary drift between engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    per_part = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,10)")), 2)
+            .cast("double")
+            .alias("total_extended_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 
@@ -2104,5 +2292,129 @@ def oracle_sql() -> dict[str, str]:
                CAST((max(n) * 10000) // (sum(n) // count(*)) AS BIGINT)
                  AS skew_x10k
         FROM counts
+    """
+
+    # --- round-3 additions ---
+    o["conv_context_growth"] = convops.context_growth_sql(
+        convops.synth_conv_sql(_CONV_N)
+    )
+    # portable HLL: identical md5/bin construction (sketches.py)
+    _hll_regs = """
+        WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM events),
+        br AS (SELECT CAST(('0x' || substr(hx, 1, 2))::BIGINT AS INT) AS bucket,
+                      ('0x' || substr(hx, 3, 12))::BIGINT AS v
+               FROM h),
+        r AS (SELECT bucket,
+                     CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END AS rank
+              FROM br),
+        regs AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY 1)
+    """
+    o["hll_registers_events"] = f"{_hll_regs} SELECT bucket, max_rank FROM regs"
+    o["hll_distinct_events"] = f"""
+        {_hll_regs},
+        mx AS (SELECT max(max_rank) AS r_max, count(*) AS n_present FROM regs),
+        d AS (SELECT r_max,
+                     sum(1::BIGINT << (r_max - max_rank))
+                       + (256 - n_present) * (1::BIGINT << r_max) AS denom
+              FROM regs, mx GROUP BY r_max, n_present)
+        SELECT CAST((718272::HUGEINT * 65536 * (1::BIGINT << r_max))
+                    // (1000000::HUGEINT * denom) AS BIGINT) AS est_distinct,
+               (SELECT count(DISTINCT event_id) FROM events) AS exact_distinct
+        FROM d
+    """
+    # Bloom probe: same md5 positions (sketches.py BLOOM_K=4, BLOOM_BITS=2048)
+    o["bloom_probe_users"] = """
+        WITH ks(i) AS (VALUES (0), (1), (2), (3)),
+        bpos AS (
+          SELECT DISTINCT
+                 (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                      CAST(c_custkey AS VARCHAR)), 1, 3))::BIGINT
+                  % 2048) AS pos
+          FROM customer CROSS JOIN ks WHERE c_custkey % 3 = 0
+        ),
+        keys AS (SELECT DISTINCT user_id FROM events),
+        kp AS (
+          SELECT user_id,
+                 (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                      CAST(user_id AS VARCHAR)), 1, 3))::BIGINT
+                  % 2048) AS pos
+          FROM keys CROSS JOIN ks
+        )
+        SELECT user_id, count(b.pos) = 4 AS maybe_member
+        FROM kp LEFT JOIN bpos b USING (pos) GROUP BY user_id
+    """
+    _vol = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,10))"
+    o["tpch_q8"] = f"""
+        WITH base AS (
+          SELECT year(o.o_orderdate) AS o_year, {_vol} AS vol, n2.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ),
+        agg AS (
+          SELECT o_year,
+                 CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                                     ELSE CAST(0 AS DECIMAL(25,10)) END), 2) * 100
+                      AS BIGINT) AS nc,
+                 CAST(round(sum(vol), 2) * 100 AS BIGINT) AS tc
+          FROM base GROUP BY o_year
+        )
+        SELECT o_year, CAST((nc * 1000000) // tc AS BIGINT) / 10000.0 AS mkt_share_pct,
+               CAST(tc AS DOUBLE) / 100 AS total_volume
+        FROM agg
+    """
+    o["tpch_q9"] = f"""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(round(sum({_vol}), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """
+    o["tpch_q12"] = """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    """
+    o["tpch_q15"] = f"""
+        WITH revenue AS (
+          SELECT l_suppkey, CAST(round(sum({_vol}), 2) * 100 AS BIGINT) AS rc
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(rc AS DOUBLE) / 100 AS total_revenue
+        FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE rc = (SELECT max(rc) FROM revenue)
+    """
+    o["tpch_q17"] = """
+        WITH a AS (
+          SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(25,10))), 2) AS DOUBLE)
+                 AS total_extended_price,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+        JOIN a ON l.l_partkey = a.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
     """
     return o

@@ -274,3 +274,43 @@ def role_balance_sql(rel: str) -> str:
                  AS assistant_token_share
         FROM p GROUP BY conv_id
     """
+
+
+def context_growth(df: DataFrame, budget_chars: int = 400) -> DataFrame:
+    """Per-turn running context size → (conv_id, turn_idx, turn_chars,
+    ctx_chars, over_budget): ctx_chars is the cumulative character count
+    of the conversation up to and INCLUDING this turn — the quantity a
+    training pipeline tracks to decide truncation/packing of multi-turn
+    transcripts against a context window.
+
+    One window over (conv_id ORDER BY turn_idx) — a single hash exchange
+    on conv_id, no joins; integers only, so the DuckDB mirror is exact."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.length("text").cast("long")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        n.alias("turn_chars"),
+        F.sum(n).over(w).alias("ctx_chars"),
+    ).withColumn("over_budget", F.col("ctx_chars") > budget_chars)
+
+
+def context_growth_sql(rel: str, budget_chars: int = 400) -> str:
+    """DuckDB mirror of :func:`context_growth`."""
+    return f"""
+        SELECT conv_id, turn_idx,
+               CAST(length(text) AS BIGINT) AS turn_chars,
+               CAST(sum(length(text)) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS ctx_chars,
+               sum(length(text)) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) > {budget_chars} AS over_budget
+        FROM ({rel})
+    """

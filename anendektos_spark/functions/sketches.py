@@ -1,4 +1,5 @@
-"""Count-Min frequency sketch with engine-portable hashing.
+"""Mergeable sketches with engine-portable hashing: Count-Min frequency,
+HyperLogLog distinct-count, and a Bloom membership filter.
 
 The reference engine's aggregation surface is exact counts per key
 (conn.d:233-441 sink counts); at 100 TB an exact per-key count table for
@@ -107,4 +108,149 @@ def cms_estimate(
         kb.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (portable, integer fixed-point estimate)
+# --------------------------------------------------------------------------
+#
+# Spark's own approx_count_distinct is the production choice when only
+# Spark reads the result; these registers exist for the same reason the
+# CMS does — a MERGEABLE distinct sketch any engine can reproduce
+# bit-for-bit. bucket = first 2 md5 hex digits (m = 256 registers); the
+# rank is the leading-zero count (+1) of the NEXT 48 hash bits, derived
+# via length(bin(v)) — integer ops only, identical in Spark and DuckDB.
+# The estimate is the raw Flajolet HLL harmonic mean computed entirely in
+# integer arithmetic (DECIMAL(38,0) / HUGEINT): with R = max rank,
+#   est = floor( alpha_ppm · m² · 2^R  /  (10⁶ · Σ_j 2^(R − rank_j)) )
+# where absent registers contribute rank 0. No float ever touches the
+# result, so shards built on different engines merge and estimate
+# identically. Accuracy (~1.04/√m ≈ 6.5 % at m=256) is pinned in
+# tests/test_functions.py; bias correction for tiny/huge cardinality is
+# intentionally omitted — determinism is the contract here.
+
+HLL_M = 256  # 2^8 registers: bucket = first 2 md5 hex digits
+_HLL_ALPHA_PPM = 718272  # floor(1e6 * 0.7213 / (1 + 1.079/256))
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """One-pass register build → (bucket, max_rank). Map-side partial
+    max-combine keeps the shuffle at ≤ m rows per task; registers merge
+    across shards/epochs by groupBy(bucket).max(max_rank)."""
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")  # next 48 bits
+    rank = F.when(v == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v)))
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Fold partial register sets: union + per-bucket max."""
+    if not register_sets:
+        raise ValueError("hll_merge needs at least one register set")
+    out = register_sets[0]
+    for s in register_sets[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Registers → one-row (est_distinct) via the integer fixed-point
+    harmonic mean above. The register relation is O(m); the whole
+    estimate is a two-level aggregate over ≤ m rows."""
+    m = HLL_M
+    agg = registers.agg(
+        F.max("max_rank").alias("r_max"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    # Σ 2^(R - rank_j) needs R first — join the (1-row) maxima back
+    denom = (
+        registers.crossJoin(F.broadcast(agg))
+        .select(F.expr("CAST(shiftleft(1L, r_max - max_rank) AS DECIMAL(38,0))").alias("t"),
+                "r_max", "n_present")
+        .groupBy("r_max", "n_present")
+        .agg(F.sum("t").alias("present_sum"))
+        .select(
+            "r_max",
+            (F.col("present_sum")
+             + (F.lit(m) - F.col("n_present")).cast("decimal(38,0)")
+             * F.expr("CAST(shiftleft(1L, r_max) AS DECIMAL(38,0))")).alias("denom"),
+        )
+    )
+    return denom.select(
+        F.expr(
+            f"CAST((CAST({_HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {m * m} * "
+            f"CAST(shiftleft(1L, r_max) AS DECIMAL(38,0))) DIV "
+            f"(CAST(1000000 AS DECIMAL(38,0)) * denom) AS BIGINT)"
+        ).alias("est_distinct")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom membership filter (the broadcast runtime-filter pattern)
+# --------------------------------------------------------------------------
+#
+# At 100 TB the canonical use is JOIN PRUNING: build the filter over the
+# small side's join keys (O(bits), here 2048 positions max), broadcast
+# it, and drop non-matching big-side rows BEFORE the shuffle — rows that
+# can't join never leave the scan stage. One-sided error: no false
+# negatives ever; false positives ≈ (1 − e^(−kn/m))^k re-checked by the
+# real join. Positions are md5-derived (pos_i = first 3 md5 hex digits of
+# "i:key" mod m_bits), so any engine reproduces the same filter and the
+# same false positives — the DuckDB oracle mirrors it verbatim.
+
+BLOOM_BITS = 2048
+BLOOM_K = 4
+
+
+def _bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    return F.array(
+        *[
+            (F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 3),
+                16, 10,
+            ).cast("int") % m_bits).alias(f"p{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = BLOOM_K, m_bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Build the filter → (pos) distinct set-bit positions (≤ m_bits
+    rows). One narrow pass + a partial-combined distinct; the result is
+    broadcast-sized by construction. Filters merge by UNION DISTINCT."""
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m_bits >= 2, got k={k} m_bits={m_bits}")
+    return (
+        df.select(F.explode(_bloom_positions(F.col(key_col), k, m_bits)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Membership probe → (key, maybe_member). A key is a maybe-member
+    iff ALL k of its positions are set. The filter side is broadcast;
+    the probe is a narrow map + tiny-side join + per-key count — the
+    exact shape used to pre-filter the big side of a shuffle join."""
+    kp = keys.select(
+        F.col(key_col),
+        F.explode(_bloom_positions(F.col(key_col), k, m_bits)).alias("pos"),
+    )
+    return (
+        kp.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), ["pos"], "left")
+        .groupBy(key_col)
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == k).alias("maybe_member"))
     )

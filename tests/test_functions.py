@@ -980,3 +980,109 @@ def test_video_frame_sampling_real_decode(spark):
     # non-video mimes never reach the sampler
     imgs = multimodal.synth_ppm_media(spark, n=4)
     assert multimodal.sample_video_frames(imgs).count() == 0
+
+
+# ---------------------------------------------------------------- HLL sketch
+
+
+def test_hll_accuracy_and_determinism(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(10_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    regs = sketches.hll_registers(df, "k")
+    est = sketches.hll_estimate(regs).collect()[0]["est_distinct"]
+    # raw HLL at m=256: σ ≈ 1.04/√m ≈ 6.5%; assert a 3σ envelope
+    assert abs(est - 10_000) / 10_000 < 0.20, est
+    # exact determinism: a second build estimates the identical integer
+    again = sketches.hll_estimate(sketches.hll_registers(df, "k")).collect()[0]
+    assert again["est_distinct"] == est
+
+
+def test_hll_merge_equals_full_build(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(5_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    a = df.filter(F.col("k").substr(2, 10).cast("long") % 2 == 0)
+    b = df.filter(F.col("k").substr(2, 10).cast("long") % 2 == 1)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(a, "k"), sketches.hll_registers(b, "k")
+    )
+    full = sketches.hll_registers(df, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(2_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    dup = df.unionAll(df).unionAll(df)  # 3x duplication, same distinct set
+    e1 = sketches.hll_estimate(sketches.hll_registers(df, "k")).collect()[0][0]
+    e2 = sketches.hll_estimate(sketches.hll_registers(dup, "k")).collect()[0][0]
+    assert e1 == e2
+
+
+# ---------------------------------------------------------------- Bloom filter
+
+
+def test_bloom_no_false_negatives(spark):
+    from anendektos_spark.functions import sketches
+
+    members = spark.range(500).select(F.col("id").alias("k"))
+    bloom = sketches.bloom_build(members, "k")
+    probe = sketches.bloom_probe(bloom, spark.range(1_000).select(F.col("id").alias("k")), "k")
+    rows = {r.k: r.maybe_member for r in probe.collect()}
+    assert all(rows[k] for k in range(500)), "bloom false negative"
+    fp = sum(1 for k in range(500, 1000) if rows[k])
+    n_bits = bloom.count()
+    expected_fp_rate = (n_bits / sketches.BLOOM_BITS) ** sketches.BLOOM_K
+    assert fp / 500 < max(3 * expected_fp_rate, 0.05), (fp, n_bits)
+
+
+def test_bloom_merge_is_union(spark):
+    from anendektos_spark.functions import sketches
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").alias("k"))
+    merged = (
+        sketches.bloom_build(a, "k").unionByName(sketches.bloom_build(b, "k")).distinct()
+    )
+    full = sketches.bloom_build(a.unionByName(b), "k")
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in full.collect()
+    )
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The filter side must broadcast — the probe is the runtime-filter
+    pattern for shuffle-join pruning, so a filter-side exchange would
+    defeat the point."""
+    from anendektos_spark.functions import sketches
+
+    bloom = sketches.bloom_build(spark.range(100).select(F.col("id").alias("k")), "k")
+    probe = sketches.bloom_probe(
+        bloom, spark.range(1_000).select(F.col("id").alias("k")), "k"
+    )
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- context growth
+
+
+def test_conv_context_growth(spark):
+    from anendektos_spark.functions import convops
+
+    df = spark.createDataFrame(
+        [("c1", 0, "ab"), ("c1", 1, "cdef"), ("c1", 2, "g"), ("c2", 0, "xyz")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): (r.turn_chars, r.ctx_chars, r.over_budget)
+        for r in convops.context_growth(df, budget_chars=5).collect()
+    }
+    assert rows[("c1", 0)] == (2, 2, False)
+    assert rows[("c1", 1)] == (4, 6, True)
+    assert rows[("c1", 2)] == (1, 7, True)
+    assert rows[("c2", 0)] == (3, 3, False)
