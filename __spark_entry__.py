@@ -445,6 +445,16 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q12"] = _tpch_q12
     q["tpch_q15"] = _tpch_q15
     q["tpch_q17"] = _tpch_q17
+    q["cdc_apply_customers"] = _cdc_apply_customers
+    # exact distinct-per-key at skew: Spark's count(DISTINCT) expansion
+    # already plans the salted two-stage shape (PLANS.md "Count-distinct
+    # skew"), so the operator is the built-in — registered to pin the
+    # per-key result, not to add a manual salting stage
+    q["distinct_users_per_type"] = lambda s, d: (
+        _t(s, d, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_distinct"))
+    )
     return q
 
 
@@ -988,6 +998,38 @@ def _bloom_probe_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = sketches.bloom_build(cust, "c_custkey")
     keys = _t(spark, sf_dir, "events").select("user_id").distinct()
     return sketches.bloom_probe(bloom, keys, "user_id")
+
+
+def _cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: apply a two-epoch synthetic changelog to the customer
+    snapshot — epoch-1 updates every third key, epoch-2 deletes every
+    sixth (so a later D beats an earlier U on the same key); untouched
+    keys pass through. logops.apply_changelog = one window shuffle."""
+    base = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    c1 = (
+        base.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("_v1")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("ver", F.lit(1))
+    )
+    c2 = (
+        base.filter(F.col("c_custkey") % 6 == 0)
+        .select(*cols)
+        .withColumn("op", F.lit("D"))
+        .withColumn("ver", F.lit(2))
+    )
+    return logops.apply_changelog(
+        base.select(*cols),
+        c1.unionByName(c2),
+        key_cols=["c_custkey"],
+        version_col="ver",
+        tie_col="c_custkey",
+    )
 
 
 def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2402,6 +2444,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.s_suppkey, s.s_name, CAST(rc AS DOUBLE) / 100 AS total_revenue
         FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
         WHERE rc = (SELECT max(rc) FROM revenue)
+    """
+    o["cdc_apply_customers"] = """
+        WITH cols AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          FROM customer
+        ),
+        u AS (
+          SELECT *, 'I' AS op, NULL::INT AS ver FROM cols
+          UNION ALL
+          SELECT c_custkey, c_name || '_v1', c_nationkey, c_acctbal,
+                 c_mktsegment, 'U', 1
+          FROM cols WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D', 2
+          FROM cols WHERE c_custkey % 6 = 0
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY c_custkey
+                      ORDER BY ver DESC NULLS LAST, c_custkey DESC) AS rk
+          FROM u
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM r WHERE rk = 1 AND op <> 'D'
+    """
+    o["distinct_users_per_type"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1
     """
     o["tpch_q17"] = """
         WITH a AS (

@@ -613,3 +613,70 @@ def skew_stats(df: DataFrame, key_col: str) -> DataFrame:
             F.expr("(max_key_n * 10000) DIV (n_rows DIV n_keys)").alias("skew_x10k"),
         )
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tie_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply: fold a changelog (``op`` in I/U/D) into a base snapshot
+    → the next snapshot. Last writer per key wins (``version_col`` then
+    ``tie_col``, greatest wins); a final D deletes the key; base rows act
+    as version-0 upserts so an untouched key survives unchanged.
+
+    This is the MERGE INTO / Iceberg-CDC maintenance step expressed as a
+    pure relational fold: union(base-as-insert, changes) → latest_by_key
+    → drop deletes. ONE hash shuffle on the key regardless of how many
+    changes pile onto a hot key (the row_number sort absorbs them);
+    output columns = base columns. Engine-exact, so the DuckDB oracle
+    runs the identical fold. An op outside I/U/D fails the job from
+    inside the fold itself (``raise_error`` in the projection — no
+    separate validation scan of the changelog)."""
+    data_cols = [c for c in base.columns]
+    missing = [c for c in data_cols + [version_col, tie_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changelog lacks columns {missing}")
+    op_checked = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(F.concat(F.lit("unknown changelog op: "), F.col(op_col)))
+    )
+    tagged_base = (
+        base.select(*data_cols)
+        .withColumn("_op", F.lit("I"))
+        .withColumn("_v", F.lit(None).cast(changes.schema[version_col].dataType))
+        .withColumn("_tie", F.lit(None).cast(changes.schema[tie_col].dataType))
+    )
+    tagged_chg = changes.select(
+        *data_cols,
+        op_checked.alias("_op"),
+        F.col(version_col).alias("_v"),
+        F.col(tie_col).alias("_tie"),
+    )
+    merged = tagged_base.unionByName(tagged_chg)
+    # null version (base rows) sorts below every change — base acts as
+    # version 0, so any change to the key beats the base record; ties
+    # among equal-version changes break by greatest tie value (base rows
+    # never tie: a snapshot is unique per key)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_v").desc_nulls_last(), F.col("_tie").desc_nulls_last()
+    )
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("_op") != "D"))
+        .select(*data_cols)
+    )
+
+
+# NOTE (measured, not assumed): a manual "salted" two-stage exact
+# count-distinct per key was prototyped here and REMOVED — Spark's own
+# count(DISTINCT) expansion already plans the skew-proof shape: the first
+# exchange partitions on (key, value), spreading a hot key's values
+# across reducers, and partial_count(distinct) collapses each partition
+# to one row per key before the final key exchange. See PLANS.md
+# "Count-distinct skew" for the executed-plan evidence; hand-salting on
+# top of that only adds a third exchange.

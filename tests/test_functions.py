@@ -1086,3 +1086,89 @@ def test_conv_context_growth(spark):
     assert rows[("c1", 1)] == (4, 6, True)
     assert rows[("c1", 2)] == (1, 7, True)
     assert rows[("c2", 0)] == (3, 3, False)
+
+
+# ---------------------------------------------------------------- CDC apply
+
+
+def _cdc_fixture(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1, 10),   # update key 2
+            (3, "c", "D", 1, 11),    # delete key 3
+            (4, "d", "I", 1, 12),    # insert key 4
+            (4, "d2", "U", 2, 13),   # then update it — last writer wins
+            (5, "e", "I", 1, 14),
+            (5, "e", "D", 2, 15),    # insert then delete → absent
+        ],
+        "k long, v string, op string, ver int, seq long",
+    )
+    return base, chg
+
+
+def test_apply_changelog_semantics(spark):
+    base, chg = _cdc_fixture(spark)
+    got = {
+        r.k: r.v
+        for r in logops.apply_changelog(
+            base, chg, key_cols=["k"], version_col="ver", tie_col="seq"
+        ).collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d2"}
+
+
+def test_apply_changelog_rejects_unknown_op(spark):
+    base, _ = _cdc_fixture(spark)
+    bad = spark.createDataFrame(
+        [(2, "x", "UPSERT", 1, 1)], "k long, v string, op string, ver int, seq long"
+    )
+    with pytest.raises(Exception, match="unknown changelog op"):
+        logops.apply_changelog(
+            base, bad, key_cols=["k"], version_col="ver", tie_col="seq"
+        ).collect()
+
+
+def test_apply_changelog_missing_columns(spark):
+    base, _ = _cdc_fixture(spark)
+    narrow = spark.createDataFrame([(2, "U", 1)], "k long, op string, ver int")
+    with pytest.raises(ValueError, match="lacks columns"):
+        logops.apply_changelog(
+            base, narrow, key_cols=["k"], version_col="ver", tie_col="seq"
+        )
+
+
+def test_apply_changelog_same_version_tie(spark):
+    """Two changes with equal version: greatest tie_col wins in every
+    engine (the oracle repeats the same ORDER BY)."""
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "x", "U", 1, 100), (1, "y", "U", 1, 200)],
+        "k long, v string, op string, ver int, seq long",
+    )
+    got = logops.apply_changelog(
+        base, chg, key_cols=["k"], version_col="ver", tie_col="seq"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "y")]
+
+
+# -------------------------------------------- count-distinct skew shape
+
+
+def test_count_distinct_plans_value_spread_shuffle(spark):
+    """Pin the plan property that made a manual salted count-distinct
+    redundant (PLANS.md "Count-distinct skew"): Spark's expansion must
+    shuffle on (key, value) FIRST — spreading a hot key's values across
+    reducers — before the final key exchange. If a Spark upgrade ever
+    loses this, the salted operator needs reinstating."""
+    df = spark.range(1_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), (F.col("id") % 97).alias("v")
+    )
+    agg = df.groupBy("g").agg(F.countDistinct("v").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(g" in plan
+    # the first exchange carries BOTH key and value
+    first_exchange = plan[plan.rindex("Exchange"):]
+    assert "g#" in first_exchange and "v#" in first_exchange, first_exchange
