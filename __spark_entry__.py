@@ -455,6 +455,21 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_distinct"))
     )
+    q["snapshot_diff_customers"] = lambda s, d: logops.snapshot_diff(
+        _t(s, d, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        ),
+        _cdc_apply_customers(s, d),
+        key_cols=["c_custkey"],
+    )
+    q["bloom_pruned_enrich"] = lambda s, d: sketches.bloom_pruned_join(
+        _t(s, d, "events").select("event_id", "user_id"),
+        _t(s, d, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment"),
+        "user_id",
+        "c_custkey",
+    ).select("event_id", "user_id", "c_mktsegment")
     return q
 
 
@@ -2472,6 +2487,20 @@ def oracle_sql() -> dict[str, str]:
     o["distinct_users_per_type"] = """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY 1
+    """
+    # independent derivation: the diff of (customer, cdc-applied customer)
+    # follows directly from the changelog construction — %6 keys deleted,
+    # remaining %3 keys renamed
+    o["snapshot_diff_customers"] = """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN 'removed' ELSE 'changed' END AS status
+        FROM customer WHERE c_custkey % 3 = 0
+    """
+    # the bloom runtime filter is exact-transparent: oracle = plain join
+    o["bloom_pruned_enrich"] = """
+        SELECT e.event_id, e.user_id, c.c_mktsegment
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey AND c.c_custkey % 3 = 0
     """
     o["tpch_q17"] = """
         WITH a AS (

@@ -680,3 +680,49 @@ def apply_changelog(
 # to one row per key before the final key exchange. See PLANS.md
 # "Count-distinct skew" for the executed-plan evidence; hand-salting on
 # top of that only adds a third exchange.
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Anti-entropy check between two snapshots → one row per key whose
+    state differs: status ∈ added / removed / changed. The audit
+    companion of :func:`apply_changelog` (apply a changelog, then diff
+    against the expected snapshot — empty diff = converged) and of
+    checkpoint resume (two runs of the same stage must diff empty).
+
+    One full-outer hash join on the key; value comparison is null-safe
+    per column, evaluated inside the join projection (no second pass).
+    Unchanged keys are dropped so the output is |difference|-sized, not
+    |snapshot|-sized."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    val_cols = [c for c in old.columns if c not in key_cols]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    # key presence: any key col non-null on that side (keys are non-null
+    # in a snapshot; eqNullSafe keeps the join total anyway)
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    same_vals = F.lit(True)
+    for c in val_cols:
+        same_vals = same_vals & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same_vals, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        joined.select(*key_out, status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )

@@ -479,3 +479,42 @@ def stream_rate_spikes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_session_counts(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    available_now: bool = False,
+):
+    """Native session windows over the transcript stream: per (conv_id,
+    session) turn counts via ``F.session_window`` — Spark merges events
+    closer than ``gap`` into one window and finalizes a session once the
+    watermark passes its close (append mode), which is the streaming
+    realization of the batch gap-sessionize (logops.sessionize_events).
+    State is per open session, bounded by the watermark — no custom
+    stateful code needed; this is the built-in the custom
+    applyInPandasWithState op (stream_conv_stats) should NOT be used to
+    reimplement."""
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_turns",
+        )
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

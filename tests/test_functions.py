@@ -1172,3 +1172,57 @@ def test_count_distinct_plans_value_spread_shuffle(spark):
     # the first exchange carries BOTH key and value
     first_exchange = plan[plan.rindex("Exchange"):]
     assert "g#" in first_exchange and "v#" in first_exchange, first_exchange
+
+
+# ---------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k long, v string, n long",
+    )
+    got = {r.k: r.status for r in logops.snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 null-safe unchanged, 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    with pytest.raises(ValueError, match="schemas differ"):
+        logops.snapshot_diff(old, new.drop("n"), ["k"])
+    with pytest.raises(ValueError, match="key_cols"):
+        logops.snapshot_diff(old, new, [])
+
+
+def test_cdc_apply_then_diff_roundtrip(spark):
+    """Audit composition: diff(base, apply(base, changelog)) must report
+    exactly the changelog's effective key set."""
+    base, chg = _cdc_fixture(spark)
+    applied = logops.apply_changelog(
+        base, chg, key_cols=["k"], version_col="ver", tie_col="seq"
+    )
+    got = {r.k: r.status for r in logops.snapshot_diff(base, applied, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # 5: ins+del = no-op
+
+
+# ----------------------------------------------------------- bloom-pruned join
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from anendektos_spark.functions import sketches
+
+    big = spark.range(2_000).select(F.col("id").alias("bk"), (F.col("id") * 7).alias("x"))
+    small = spark.range(0, 2_000, 5).select(
+        F.col("id").alias("sk"), F.lit("dim").alias("d")
+    )
+    pruned = sketches.bloom_pruned_join(big, small, "bk", "sk")
+    plain = big.join(small, big["bk"] == small["sk"], "inner")
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+    # the runtime filter must sit on the big side BELOW the join operator
+    # (filter first, then join) — in the plan string the join node prints
+    # above its children, so the array_except filter appears after it
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "array_except" in plan
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert join_pos != -1 and plan.index("array_except") > join_pos

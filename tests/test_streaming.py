@@ -357,3 +357,48 @@ def test_stream_cms_partials_match_batch_sketch(spark, tmp_path):
     }
     exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert all(est_s[k] >= n for k, n in exact.items())
+
+
+def test_stream_session_counts(spark, tmp_path):
+    """Native session windows: turns closer than the gap merge into one
+    session per conv; a quiet period opens a new one. Sessions finalize
+    (append mode) once the watermark passes their close — driven by a
+    late watermark-advancing row, same protocol as the windowed test."""
+    in_dir = str(tmp_path / "sess_in")
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    base = "2024-01-01 10:{m:02d}:00"
+    rows = [
+        # convA: turns at 10:00/10:01/10:02 (one session), then 10:30 (new)
+        ("convA", 0, "user", "t", None, base.format(m=0)),
+        ("convA", 1, "assistant", "t", "conn", base.format(m=1)),
+        ("convA", 2, "user", "t", None, base.format(m=2)),
+        ("convA", 3, "user", "t", None, base.format(m=30)),
+        # convB: single turn
+        ("convB", 0, "user", "t", None, base.format(m=5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    df.write.mode("overwrite").parquet(in_dir)
+
+    drain = lambda: streaming.stream_session_counts(  # noqa: E731
+        streaming.stream_transcripts(spark, in_dir), out, ckpt,
+        gap="10 minutes", watermark="0 seconds", available_now=True,
+    ).awaitTermination(120)
+    drain()
+    # advance the watermark far past every session close
+    df.limit(1).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+
+    got = {
+        (r.conv_id, r.session_start): r.n_turns
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("convA", "2024-01-01 10:00:00")] == 3
+    assert got[("convA", "2024-01-01 10:30:00")] == 1
+    assert got[("convB", "2024-01-01 10:05:00")] == 1
