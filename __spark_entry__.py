@@ -470,6 +470,15 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_id",
         "c_custkey",
     ).select("event_id", "user_id", "c_mktsegment")
+    # all-pairs tf·idf cosine via inverted-index self-join (bigram terms —
+    # the sparse-term setting; the synthetic 31-word unigram vocabulary is
+    # degenerate-dense) and corpus-wide duplicated-span removal
+    q["text_cosine_pairs"] = lambda s, d: textstats.tfidf_cosine_pairs(
+        _t(s, d, "documents"), threshold=0.3, ngram=2
+    )
+    q["dedup_spans"] = lambda s, d: dedup.dedup_spans(
+        _t(s, d, "documents"), block_tokens=5, min_count=2
+    )
     return q
 
 
@@ -2515,5 +2524,73 @@ def oracle_sql() -> dict[str, str]:
         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
         JOIN a ON l.l_partkey = a.l_partkey
         WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
+    """
+    # all-pairs tf·idf cosine: fixed-point integer weights (tf·n·1000 // df),
+    # HUGEINT dot/norm sums == Spark DECIMAL(38,0); final double div/sqrt
+    # chain is correctly rounded identically in both engines
+    o["text_cosine_pairs"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(len(toks) - 1),
+                               i -> toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END AS terms FROM t),
+        inst AS (SELECT doc_id, unnest(terms) AS term FROM g),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM inst WHERE term <> '' GROUP BY 1, 2),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM t),
+        w AS (SELECT doc_id, term, (tf * n_docs * 1000) // df AS w
+              FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        norms AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS norm2
+                  FROM w GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS INT) AS n_shared_terms,
+                         sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+                  FROM w a JOIN w b
+                    ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_shared_terms,
+               round(CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(na.norm2 AS DOUBLE)) *
+                      sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+        FROM pairs JOIN norms na ON pairs.doc_a = na.doc_id
+                   JOIN norms nb ON pairs.doc_b = nb.doc_id
+        WHERE round(CAST(dot AS DOUBLE) /
+                    (sqrt(CAST(na.norm2 AS DOUBLE)) *
+                     sqrt(CAST(nb.norm2 AS DOUBLE))), 6) >= 0.3
+    """
+    # duplicated-span removal: block counts + ordered string_agg rebuild
+    o["dedup_spans"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        b0 AS (SELECT doc_id, toks, len(toks) AS n, len(toks) // 5 AS nb
+               FROM t),
+        bl AS (SELECT doc_id, unnest(range(nb)) AS bpos, toks FROM b0),
+        blocks AS (SELECT doc_id, bpos,
+                          array_to_string(toks[bpos*5+1 : bpos*5+5], ' ')
+                            AS btext
+                   FROM bl),
+        counts AS (SELECT btext, count(*) AS c FROM blocks GROUP BY 1),
+        flagged AS (SELECT doc_id, bpos, btext, (c >= 2) AS dup
+                    FROM blocks JOIN counts USING (btext)),
+        per_doc AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INT)
+                             AS n_dup_blocks,
+                           coalesce(string_agg(
+                               CASE WHEN NOT dup THEN btext END, ' '
+                               ORDER BY bpos), '') AS kept
+                    FROM flagged GROUP BY 1),
+        fin AS (SELECT b0.doc_id, CAST(b0.nb AS INT) AS n_blocks,
+                       coalesce(p.n_dup_blocks, 0) AS n_dup_blocks,
+                       concat_ws(' ', nullif(coalesce(p.kept, ''), ''),
+                                 nullif(array_to_string(
+                                     b0.toks[b0.nb*5+1 : b0.n], ' '), ''))
+                         AS cleaned_text
+                FROM b0 LEFT JOIN per_doc p USING (doc_id))
+        SELECT doc_id, n_blocks, CAST(n_dup_blocks AS INT) AS n_dup_blocks,
+               cleaned_text, md5(cleaned_text) AS cleaned_md5,
+               CAST(CASE WHEN cleaned_text = '' THEN 0
+                    ELSE len(regexp_split_to_array(cleaned_text, '\\s+'))
+                    END AS INT) AS n_tokens_kept
+        FROM fin
     """
     return o

@@ -19,7 +19,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import iterutils
-from .textstats import normalize_text, shingles, spread as _spread, tokens
+from .textstats import (
+    _barrier,
+    normalize_text,
+    shingles,
+    spread as _spread,
+    tokens,
+)
 
 
 def shingle_set(col: Column, n: int = 3) -> Column:
@@ -527,3 +533,109 @@ def index_merge(
     dups = matches.select(F.col("dup_id").alias(id_col)).distinct()
     keep = new_sig.join(dups, id_col, "left_anti")
     return index.unionByName(keep)
+
+
+def dedup_spans(
+    df: DataFrame,
+    block_tokens: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal (the C4 / RefinedWeb cleanup
+    step): cut each document into fixed-size non-overlapping token blocks,
+    count every block's occurrences across the WHOLE corpus, and rebuild
+    each document keeping only blocks seen fewer than ``min_count`` times
+    (the trailing ``len mod block_tokens`` tokens are always kept — they
+    are not a full block).
+
+    Unlike per-document repetition signals (:func:`~anendektos_spark.
+    functions.textstats.repetition_stats`) this removes boilerplate shared
+    ACROSS documents — nav bars, license headers, quoted chain mail — the
+    spans that survive whole-document dedup because the surrounding text
+    differs.
+
+    Plan: one narrow tokenize pass; block construction is a per-doc
+    ``transform`` over a persisted token relation (the explode barrier —
+    see dedup module docstring); ONE shuffle on the block text for the
+    corpus count (map-side combine: key cardinality is distinct blocks,
+    not rows); count join-back rides the same key; per-doc reassembly is
+    one shuffle on the doc id with an in-group ``array_sort`` for
+    deterministic block order. No O(n²) anywhere — cost is linear in
+    corpus tokens.
+
+    Cross-engine exactness: block membership and counts are pure
+    string/int ops; the rebuilt text is a deterministic ordered join, so
+    the DuckDB oracle (string_agg ORDER BY position) matches bit-for-bit.
+    """
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    b = int(block_tokens)
+    base = _barrier(
+        _spread(df).select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+        ),
+        cache,
+    ).select(
+        "_id",
+        "_toks",
+        F.size("_toks").alias("_n"),
+        F.expr(f"size(_toks) div {b}").alias("_nb"),
+    )
+    # Full blocks: bpos in [0, _nb); tail tokens beyond _nb*b always kept.
+    blocks_arr = F.when(
+        F.col("_nb") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nb") - 1),
+            lambda i: F.array_join(F.slice("_toks", i * b + 1, b), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = _barrier(
+        base.select("_id", F.posexplode(blocks_arr).alias("bpos", "btext")),
+        cache,
+    )
+    counts = blocks.groupBy("btext").agg(F.count("*").alias("_c"))
+    flagged = blocks.join(counts, "btext").select(
+        "_id", "bpos", "btext", (F.col("_c") >= min_count).alias("_dup")
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.sum(F.col("_dup").cast("int")).cast("int").alias("n_dup_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_dup"), F.struct("bpos", "btext"))
+                    )
+                ),
+                lambda s: s.getField("btext"),
+            ),
+            " ",
+        ).alias("_kept"),
+    )
+    tail = F.array_join(
+        F.slice(F.col("_toks"), F.col("_nb") * b + 1, F.lit(2**31 - 1)), " "
+    )
+    out = (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_nb").cast("int").alias("n_blocks"),
+            F.coalesce("n_dup_blocks", F.lit(0)).cast("int").alias("n_dup_blocks"),
+            F.concat_ws(
+                " ",
+                F.nullif(F.coalesce(F.col("_kept"), F.lit("")), F.lit("")),
+                F.nullif(tail, F.lit("")),
+            ).alias("cleaned_text"),
+        )
+        .withColumn("cleaned_md5", F.md5("cleaned_text"))
+        .withColumn(
+            "n_tokens_kept",
+            F.when(
+                F.col("cleaned_text") == "", F.lit(0)
+            ).otherwise(F.size(F.split(F.col("cleaned_text"), r"\s+"))).cast("int"),
+        )
+    )
+    return out

@@ -767,3 +767,108 @@ def search_conjunctive(
     return df.filter(hits == F.lit(len(terms))).select(
         F.col(id_col), *[F.col(c) for c in keep_cols]
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 1,
+    max_df: int | None = None,
+    fp_scale: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+) -> DataFrame:
+    """All-pairs document cosine similarity over sparse tf·idf vectors via
+    an inverted-index self-join — the classic no-cartesian all-pairs
+    similarity shape (Elsayed/Lin/Oard "pairwise document similarity in
+    MapReduce"): two documents ever meet ONLY through a term they share,
+    so the join cost is Σ_term df(term)² instead of |docs|².
+
+    Scale guards for 100 TB corpora:
+
+    - ``max_df`` is the stop-band: a Zipf-head term with df ≈ corpus size
+      contributes ~nothing to cosine ordering (idf → 1) but df² rows to
+      the join; banding it out bounds the blow-up. Semantics are then
+      "cosine over terms with df ≤ max_df" — an explicit, documented
+      truncation (the prefix-filtering family's first move), not a silent
+      one.
+    - ``ngram > 1`` swaps unigram terms for word n-grams, which are far
+      sparser (df drops superlinearly with n) — the right setting when
+      the unigram vocabulary is small relative to the corpus.
+    - The weight relation is shuffled once on ``term`` and persisted;
+      both join sides and nothing else read it, so the self-join reuses
+      one exchange.
+
+    Cross-engine exactness: idf is the linear rational ``n_docs / df``
+    (see :func:`tfidf_topk`), weights are fixed-point integers
+    ``(tf · n_docs · fp_scale) div df``, and dot/norm accumulate in
+    DECIMAL(38,0) (DuckDB HUGEINT) — order-independent integer sums, so
+    the only float ops are the final correctly-rounded double
+    divide/sqrt chain, identical in every IEEE engine.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if fp_scale < 1:
+        raise ValueError(f"fp_scale must be >= 1, got {fp_scale}")
+    toks = tokens(F.col(text_col))
+    terms_arr = toks if ngram == 1 else gram_arr(toks, ngram)
+    rel = _barrier(
+        spread(df).select(F.col(id_col).alias("_id"), terms_arr.alias("_terms")),
+        cache,
+    )
+    tf = (
+        rel.select("_id", F.explode("_terms").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        docfreq = docfreq.filter(F.col("df") <= max_df)
+    n_docs = rel.select(F.count("*").alias("_n"))
+    weights = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "term",
+            F.expr(f"tf * _n * {int(fp_scale)}L div df").alias("w"),
+        )
+        .repartition("term")
+    )
+    if cache:
+        weights = weights.persist(StorageLevel.MEMORY_AND_DISK)
+    wdec = F.col("w").cast("decimal(19,0)")
+    norms = weights.groupBy("_id").agg(F.sum(wdec * wdec).alias("norm2"))
+    a, b = weights.alias("a"), weights.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(
+            F.count("*").cast("int").alias("n_shared_terms"),
+            F.sum(
+                F.col("a.w").cast("decimal(19,0)")
+                * F.col("b.w").cast("decimal(19,0)")
+            ).alias("dot"),
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na.norm2").cast("double"))
+            * F.sqrt(F.col("nb.norm2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(na, F.col("doc_a") == F.col("na._id"))
+        .join(nb, F.col("doc_b") == F.col("nb._id"))
+        .select("doc_a", "doc_b", "n_shared_terms", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
