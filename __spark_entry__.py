@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from anendektos_spark.functions import (
+    classify,
     convops,
     dedup,
     graph,
@@ -478,6 +479,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_spans"] = lambda s, d: dedup.dedup_spans(
         _t(s, d, "documents"), block_tokens=5, min_count=2
+    )
+    # fixed-point batch-GD linear probe: trains on a deterministic
+    # derived target (sign of the first 8 quantized dims — the synthetic
+    # label column is noise w.r.t. the embeddings) and returns per-row
+    # scored predictions; the oracle replays the FULL 8-iteration fit
+    q["classify_linear_probe"] = lambda s, d: classify.fit_and_score(
+        _t(s, d, "embeddings"), iters=8, lr_num=2, lr_den=1
     )
     return q
 
@@ -2593,4 +2601,6 @@ def oracle_sql() -> dict[str, str]:
                     END AS INT) AS n_tokens_kept
         FROM fin
     """
+    # full unrolled 8-iteration GD replay (classify.fit_sql docstring)
+    o["classify_linear_probe"] = classify.fit_sql(iters=8, lr_num=2, lr_den=1)
     return o

@@ -1,4 +1,11 @@
 """Column-level operator library: text stats, dedup, similarity,
 log-pipeline ops, multimodal plumbing."""
 
-from . import dedup, logops, multimodal, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    classify,
+    dedup,
+    logops,
+    multimodal,
+    similarity,
+    textstats,
+)

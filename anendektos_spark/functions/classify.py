@@ -1,0 +1,249 @@
+"""Distributed linear-classifier training by batch gradient descent in
+fixed-point integer arithmetic — the quality-classifier primitive of a
+training-data pipeline (fastText-style doc filters, binary keep/drop
+models), built so the whole fit is cross-engine EXACT.
+
+Why fixed-point: a float GD loop is shuffle-order-dependent in the last
+ulp (partial sums merge in nondeterministic order), so two runs — let
+alone two engines — drift. Here features are quantized to integers
+(``quantize_features``), the model lives at a fixed integer scale, every
+dot product / residual / gradient is an integer (order-independent sums
+in DECIMAL(38,0) ≡ DuckDB HUGEINT), and the learning-rate step is a
+truncating integer division — so the trained weights are bit-identical
+everywhere, and the driver's DuckDB oracle replays the full fit as an
+unrolled CTE (same pattern as functions/graph.py PageRank).
+
+Least-squares loss on ±1 targets (linear probe / Fisher-style
+classifier) rather than logistic: sigmoid/exp differ by ulps across libm
+implementations, which would break exactness for zero modeling benefit
+at this scale of demonstration. The GD update is
+    W_j += trunc( lr_num · G_j / (n · FP² · lr_den) )
+with G_j = Σ_i X_ij (y_i·FP·WS − Σ_k X_ik W_k).
+
+Scale shape (100 TB): the per-iteration work is one narrow scoring pass
+(65-term codegen dot product against literal weights) plus ONE shuffle of
+(dim, partial-gradient) pairs with map-side combine — dim cardinality is
+the model width, so the shuffle is O(dims × partitions), not O(rows).
+Only the dims-sized gradient vector ever reaches the driver, per
+iteration (the kmeans_fit / PageRank loop contract). Batch GD's
+per-iteration barrier is inherent; production variants (mini-batch,
+L-BFGS) change the schedule, not the shuffle shape.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+FP = 10**4  # feature fixed-point scale
+WS = 10**8  # weight fixed-point scale
+
+
+def quantize_features(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp: int = FP,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Quantize a float vector column to ``array<long>`` at scale ``fp``
+    (round-half-away-from-zero, identical in Spark and DuckDB), optionally
+    appending a constant intercept feature = 1.0·fp."""
+    x = F.transform(
+        F.col(vec_col),
+        lambda e: F.round(e.cast("double") * fp, 0).cast("long"),
+    )
+    if add_intercept:
+        x = F.concat(x, F.array(F.lit(int(fp)).cast("long")))
+    return df.select(F.col(id_col), x.alias("x"))
+
+
+def derived_target(dims: int = 8) -> Column:
+    """A deterministic learnable ±1 target: +1 iff the sum of the first
+    ``dims`` quantized features is positive. Used by the driver query so
+    the fit demonstrably LEARNS (the synthetic ``label`` column is random
+    noise w.r.t. the embeddings — the best linear probe on it is the
+    majority class); any real pipeline passes its own label column."""
+    s = reduce(
+        lambda a, b: a + b, [F.col("x").getItem(j) for j in range(dims)]
+    )
+    return F.when(s > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def _dot(weights: list[int]) -> Column:
+    """Codegen'd integer dot product of x against literal weights."""
+    return reduce(
+        lambda a, b: a + b,
+        [
+            F.col("x").getItem(j) * F.lit(int(w)).cast("long")
+            for j, w in enumerate(weights)
+        ],
+    )
+
+
+def linear_fit(
+    xy: DataFrame,
+    dims: int,
+    iters: int = 8,
+    lr_num: int = 2,
+    lr_den: int = 1,
+    fp: int = FP,
+    cache: bool = True,
+) -> list[int]:
+    """Batch-GD fit over a relation of (x: array<long>, y: long ±1).
+    Returns the integer weight vector (scale ``WS``). Deterministic and
+    engine-exact; see module docstring for the update rule."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr_num < 1 or lr_den < 1:
+        raise ValueError("lr_num and lr_den must be >= 1")
+    rel = xy.select("x", F.col("y").cast("long").alias("y"))
+    if cache:
+        rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+    n = rel.count()
+    if n == 0:
+        raise ValueError("cannot fit on an empty relation")
+    denom = n * fp * fp * lr_den
+    w = [0] * dims
+    for _ in range(iters):
+        resid = (F.col("y") * F.lit(fp * WS).cast("long") - _dot(w)).alias(
+            "r"
+        )
+        grads = (
+            rel.select(resid, F.posexplode("x").alias("j", "xv"))
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.col("xv").cast("decimal(19,0)")
+                    * F.col("r").cast("decimal(19,0)")
+                ).alias("g")
+            )
+            .collect()
+        )
+        g = [0] * dims
+        for row in grads:
+            g[row["j"]] = int(row["g"])
+        w = [
+            wj + _trunc_div(gj * lr_num, denom)
+            for wj, gj in zip(w, g)
+        ]
+    return w
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (matches Spark `div` and
+    the CASE-wrapped DuckDB `//` in the oracle)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def linear_score(
+    xy: DataFrame, weights: list[int], id_col: str = "vec_id"
+) -> DataFrame:
+    """Apply a trained weight vector: per-row integer margin (scale
+    FP·WS), ±1 prediction (margin ≥ 0), and correctness vs y. A narrow
+    map — scoring 100 TB is embarrassingly parallel."""
+    m = _dot(weights)
+    return xy.select(
+        F.col(id_col),
+        F.col("y").cast("int").alias("target"),
+        m.alias("margin_fp"),
+        F.when(m >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("pred"),
+        (
+            F.when(m >= 0, F.lit(1)).otherwise(F.lit(-1))
+            == F.col("y").cast("int")
+        ).alias("correct"),
+    )
+
+
+def fit_and_score(
+    emb: DataFrame,
+    iters: int = 8,
+    lr_num: int = 2,
+    lr_den: int = 1,
+    target_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache: bool = True,
+) -> DataFrame:
+    """End-to-end driver-query shape: quantize, derive the learnable ±1
+    target, fit by batch GD, and return per-row scored predictions."""
+    xq = quantize_features(emb, id_col=id_col, vec_col=vec_col)
+    dims = len(emb.select(vec_col).first()[0]) + 1
+    xy = xq.select(id_col, "x", derived_target(target_dims).alias("y"))
+    if cache:
+        xy = xy.persist(StorageLevel.MEMORY_AND_DISK)
+    w = linear_fit(
+        xy, dims=dims, iters=iters, lr_num=lr_num, lr_den=lr_den, cache=False
+    )
+    return linear_score(xy, w, id_col=id_col)
+
+
+def fit_sql(
+    iters: int = 8,
+    lr_num: int = 2,
+    lr_den: int = 1,
+    dims: int = 65,
+    target_dims: int = 8,
+    fp: int = FP,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`fit_and_score` as ONE unrolled-CTE query
+    (the PageRank-oracle pattern): each GD iteration is a gradient CTE +
+    a weight-update CTE; integer arithmetic matches the Spark fit
+    bit-for-bit (HUGEINT sums ≡ DECIMAL(38,0); CASE-wrapped `//` ≡
+    truncating `div`)."""
+    yfpws = fp * WS
+    denom_tail = f"{fp * fp * lr_den}"
+    tsum = " + ".join(f"x[{j + 1}]" for j in range(target_dims))
+    dot = (
+        f"list_reduce(list_transform(range({dims}), "
+        f"j -> x[j+1] * w[j+1]), (a, b) -> a + b)"
+    )
+    parts = [
+        f"WITH q AS (SELECT {id_col} AS vec_id, "
+        f"list_append(list_transform({vec_col}, "
+        f"e -> CAST(round(CAST(e AS DOUBLE) * {fp}, 0) AS BIGINT)), "
+        f"CAST({fp} AS BIGINT)) AS x FROM {table})",
+        f"t AS (SELECT vec_id, x, CASE WHEN ({tsum}) > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(-1 AS BIGINT) END AS y FROM q)",
+        "meta AS (SELECT count(*) AS n FROM t)",
+        f"dims AS (SELECT unnest(range({dims})) AS j)",
+        "w0 AS (SELECT j, CAST(0 AS BIGINT) AS wv FROM dims)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"wl{p} AS (SELECT list(wv ORDER BY j) AS w FROM w{p})"
+        )
+        parts.append(
+            f"d{k} AS (SELECT vec_id, x, y, {dot} AS m FROM t CROSS JOIN wl{p})"
+        )
+        parts.append(
+            f"g{k} AS (SELECT j, sum(CAST(x[j+1] AS HUGEINT) * "
+            f"(CAST(y AS HUGEINT) * {yfpws} - m)) AS g "
+            f"FROM d{k} CROSS JOIN dims GROUP BY j)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT g{k}.j, wv + CAST(CASE WHEN g >= 0 "
+            f"THEN (g * {lr_num}) // (n * {denom_tail}) "
+            f"ELSE -((-(g * {lr_num})) // (n * {denom_tail})) END AS BIGINT) "
+            f"AS wv FROM g{k} JOIN w{p} ON g{k}.j = w{p}.j CROSS JOIN meta)"
+        )
+    parts.append(
+        f"wlf AS (SELECT list(wv ORDER BY j) AS w FROM w{iters})"
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+        {ctes}
+        SELECT vec_id, CAST(y AS INT) AS target,
+               CAST({dot} AS BIGINT) AS margin_fp,
+               CASE WHEN {dot} >= 0 THEN 1 ELSE -1 END AS pred,
+               (CASE WHEN {dot} >= 0 THEN 1 ELSE -1 END = CAST(y AS INT))
+                 AS correct
+        FROM t CROSS JOIN wlf
+    """
