@@ -247,3 +247,54 @@ def test_lm_score_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan
     # the only nested-loop is the deliberate 1-row vocabulary-size join
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_cosine_pairs_and_spans_no_cartesian(spark, tmp_path):
+    from anendektos_spark.functions import dedup, textstats
+
+    p = str(tmp_path / "docs_pairs")
+    spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(6)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    # all-pairs cosine: docs meet only through shared terms — the only
+    # nested-loop join allowed is the broadcast of the 1-row corpus count
+    plan = plan_of(textstats.tfidf_cosine_pairs(docs, threshold=0.0), "simple")
+    assert "CartesianProduct" not in plan
+    plan2 = plan_of(dedup.dedup_spans(docs, block_tokens=2), "simple")
+    assert "CartesianProduct" not in plan2
+
+
+def test_classifier_gradient_single_shuffle_and_narrow_scoring(spark):
+    from pyspark.sql import functions as F
+
+    from anendektos_spark.functions import classify
+
+    emb = spark.createDataFrame(
+        [(i, [0.1, -0.2]) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    xy = classify.quantize_features(emb).select(
+        "vec_id", "x", classify.derived_target(1).alias("y")
+    )
+    rel = xy.select("x", F.col("y").cast("long").alias("y"))
+    resid = (
+        F.col("y") * F.lit(classify.FP * classify.WS).cast("long")
+        - classify._dot([0, 0, 0])
+    ).alias("r")
+    grads = (
+        rel.select(resid, F.posexplode("x").alias("j", "xv"))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.col("xv").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)")
+            ).alias("g")
+        )
+    )
+    plan = plan_of(grads, "simple")
+    # ONE shuffle keyed on the dim index, partial+final aggregate (the
+    # map-side combine caps shuffle rows at dims × partitions)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+    # scoring against literal weights is a pure narrow map
+    score_plan = plan_of(classify.linear_score(xy, [1, 2, 3]), "simple")
+    assert "Exchange" not in score_plan
