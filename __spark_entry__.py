@@ -487,6 +487,27 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["classify_linear_probe"] = lambda s, d: classify.fit_and_score(
         _t(s, d, "embeddings"), iters=8, lr_num=2, lr_den=1
     )
+    # Deequ-style single-scan constraint validation + key uniqueness +
+    # fixed-width mergeable histogram (profiling primitives)
+    q["validate_events"] = lambda s, d: logops.validate_constraints(
+        _t(s, d, "events"),
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "event_type_known": F.col("event_type").isin(
+                *logops.KNOWN_EVENT_TYPES
+            ),
+            "ts_not_null": F.col("ts").isNotNull(),
+            "props_has_k": F.col("props").rlike(logops.PROPS_K_PATTERN),
+            "user_id_in_range": (F.col("user_id") >= 0)
+            & (F.col("user_id") < 10**6),
+        },
+    )
+    q["unique_violations_users"] = lambda s, d: logops.unique_violations(
+        _t(s, d, "events").select("user_id"), ["user_id"]
+    )
+    q["hist_event_values"] = lambda s, d: logops.value_histogram(
+        _t(s, d, "events"), "value", 0.0, 20.0, 10
+    )
     return q
 
 
@@ -2603,4 +2624,44 @@ def oracle_sql() -> dict[str, str]:
     """
     # full unrolled 8-iteration GD replay (classify.fit_sql docstring)
     o["classify_linear_probe"] = classify.fit_sql(iters=8, lr_num=2, lr_den=1)
+    # constraint validation: one conditional sum per rule; NULL rule
+    # result counts as a violation (mirrors validate_constraints)
+    _vrules = {
+        "value_non_negative": "value >= 0",
+        "event_type_known": (
+            "event_type IN ('click','view','purchase','signup','error')"
+        ),
+        "ts_not_null": "ts IS NOT NULL",
+        "props_has_k": "regexp_matches(props, '\"k\": (\\d+)')",
+        "user_id_in_range": "user_id >= 0 AND user_id < 1000000",
+    }
+    o["validate_events"] = " UNION ALL ".join(
+        f"SELECT '{n}' AS rule, (SELECT count(*) FROM events) AS n_rows, "
+        f"CAST(sum(CASE WHEN ({c}) IS NULL OR NOT ({c}) THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_violations, "
+        f"sum(CASE WHEN ({c}) IS NULL OR NOT ({c}) THEN 1 ELSE 0 END) = 0 "
+        f"AS passed FROM events"
+        for n, c in _vrules.items()
+    )
+    o["unique_violations_users"] = """
+        SELECT user_id, count(*) AS n_occurrences
+        FROM events GROUP BY 1 HAVING count(*) > 1
+    """
+    # histogram: same decimal-scaled integer floor-division binning as
+    # logops.value_histogram (lo=0, hi=20, 10 bins -> width 2_000_000 at
+    # the 1e6 scale)
+    o["hist_event_values"] = """
+        WITH b AS (SELECT CAST(round(CAST(value AS DECIMAL(26,6)) * 1000000, 0)
+                        AS BIGINT) AS vi
+                   FROM events WHERE value IS NOT NULL),
+        bb AS (SELECT greatest(-1, least(10, CAST(
+                 CASE WHEN vi >= 0 THEN vi // 2000000
+                      ELSE -((-vi) // 2000000)
+                           - CASE WHEN (-vi) % 2000000 = 0 THEN 0 ELSE 1 END
+                 END AS INT))) AS bin
+               FROM b)
+        SELECT bin, 0.0 + bin * 2.0 AS lo_edge, 0.0 + (bin + 1) * 2.0 AS hi_edge,
+               count(*) AS n
+        FROM bb GROUP BY 1
+    """
     return o

@@ -22,7 +22,7 @@ session-timezone epoch skew across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 KNOWN_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 PROPS_K_PATTERN = r'"k": (\d+)'
@@ -725,4 +725,117 @@ def snapshot_diff(
     return (
         joined.select(*key_out, status.alias("status"))
         .filter(F.col("status") != "unchanged")
+    )
+
+
+def validate_constraints(
+    df: DataFrame, rules: dict[str, Column]
+) -> DataFrame:
+    """Data-quality constraint validation (the Deequ/Great-Expectations
+    primitive): each rule is a boolean Column that must hold for every
+    row; a NULL rule result counts as a violation (null-hostile, so a
+    rule can't silently pass on missing data).
+
+    ONE scan computes every rule as a conditional sum inside a single
+    aggregate (map-side partial → one singleton exchange), then the
+    per-rule rows are unpivoted driver-free with ``stack``. Adding a rule
+    adds an expression, never a pass — at 100 TB this is the difference
+    between one scan and len(rules) scans.
+
+    Returns (rule string, n_rows long, n_violations long, passed bool).
+    Key-level constraints (uniqueness) need a groupBy — see
+    :func:`unique_violations`."""
+    if not rules:
+        raise ValueError("rules must be a non-empty dict")
+    for name in rules:
+        if '"' in name or "'" in name:
+            raise ValueError(f"rule name {name!r} may not contain quotes")
+    aggs = [F.count("*").alias("_n")]
+    names = list(rules)
+    for i, (name, col) in enumerate(rules.items()):
+        aggs.append(
+            F.sum(
+                F.when(col.isNull() | ~col, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v{i}")
+        )
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack_expr}) AS (rule, n_violations)", "_n"
+    ).select(
+        "rule",
+        F.col("_n").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key-uniqueness constraint: rows whose key occurs more than once.
+    One hash shuffle on the key (map-side combine); returns one row per
+    violating key with its multiplicity — the actionable output (which
+    keys, how bad), not just a count."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: integer bin index via
+    floor division over a DECIMAL-scaled value (engine-exact — no float
+    division whose ulps could flip a boundary row between bins), with
+    underflow/overflow clamped to bins -1 and ``n_bins``. NULLs are
+    dropped (profile_columns reports null counts). One narrow map + one
+    hash aggregate on ≤ n_bins+2 keys; histograms of shards merge by
+    adding counts (used as the mergeable profiling sketch).
+
+    Returns (bin int, lo_edge double, hi_edge double, n long)."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    # scale to integers: bin = (v*1e6 - lo*1e6) div width_1e6, exact in
+    # decimal domain (values are parquet doubles; *1e6 cast decimal is
+    # deterministic in both engines)
+    scale = 10**6
+    lo_i, hi_i = round(lo * scale), round(hi * scale)
+    width_i = (hi_i - lo_i + n_bins - 1) // n_bins  # ceil so hi lands in last bin
+    v_i = F.round(F.col(value_col).cast("decimal(26,6)") * scale, 0).cast(
+        "long"
+    )
+    raw_bin = F.expr(
+        f"CASE WHEN _vi >= 0 THEN _vi div {width_i} "
+        f"ELSE -((-_vi) div {width_i}) - CASE WHEN (-_vi) % {width_i} = 0 "
+        f"THEN 0 ELSE 1 END END"
+    )
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select((v_i - F.lit(lo_i)).alias("_vi"))
+        .select(
+            F.greatest(
+                F.lit(-1), F.least(F.lit(n_bins), raw_bin.cast("int"))
+            ).alias("bin")
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width_i / scale)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width_i / scale)).alias(
+                "hi_edge"
+            ),
+            "n",
+        )
     )

@@ -1226,3 +1226,84 @@ def test_bloom_pruned_join_equals_plain_join(spark):
     assert "array_except" in plan
     join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
     assert join_pos != -1 and plan.index("array_except") > join_pos
+
+
+# --------------------------------------------------------------------------
+# constraint validation / uniqueness / histogram
+# --------------------------------------------------------------------------
+
+def test_validate_constraints_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, -1.0, "ok"), (3, None, "bad"), (4, 2.0, None)],
+        "id long, v double, s string",
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.passed)
+        for r in logops.validate_constraints(
+            df,
+            {
+                "v_non_negative": F.col("v") >= 0,   # -1 fails, NULL fails
+                "s_is_ok": F.col("s") == "ok",       # 'bad' fails, NULL fails
+                "id_positive": F.col("id") > 0,      # holds everywhere
+            },
+        ).collect()
+    }
+    assert got == {
+        "v_non_negative": (4, 2, False),
+        "s_is_ok": (4, 2, False),
+        "id_positive": (4, 0, True),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        logops.validate_constraints(df, {})
+    with _pytest.raises(ValueError):
+        logops.validate_constraints(df, {"a'b": F.col("id") > 0})
+
+
+def test_unique_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k long, s string"
+    )
+    got = {
+        (r.k, r.s): r.n_occurrences
+        for r in logops.unique_violations(df, ["k", "s"]).collect()
+    }
+    assert got == {(1, "a"): 2}
+    single = {r.k: r.n_occurrences for r in logops.unique_violations(df, ["k"]).collect()}
+    assert single == {1: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        logops.unique_violations(df, [])
+
+
+def test_value_histogram_bins_and_clamps(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 0.5, 1.0, 1.999999, 2.0, 9.999999, 10.0, 25.0, None]],
+        "v double",
+    )
+    got = {r.bin: (r.lo_edge, r.hi_edge, r.n) for r in
+           logops.value_histogram(df, "v", 0.0, 10.0, 5).collect()}
+    # width = 2.0; -5 clamps to -1; 25 and 10.0 land at/over hi -> bin 5
+    assert got[-1] == (-2.0, 0.0, 1)
+    assert got[0] == (0.0, 2.0, 4)       # 0.0, 0.5, 1.0, 1.999999
+    assert got[1] == (2.0, 4.0, 1)       # 2.0
+    assert got[4] == (8.0, 10.0, 1)      # 9.999999
+    assert got[5] == (10.0, 12.0, 2)     # 10.0 (hi edge), 25 (overflow)
+    assert sum(n for _, _, n in got.values()) == 9  # NULL dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        logops.value_histogram(df, "v", 5.0, 5.0)
+    with _pytest.raises(ValueError):
+        logops.value_histogram(df, "v", 0.0, 1.0, 0)
+
+
+def test_value_histogram_negative_range_floor_division(spark):
+    # floor semantics across zero: lo=-4, width=2 -> [-4,-2),[-2,0),[0,2),[2,4)
+    df = spark.createDataFrame(
+        [(x,) for x in [-4.0, -3.0, -2.0, -0.5, 0.0, 1.5, 3.999999]], "v double"
+    )
+    got = {r.bin: r.n for r in logops.value_histogram(df, "v", -4.0, 4.0, 4).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1}
