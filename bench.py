@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "zorder_events", "text_tfidf_topk", "text_dup_gram_frac", "text_chunks",
     "funnel_steps", "rate_spikes", "scd2_user_type", "semantic_dup_pairs",
     "text_inverted_index", "tpch_q18", "text_lm_score", "freq_cms_users",
-    "graph_pagerank",
+    "graph_pagerank", "dedup_spans", "validate_events", "hist_event_values",
 ]
 
 
