@@ -16,7 +16,7 @@ Each level runs in its own subprocess (fresh JVM) so executor-thread
 count is the only variable; per level the job runs warm (one warmup +
 `--runs` timed repetitions, best taken) so constant costs — JVM start,
 codegen compilation, Python worker fork — don't pollute the scaling
-signal. Writes BENCH.md.
+signal. Writes BENCH_SCALING_RAW.md (BENCH.md is the curated analysis).
 
 Usage: python scripts/scaling_bench.py [--replicas 40000] [--runs 2]
 """
@@ -118,8 +118,16 @@ JOB_TITLES = {
 
 
 def run_level(cores: int, replicas: int, runs: int, mode: str, job: str) -> dict:
+    # Pin the ENTIRE process tree (JVM + pyspark Arrow workers) to exactly
+    # `cores` physical CPUs. -XX:ActiveProcessorCount alone right-sizes the
+    # JVM's GC/JIT pools but lets Python UDF workers ride free on idle host
+    # cores — which inflates the small level's throughput and deflates the
+    # measured scaling efficiency (observed: normalize-mode pairs scored
+    # 0.72-0.76 unpinned vs pure-JVM passthrough at 0.89-0.95). taskset
+    # makes each level a faithful N-core machine for everything it spawns.
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(replicas), str(runs), mode, job],
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", WORKER,
+         str(cores), str(replicas), str(runs), mode, job],
         capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
@@ -144,10 +152,13 @@ def main() -> None:
     ap.add_argument("--modes", default="normalize,passthrough")
     ap.add_argument("--jobs", default="fanout,validate")
     # chunked runs: --raw-out appends this invocation's results as a JSON
-    # line (no BENCH.md write); --assemble merges a raw file and writes
-    # BENCH.md — lets a long matrix run as several shorter invocations
+    # line (no md write); --assemble merges a raw file and writes
+    # BENCH_SCALING_RAW.md — lets a long matrix run as several invocations
     ap.add_argument("--raw-out", default=None)
     ap.add_argument("--assemble", default=None)
+    # N,4N pair to measure (default 4,16 — see module docstring); 8,32
+    # puts both levels in comparable host-utilization/turbo states
+    ap.add_argument("--levels", default="4,16")
     args = ap.parse_args()
 
     if args.assemble:
@@ -164,7 +175,7 @@ def main() -> None:
         results[job] = {}
         for mode in args.modes.split(","):
             per_mode = []
-            for cores in (4, 16):
+            for cores in tuple(int(c) for c in args.levels.split(",")):
                 r = run_level(cores, args.replicas, args.runs, mode, job)
                 print(json.dumps(r))
                 per_mode.append(r)
@@ -183,20 +194,21 @@ def main() -> None:
 
 def write_bench_md(results: dict) -> None:
     n_turns = next(iter(next(iter(results.values())).values()))["levels"][0]["turns"]
-    with open("/root/repo/BENCH.md", "w") as f:
+    with open("/root/repo/BENCH_SCALING_RAW.md", "w") as f:
         f.write("# BENCH — pipeline throughput & scaling efficiency\n\n")
         f.write(
             "Input: synth transcripts (26 golden rows × replicas, 1% hot-conversation\n"
             f"skew, 1% malformed rows), {n_turns} turns in 128 partitions — identical\n"
-            "at every level. Protocol: each level runs in its own JVM\n"
-            "(`-XX:ActiveProcessorCount=<cores>` so GC/JIT pools match the simulated\n"
-            "cluster size); min of N rebuild-per-run repetitions (first runs absorb\n"
-            "codegen + C2 JIT; GC noise is one-sided). Levels are local[4] vs\n"
-            "local[16] (N and 4N cores): a 4/8/16/32 sweep on this 32-core VM shows\n"
-            "near-linear scaling through 16 cores and throughput INVERSION at 32\n"
-            "(shared-host memory bandwidth/GC), so 4-vs-16 varies parallelism rather\n"
-            "than host saturation. This is the sandbox substitute for the\n"
-            "north_rule's N-vs-4N-executor clusters.\n\n"
+            "at every level. Protocol: each level runs in its own JVM, with the\n"
+            "ENTIRE process tree (JVM + Arrow Python workers) pinned to exactly N\n"
+            "physical CPUs via `taskset -c` and `-XX:ActiveProcessorCount=N` sizing\n"
+            "the GC/JIT pools to match; min of N rebuild-per-run repetitions (first\n"
+            "runs absorb codegen + C2 JIT; GC noise is one-sided). A 4/8/16/32\n"
+            "sweep on this 32-core VM shows the host's memory-bandwidth share stops\n"
+            "simulating independent executors past ~8-16 busy cores, so 4-vs-16 is\n"
+            "the largest honest N/4N pair. This is the sandbox substitute for the\n"
+            "north_rule's N-vs-4N-executor clusters; BENCH.md carries the curated\n"
+            "analysis.\n\n"
         )
         for job, by_mode in results.items():
             f.write(f"## {JOB_TITLES.get(job, job)}\n\n")
@@ -218,7 +230,7 @@ def write_bench_md(results: dict) -> None:
             "operator-suite + pipeline numbers the driver records.\n"
         )
         f.write("\nRaw:\n\n```json\n" + json.dumps(results, indent=2) + "\n```\n")
-    print("wrote BENCH.md")
+    print("wrote BENCH_SCALING_RAW.md")
 
 
 if __name__ == "__main__":
