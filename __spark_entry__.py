@@ -32,6 +32,7 @@ from anendektos_spark.functions import (
     similarity,
     sketches,
     textstats,
+    transcript,
     zeek_oracle,
 )
 
@@ -507,6 +508,33 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["hist_event_values"] = lambda s, d: logops.value_histogram(
         _t(s, d, "events"), "value", 0.0, 20.0, 10
+    )
+
+    # --- the north_star transcript pipeline itself (functions/transcript.py):
+    #     grok-parse of tool/status/latency markers out of turn text,
+    #     reject channel, fan-out counts, broadcast enrich, per-sink
+    #     summaries, hourly buckets, top-K — every stage DuckDB-mirrored ---
+    q["transcript_parse"] = lambda s, d: transcript.parse_turns(
+        transcript.synth_transcript(s, _CONV_N)
+    )
+    q["transcript_rejects"] = lambda s, d: transcript.reject_turns(
+        transcript.synth_transcript(s, _CONV_N)
+    )
+    q["transcript_route_counts"] = lambda s, d: transcript.route_counts(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_enrich_agg"] = lambda s, d: transcript.enrich_agg(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)),
+        transcript.tool_dim(s),
+    )
+    q["transcript_tool_summary"] = lambda s, d: transcript.tool_summary(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_hourly"] = lambda s, d: transcript.hourly_counts(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_topk_tools"] = lambda s, d: transcript.topk_tools(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)), 3
     )
     return q
 
@@ -2664,4 +2692,13 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM bb GROUP BY 1
     """
+
+    _tx_rel = transcript.synth_transcript_sql(_CONV_N)
+    o["transcript_parse"] = transcript.parse_turns_sql(_tx_rel)
+    o["transcript_rejects"] = transcript.reject_turns_sql(_tx_rel)
+    o["transcript_route_counts"] = transcript.route_counts_sql(_tx_rel)
+    o["transcript_enrich_agg"] = transcript.enrich_agg_sql(_tx_rel)
+    o["transcript_tool_summary"] = transcript.tool_summary_sql(_tx_rel)
+    o["transcript_hourly"] = transcript.hourly_counts_sql(_tx_rel)
+    o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
     return o
