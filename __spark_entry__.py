@@ -447,6 +447,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q12"] = _tpch_q12
     q["tpch_q15"] = _tpch_q15
     q["tpch_q17"] = _tpch_q17
+    # q2/q11/q16/q20/q21 complete the 22-query TPC-H sweep (each adapted
+    # to the driver schema — no partsupp/shipmode/receiptdate columns)
+    q["tpch_q2"] = _tpch_q2
+    q["tpch_q11"] = _tpch_q11
+    q["tpch_q16"] = _tpch_q16
+    q["tpch_q20"] = _tpch_q20
+    q["tpch_q21"] = _tpch_q21
     q["cdc_apply_customers"] = _cdc_apply_customers
     # exact distinct-per-key at skew: Spark's count(DISTINCT) expansion
     # already plans the salted two-stage shape (PLANS.md "Count-distinct
@@ -1259,6 +1266,200 @@ def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_extended_price"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+def _line_cents() -> F.Column:
+    """Exact per-line extendedprice in integer cents (engine-identical)."""
+    return F.round(
+        F.col("l_extendedprice").cast("decimal(25,10)") * 100, 0
+    ).cast("long")
+
+
+_LINE_CENTS_SQL = (
+    "CAST(round(CAST(l_extendedprice AS DECIMAL(25,10)) * 100, 0) AS BIGINT)"
+)
+
+
+def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 adapted (no partsupp table → lineitem is the
+    part-supplier offer relation; supply cost = min line price in exact
+    cents): for LARGE parts of size ≤ 15, the EUROPE supplier(s) at the
+    exact per-part minimum cost, with supplier/nation detail. The
+    min-equality join is on integer cents so the tie set is
+    engine-exact (same trick as q15)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(_line_cents()).alias("cost_cents"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("_bp")).agg(
+        F.min("cost_cents").alias("_best")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("_bp"))
+            & (F.col("cost_cents") == F.col("_best")),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "n_name",
+            (F.col("cost_cents").cast("double") / 100).alias("supply_cost"),
+        )
+    )
+
+
+def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 adapted (no partsupp → per-part inventory value = exact
+    cents of NATION_7 suppliers' line revenue); keep parts whose value
+    exceeds 2× the per-part average via BIGINT cross-multiply
+    (``value * n_parts > 2 * total`` — no float fraction, and unlike the
+    original's fixed fraction it stays non-vacuous at every scale
+    factor). Totals stay < 2^63/n_parts at real scale; beyond that the
+    cross-multiply moves to decimal(38,0) like pagerank's guard."""
+    n7 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n7), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s7), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_line_cents()).alias("value_cents"))
+    )
+    tot = v.agg(
+        F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_np")
+    )
+    return (
+        v.join(
+            F.broadcast(tot),
+            F.col("value_cents") * F.col("_np") > F.lit(2) * F.col("_total"),
+        )
+        .select(
+            "p_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("part_value"),
+        )
+    )
+
+
+def _tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 adapted: distinct-supplier counts per (brand, type,
+    size) over the lineitem part-supplier relation, excluding Brand#23,
+    PROMO types, and 'complaint' suppliers (s_acctbal < 0 stands in for
+    the name-pattern complaint filter). Anti-join for the exclusion,
+    broadcast both dims."""
+    sizes = (1, 9, 14, 19, 23, 36, 45, 49)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*sizes)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 adapted (no partsupp/availqty → threshold on shipped
+    quantity): EUROPE suppliers who shipped more than 300 total quantity
+    of widget parts during 1996. Quantities are integral in this corpus,
+    summed as BIGINT — the > threshold is exact."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return shipped.join(
+        F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_name", "total_qty")
+
+
+def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 adapted (no commit/receipt dates → l_returnflag='R' is
+    the kept-waiting signal): over finished ('F') multi-supplier orders
+    where EXACTLY ONE supplier has a returned line, charge that supplier
+    one wait. The original's exists / not-exists correlated subqueries
+    collapse into one per-order aggregate (distinct suppliers, distinct
+    returned suppliers, and — valid only when that count is 1 — the
+    returned supplier itself), so the whole query is two shuffles."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    is_r = F.col("l_returnflag") == "R"
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+            F.max(F.when(is_r, F.col("l_suppkey"))).alias("wait_suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("wait_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("wait_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
     )
 
 
@@ -2581,6 +2782,92 @@ def oracle_sql() -> dict[str, str]:
         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
         JOIN a ON l.l_partkey = a.l_partkey
         WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
+    """
+    o["tpch_q2"] = f"""
+        WITH eur AS (
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        ),
+        p AS (SELECT p_partkey, p_brand FROM part
+              WHERE p_type = 'LARGE' AND p_size <= 15),
+        offers AS (
+          SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+                 min({_LINE_CENTS_SQL}) AS cost_cents
+          FROM lineitem
+          JOIN p ON l_partkey = p_partkey
+          JOIN eur ON l_suppkey = s_suppkey
+          GROUP BY 1, 2, 3, 4, 5
+        ),
+        best AS (SELECT p_partkey AS bp, min(cost_cents) AS best_cents
+                 FROM offers GROUP BY 1)
+        SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+               cost_cents / 100.0 AS supply_cost
+        FROM offers JOIN best ON p_partkey = bp AND cost_cents = best_cents
+    """
+    o["tpch_q11"] = f"""
+        WITH s7 AS (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        ),
+        v AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(sum({_LINE_CENTS_SQL}) AS BIGINT) AS value_cents
+          FROM lineitem JOIN s7 ON l_suppkey = s_suppkey
+          GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+                       count(*) AS np FROM v)
+        SELECT p_partkey, value_cents / 100.0 AS part_value
+        FROM v, tot WHERE value_cents * np > 2 * total
+    """
+    o["tpch_q16"] = """
+        WITH p AS (
+          SELECT p_partkey, p_brand, p_type, p_size FROM part
+          WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+            AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN p ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """
+    o["tpch_q20"] = """
+        WITH shipped AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND contains(p_name, 'widget')
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          GROUP BY 1
+          HAVING total_qty > 300
+        )
+        SELECT s_suppkey, s_name, n_name, total_qty
+        FROM shipped
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    """
+    o["tpch_q21"] = """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                     THEN l_suppkey END) AS n_r_supp,
+                 max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS wait_suppkey
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM per_order
+        JOIN supplier ON wait_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND n_r_supp = 1
+        GROUP BY 1, 2
     """
     # all-pairs tf·idf cosine: fixed-point integer weights (tf·n·1000 // df),
     # HUGEINT dot/norm sums == Spark DECIMAL(38,0); final double div/sqrt
