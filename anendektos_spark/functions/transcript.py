@@ -251,6 +251,12 @@ def enrich_agg(parsed: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def err_rate_col() -> F.Column:
+    """Fixed-point error rate over (n_err, n_calls) — shared by the batch
+    summarizer and the streaming fold so the two are bit-identical."""
+    return (F.expr("(n_err * 10000) DIV n_calls")).cast("long") / F.lit(10000.0)
+
+
 def tool_summary(parsed: DataFrame) -> DataFrame:
     """Per-sink summarizer (conn.d:233-241 analog per tool): call count,
     exact-distinct conversations, error count + fixed-point error rate,
@@ -265,10 +271,7 @@ def tool_summary(parsed: DataFrame) -> DataFrame:
             F.sum(F.col("latency_ms").cast("long")).alias("latency_total_ms"),
             F.max("latency_ms").alias("latency_max_ms"),
         )
-        .withColumn(
-            "err_rate",
-            (F.expr("(n_err * 10000) DIV n_calls")).cast("long") / F.lit(10000.0),
-        )
+        .withColumn("err_rate", err_rate_col())
     )
 
 

@@ -393,6 +393,78 @@ def run_streaming_counts(
     return writer.start()
 
 
+def stream_grok_partials(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Streaming form of the north_star grok summary
+    (functions/transcript.py): each micro-batch grok-parses its turns
+    (codegen regexp, zero Python) and commits (tool, conv_id)-grain
+    mergeable partials to an epoch-keyed partition — the exactly-once
+    overwrite-per-epoch protocol of stream_rollup_partials. Keeping
+    conv_id in the partial grain preserves EXACT distinct-conversation
+    counts across epochs with no driver-side state; state per epoch is
+    O(tools × touched conversations), never a history scan.
+    ``read_grok_summary`` folds the partials to the batch answer."""
+    from .functions import transcript
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        (
+            transcript.parse_turns(batch)
+            .groupBy("tool_called", "conv_id")
+            .agg(
+                F.count("*").alias("n_calls"),
+                F.sum(F.when(F.col("status") != "OK", 1).otherwise(0)).alias("n_err"),
+                F.sum(F.col("latency_ms").cast("long")).alias("latency_total_ms"),
+                F.max("latency_ms").alias("latency_max_ms"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/epoch={epoch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_grok_summary(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Fold the streamed grok partials into per-tool summaries —
+    bit-identical to batch ``transcript.tool_summary`` over the union of
+    all streamed rows (pinned by tests/test_streaming.py). Two-level
+    fold: merge epochs at (tool, conv) grain first, so distinct-conv
+    counts stay exact and the latency max is a max-of-max."""
+    from .functions import transcript
+
+    per_conv = (
+        spark.read.parquet(partials_dir)
+        .groupBy("tool_called", "conv_id")
+        .agg(
+            F.sum("n_calls").alias("n_calls"),
+            F.sum("n_err").alias("n_err"),
+            F.sum("latency_total_ms").alias("latency_total_ms"),
+            F.max("latency_max_ms").alias("latency_max_ms"),
+        )
+    )
+    return (
+        per_conv.groupBy(F.col("tool_called").alias("tool"))
+        .agg(
+            F.sum("n_calls").alias("n_calls"),
+            F.count(F.lit(1)).alias("n_convs"),  # rows are distinct convs
+            F.sum("n_err").alias("n_err"),
+            F.sum("latency_total_ms").alias("latency_total_ms"),
+            F.max("latency_max_ms").alias("latency_max_ms"),
+        )
+        .withColumn("err_rate", transcript.err_rate_col())
+    )
+
+
 def stream_rate_spikes(
     stream: DataFrame,
     output_dir: str,

@@ -132,6 +132,36 @@ def run_conv_bench(spark, n_turns: int) -> dict[str, float]:
     return out
 
 
+def run_grok_bench(spark, n_turns: int) -> dict[str, float]:
+    """The north_star grok pipeline (functions/transcript.py) over a
+    persisted 2M-turn marker-bearing transcript relation: codegen-regexp
+    parse → broadcast enrich → per-sink summary, and the reject channel.
+    Same protocol as run_conv_bench (input materialized first,
+    best-of-3 warm-JIT)."""
+    from anendektos_spark.functions import transcript
+
+    tx = transcript.synth_transcript(spark, n_turns, partitions=CPUS * 4).persist()
+    tx.count()
+    dim = transcript.tool_dim(spark)
+    out: dict[str, float] = {}
+    for name, fn in (
+        ("transcript_grok_summary_2m",
+         lambda d: transcript.tool_summary(transcript.parse_turns(d))),
+        ("transcript_grok_enrich_2m",
+         lambda d: transcript.enrich_agg(transcript.parse_turns(d), dim)),
+        ("transcript_grok_rejects_2m", transcript.reject_turns),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _force_eval(fn(tx))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+        print(f"# {name}: {out[name]}s", file=sys.stderr)
+    tx.unpersist()
+    return out
+
+
 def _force_eval(df) -> int:
     """Evaluate EVERY output column, not just enough to count: a bare
     count() lets Catalyst prune unreferenced projections, so narrow-map
@@ -184,6 +214,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     timings.update(run_conv_bench(spark, 2_000_000))
+    timings.update(run_grok_bench(spark, 2_000_000))
 
     timings["zeek_pipeline_1m"] = round(pipe_sec, 3)
     timings["zeek_pipeline_1m_passthrough"] = round(pipe_legs["passthrough"], 3)

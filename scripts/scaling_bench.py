@@ -47,12 +47,18 @@ spark = (SparkSession.builder.master(f"local[{cores}]")
     .appName(f"scaling-{cores}").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from anendektos_spark.fixtures import synth_transcripts
+from anendektos_spark.functions import transcript
 from anendektos_spark.parse import parse_sink, parse_validate_all, ParseOptions
 from anendektos_spark.schemas import KNOWN_TOOLS
 
 # identical input at every level: fixed replicas, fixed partition count
-tx = synth_transcripts(spark, replicas=replicas, hot_fraction=0.01,
-                       malformed_fraction=0.01, partitions=128).persist()
+if job == "grok":
+    # the north_star grok pipeline's input: marker-bearing conversation
+    # transcripts (~25 turns per zeek-replica keeps row counts comparable)
+    tx = transcript.synth_transcript(spark, replicas * 25, partitions=128).persist()
+else:
+    tx = synth_transcripts(spark, replicas=replicas, hot_fraction=0.01,
+                           malformed_fraction=0.01, partitions=128).persist()
 n = tx.count()
 
 GOOD_REJ = [
@@ -62,6 +68,11 @@ GOOD_REJ = [
 ]
 
 def build():
+    if job == "grok":
+        # north_star grok pipeline: codegen-regexp parse -> broadcast
+        # enrich -> category aggregate (addr mode n/a: zero Python)
+        return transcript.enrich_agg(
+            transcript.parse_turns(tx), transcript.tool_dim(spark))
     opts = ParseOptions(addr_mode=mode)
     if job == "validate":
         # one-pass CASE-gated validation across all six sinks: one scan,
@@ -113,6 +124,11 @@ JOB_TITLES = {
     "validate": (
         "Job 2 — one-pass metrics shape (`parse_validate_all`: single "
         "scan, CASE-gated per-tool validation, one aggregate shuffle)"
+    ),
+    "grok": (
+        "Job 3 — north_star grok pipeline (functions/transcript.py: "
+        "codegen-regexp parse of tool/status/latency markers → broadcast "
+        "enrich → category aggregate; zero Python boundaries)"
     ),
 }
 

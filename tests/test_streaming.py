@@ -402,3 +402,33 @@ def test_stream_session_counts(spark, tmp_path):
     assert got[("convA", "2024-01-01 10:00:00")] == 3
     assert got[("convA", "2024-01-01 10:30:00")] == 1
     assert got[("convB", "2024-01-01 10:05:00")] == 1
+
+
+def test_stream_grok_partials_match_batch_tool_summary(spark, tmp_path):
+    """The streaming grok pipeline's folded partials must equal batch
+    transcript.tool_summary over the same rows, across multiple epochs
+    (conversations deliberately split across micro-batches so the
+    distinct-conv fold is exercised)."""
+    from anendektos_spark.functions import transcript
+
+    tx = transcript.synth_transcript(spark, 4000)
+    d = str(tmp_path / "txin")
+    # split WITHIN conversations (odd/even turns) -> every conversation
+    # spans both epochs; a naive sum of per-epoch distinct counts would
+    # double-count and fail this test
+    tx.filter(F.col("turn_idx") % 2 == 0).write.parquet(d)
+    tx.filter(F.col("turn_idx") % 2 == 1).write.mode("append").parquet(d)
+    stream = streaming.stream_transcripts(spark, d, max_files_per_trigger=1)
+    out, ckpt = str(tmp_path / "grok"), str(tmp_path / "gck")
+    q = streaming.stream_grok_partials(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert len(spark.read.parquet(out).inputFiles()) >= 2  # multiple epochs
+
+    cols = ("n_calls", "n_convs", "n_err", "latency_total_ms",
+            "latency_max_ms", "err_rate")
+    got = {r.tool: tuple(r[c] for c in cols)
+           for r in streaming.read_grok_summary(spark, out).collect()}
+    want = {r.tool: tuple(r[c] for c in cols)
+            for r in transcript.tool_summary(
+                transcript.parse_turns(tx)).collect()}
+    assert got == want
