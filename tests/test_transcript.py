@@ -127,3 +127,43 @@ def test_pipeline_single_shuffle_per_aggregate(spark):
         # aggregate key (countDistinct legitimately adds an expand round)
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n_ex <= 2, f"{op.__name__}: {n_ex} exchanges"
+
+
+def test_grok_pipeline_commit_and_resume(spark, tmp_path):
+    """run_grok_pipeline commits every stage, resumes idempotently on
+    re-run (zero rebuilds), and its committed summary equals the direct
+    batch computation."""
+    from anendektos_spark.grok_pipeline import GrokPipelineConfig, run_grok_pipeline
+
+    in_dir = str(tmp_path / "in")
+    transcript.synth_transcript(spark, 2000).write.parquet(in_dir)
+    cfg = GrokPipelineConfig(
+        input_path=in_dir, output_root=str(tmp_path / "stages"),
+        sink_partition_by="day",
+    )
+    m1 = run_grok_pipeline(spark, cfg)
+    assert all(not s["resumed"] for s in m1["stages"].values())
+    m2 = run_grok_pipeline(spark, cfg)
+    assert all(s["resumed"] for s in m2["stages"].values())
+    assert {k: v["rows"] for k, v in m2["stages"].items()} == {
+        k: v["rows"] for k, v in m1["stages"].items()
+    }
+
+    from anendektos_spark.checkpoint import StageStore
+
+    store = StageStore(cfg.output_root)
+    tx = spark.read.parquet(in_dir)
+    want = {r.tool: (r.n_calls, r.n_convs, r.err_rate)
+            for r in transcript.tool_summary(transcript.parse_turns(tx)).collect()}
+    got = {r.tool: (r.n_calls, r.n_convs, r.err_rate)
+           for r in store.read(spark, "grok_summary").collect()}
+    assert got == want
+    # fan-out accounting: sink rows sum to parsed rows
+    n_parsed = m1["stages"]["grok_parsed"]["rows"]
+    n_sinks = sum(v["rows"] for k, v in m1["stages"].items()
+                  if k.startswith("grok_sink_"))
+    assert n_sinks == n_parsed
+    # day-partitioned sinks actually wrote partition directories
+    import glob
+    assert glob.glob(str(tmp_path / "stages" / "grok_sink_conn" / "data" /
+                         "part_bucket=*"))
