@@ -543,6 +543,12 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcript_topk_tools"] = lambda s, d: transcript.topk_tools(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)), 3
     )
+
+    # tokenizer-vocab primitives (functions/textstats.py)
+    q["text_vocab"] = lambda s, d: textstats.vocab_build(_t(s, d, "documents"), 5)
+    q["text_vocab_coverage"] = lambda s, d: textstats.vocab_coverage(
+        _t(s, d, "documents"), 5
+    )
     return q
 
 
@@ -2988,4 +2994,26 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_tool_summary"] = transcript.tool_summary_sql(_tx_rel)
     o["transcript_hourly"] = transcript.hourly_counts_sql(_tx_rel)
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
+
+    _vocab_counts = f"""
+        i AS (SELECT unnest(regexp_split_to_array({_NORM}, '\\s+')) AS token
+              FROM documents),
+        c AS (SELECT token, count(*) AS n FROM i
+              WHERE token <> '' GROUP BY 1)
+    """
+    o["text_vocab"] = f"WITH {_vocab_counts} SELECT token, n FROM c WHERE n >= 5"
+    o["text_vocab_coverage"] = f"""
+        WITH {_vocab_counts},
+        g AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_instances,
+                 count(*) AS n_types,
+                 CAST(sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_types,
+                 CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS kept_instances
+          FROM c
+        )
+        SELECT *, (kept_instances * 10000) // n_instances / 10000.0 AS coverage
+        FROM g
+    """
     return o

@@ -872,3 +872,55 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", "n_shared_terms", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def vocab_build(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary — token → occurrence count for tokens appearing
+    at least ``min_count`` times; the tokenizer-training / BPE-precursor
+    primitive. Text is canonicalized (lowercase, collapsed whitespace)
+    first so 'The' and 'the' merge.
+
+    Scale shape: posexplode-free explode + ONE map-side-combined count
+    shuffle keyed by token; the min_count cut runs on the aggregated
+    relation (orders of magnitude smaller than the instance stream), so
+    nothing rare ever crosses a second shuffle."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """One-row go/no-go report for a ``min_count`` vocabulary cut: total
+    token instances, distinct types, kept types, and the fixed-point
+    share of instances the kept vocabulary covers (the OOV complement).
+    Same single-shuffle shape as vocab_build plus one tiny final fold."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    kept = F.col("n") >= min_count
+    return (
+        counts.agg(
+            F.sum("n").alias("n_instances"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("kept_types"),
+            F.sum(F.when(kept, F.col("n")).otherwise(0)).alias("kept_instances"),
+        )
+        .withColumn(
+            "coverage",
+            F.expr("(kept_instances * 10000) DIV n_instances").cast("long")
+            / F.lit(10000.0),
+        )
+    )

@@ -1307,3 +1307,18 @@ def test_value_histogram_negative_range_floor_division(spark):
     )
     got = {r.bin: r.n for r in logops.value_histogram(df, "v", -4.0, 4.0, 4).collect()}
     assert got == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+def test_vocab_build_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat  sat"), (2, "The cat ran"), (3, "a dog")],
+        "doc_id long, text string",
+    )
+    vocab = {r.token: r.n for r in textstats.vocab_build(docs, min_count=2).collect()}
+    assert vocab == {"the": 2, "cat": 2}  # 'The' canonicalized into 'the'
+    cov = textstats.vocab_coverage(docs, min_count=2).collect()[0]
+    # instances: the,cat,sat,the,cat,ran,a,dog = 8; types: 6; kept: the,cat
+    assert (cov.n_instances, cov.n_types, cov.kept_types, cov.kept_instances) == (
+        8, 6, 2, 4,
+    )
+    assert cov.coverage == (4 * 10000 // 8) / 10000.0
