@@ -28,6 +28,7 @@ from pyspark.storagelevel import StorageLevel
 
 from .checkpoint import StageStore
 from .functions import transcript
+from .ordering import salted_repartition
 
 
 @dataclass
@@ -36,8 +37,16 @@ class GrokPipelineConfig:
     output_root: str                 # stage store root
     top_k: int = 3
     sink_partition_by: str | None = None  # "day"/"hour" sink partitioning
+    # hot-conversation defusal: when set, the input is repartitioned on
+    # (conv_id, salt) before parse so one viral conversation spreads over
+    # salt_buckets partitions instead of pinning one task (parse itself is
+    # per-row, but the persisted relation feeds conv-keyed downstream work)
+    repartition: int | None = None
+    salt_buckets: int = 16
 
     def fingerprint(self) -> str:
+        # repartition/salt_buckets are layout-only (identical row sets),
+        # so they are deliberately NOT part of the resume fingerprint
         ident = json.dumps(
             {
                 "input": self.input_path,
@@ -74,7 +83,10 @@ def run_grok_pipeline(spark: SparkSession, cfg: GrokPipelineConfig) -> dict:
     fp = cfg.fingerprint()
     metrics: dict = {"fingerprint": fp, "stages": {}}
 
-    tx = spark.read.parquet(cfg.input_path).persist(StorageLevel.MEMORY_AND_DISK)
+    tx = spark.read.parquet(cfg.input_path)
+    if cfg.repartition:
+        tx = salted_repartition(tx, cfg.repartition, cfg.salt_buckets)
+    tx = tx.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- parse + reject channel: two commits off one persisted scan ---
     _commit(store, fp, metrics, "grok_parsed", lambda: transcript.parse_turns(tx))

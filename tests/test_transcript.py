@@ -139,7 +139,7 @@ def test_grok_pipeline_commit_and_resume(spark, tmp_path):
     transcript.synth_transcript(spark, 2000).write.parquet(in_dir)
     cfg = GrokPipelineConfig(
         input_path=in_dir, output_root=str(tmp_path / "stages"),
-        sink_partition_by="day",
+        sink_partition_by="day", repartition=4, salt_buckets=4,
     )
     m1 = run_grok_pipeline(spark, cfg)
     assert all(not s["resumed"] for s in m1["stages"].values())
