@@ -549,6 +549,19 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_vocab_coverage"] = lambda s, d: textstats.vocab_coverage(
         _t(s, d, "documents"), 5
     )
+    q["conv_sft_pairs"] = lambda s, d: convops.sft_pairs(
+        convops.synth_conv(s, _CONV_N)
+    )
+    q["sample_weighted"] = lambda s, d: sampling.weighted_sample(
+        _t(s, d, "documents").withColumn(
+            "w", F.length("text").cast("double")
+        ),
+        10,
+        "w",
+        "doc_id",
+        group_col="source",
+        salt="ws",
+    ).select("doc_id", "source", "wsample_rank")
     return q
 
 
@@ -3015,5 +3028,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT *, (kept_instances * 10000) // n_instances / 10000.0 AS coverage
         FROM g
+    """
+    o["conv_sft_pairs"] = convops.sft_pairs_sql(convops.synth_conv_sql(_CONV_N))
+    # uniform-race weighted sample (sampling.weighted_sample): identical
+    # md5 uniform, integer weight quantization, HUGEINT priority divide
+    o["sample_weighted"] = """
+        WITH s AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                      1, 12))::BIGINT AS HUGEINT) AS u,
+                 CAST(round(length(text) * 10000) AS HUGEINT) AS wq
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY (u * 1000000) // wq, doc_id) AS rk
+          FROM s WHERE wq > 0
+        )
+        SELECT doc_id, source, CAST(rk AS INT) AS wsample_rank
+        FROM r WHERE rk <= 10
     """
     return o

@@ -299,6 +299,69 @@ def context_growth(df: DataFrame, budget_chars: int = 400) -> DataFrame:
     ).withColumn("over_budget", F.col("ctx_chars") > budget_chars)
 
 
+def sft_pairs(df: DataFrame, budget_chars: int = 2000) -> DataFrame:
+    """Extract supervised-fine-tuning training pairs from transcripts:
+    one row per assistant turn with ``prompt`` = every preceding turn of
+    the conversation rendered in order as ``role: text`` lines, and
+    ``response`` = the assistant turn's text — the conversation→(input,
+    target) flattening step of an instruction-tuning data pipeline.
+    ``pair_chars``/``fits_budget`` report the pair's size against a
+    context budget so a downstream packer can filter or truncate.
+
+    One hash shuffle on conv_id; the prefix context comes from a
+    collect_list window over (conv_id ORDER BY turn_idx, frame = rows
+    preceding) with an array_sort on (turn_idx, line) structs, so the
+    rendered prompt order is deterministic regardless of partitioning
+    (same stable-order trick as :func:`conv_reconstruct`)."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    ctx = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), line.alias("line"))).over(w)
+            ),
+            lambda s: s["line"],
+        ),
+        "\n",
+    )
+    return (
+        df.select("conv_id", "turn_idx", "role", "text", ctx.alias("prompt"))
+        .filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "prompt",
+            F.col("text").alias("response"),
+            (F.length("prompt") + F.length("text")).cast("long").alias("pair_chars"),
+        )
+        .withColumn("fits_budget", F.col("pair_chars") <= budget_chars)
+    )
+
+
+def sft_pairs_sql(rel: str, budget_chars: int = 2000) -> str:
+    """DuckDB mirror of :func:`sft_pairs` (windowed string_agg aggregates
+    in frame order; COALESCE matches Spark's empty-array→'' join)."""
+    return f"""
+        WITH t AS ({rel}),
+        p AS (
+          SELECT conv_id, turn_idx, role, text,
+                 COALESCE(string_agg(role || ': ' || text, chr(10)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), '') AS prompt
+          FROM t
+        )
+        SELECT conv_id, turn_idx, prompt, text AS response,
+               CAST(length(prompt) + length(text) AS BIGINT) AS pair_chars,
+               length(prompt) + length(text) <= {budget_chars} AS fits_budget
+        FROM p WHERE role = 'assistant'
+    """
+
+
 def context_growth_sql(rel: str, budget_chars: int = 400) -> str:
     """DuckDB mirror of :func:`context_growth`."""
     return f"""

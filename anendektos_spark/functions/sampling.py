@@ -227,6 +227,65 @@ def pack_sequences(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    group_col: str | None = None,
+    salt: str = "",
+    w_scale: int = 10**4,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: min(n, |pool|)
+    rows (per ``group_col`` stratum when given), where a row's chance of
+    selection increases monotonically with ``weight_col`` — the
+    importance-weighted selection step of a data-mixing recipe ("sample
+    documents proportional to quality/source weight").
+
+    Mechanism (uniform-race priorities): each row draws a deterministic
+    48-bit uniform U = md5(salt:key)[:12] and competes with priority
+    ``U · 10^6 div w`` (smaller wins), with w = round(weight · w_scale)
+    quantized to an integer. This is the engine-exact integer surrogate
+    of Efraimidis–Spirakis A-ES exponential-race sampling (priority
+    −ln(U)/w): A-ES gives exactly weight-proportional inclusion but
+    needs float ln/pow whose ulps differ across engines; the uniform
+    race keeps determinism and monotonicity (for two rows with
+    w_a ≥ w_b, P(a beats b) = 1 − w_b/(2·w_a) under exact uniforms)
+    at the cost of exact proportionality — a documented trade, not a
+    silent one. Priorities are DECIMAL(38,0) (DuckDB HUGEINT): 48-bit
+    U × 10^6 overflows BIGINT.
+
+    Rows with quantized weight ≤ 0 are excluded (never sampled). Ties
+    break on ``key_col``, so the selected set is unique. One hash
+    shuffle on the stratum key (or a single global sort when
+    ``group_col`` is None — use strata at scale); output is the input
+    plus ``wsample_rank``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if w_scale < 1:
+        raise ValueError(f"w_scale must be >= 1, got {w_scale}")
+    _check_reserved(df.columns, ("wsample_rank", "_u", "_wq"), "output columns")
+    u = F.conv(
+        F.substring(sample_hash_col(F.col(key_col), salt), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    wq = F.round(F.col(weight_col).cast("double") * w_scale, 0).cast("decimal(38,0)")
+    staged = (
+        df.withColumn("_u", u)
+        .withColumn("_wq", wq)
+        .filter(F.col("_wq") > 0)
+        .withColumn("_priority", F.expr("_u * 1000000 DIV _wq"))
+    )
+    parts = [group_col] if group_col else [F.lit(1)]
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("_priority").asc(), F.col(key_col).asc()
+    )
+    return (
+        staged.withColumn("wsample_rank", F.row_number().over(w))
+        .filter(F.col("wsample_rank") <= n)
+        .drop("_u", "_wq", "_priority")
+    )
+
+
 def quality_quota(
     scored: DataFrame,
     group_col: str,

@@ -26,18 +26,22 @@ import json
 import sys
 
 from . import __version__
+from .grok_pipeline import GrokPipelineConfig, run_grok_pipeline
 from .pipeline import PipelineConfig, run_pipeline
 
 
-def load_config(path: str) -> PipelineConfig:
+def _read_raw(path: str) -> dict:
     if path.endswith(".json"):
         with open(path) as f:
-            raw = json.load(f)
-    else:
-        ini = configparser.ConfigParser()
-        if not ini.read(path):
-            raise FileNotFoundError(path)
-        raw = dict(ini["application"])
+            return json.load(f)
+    ini = configparser.ConfigParser()
+    if not ini.read(path):
+        raise FileNotFoundError(path)
+    return dict(ini["application"])
+
+
+def load_config(path: str) -> PipelineConfig:
+    raw = _read_raw(path)
     known = {
         "input_path", "output_root", "addr_mode", "add_ordinal",
         "salt_buckets", "repartition", "top_k", "time_bucket",
@@ -51,24 +55,44 @@ def load_config(path: str) -> PipelineConfig:
     return PipelineConfig(**kwargs)
 
 
+def load_grok_config(path: str) -> GrokPipelineConfig:
+    raw = _read_raw(path)
+    known = {
+        "input_path", "output_root", "top_k", "sink_partition_by",
+        "repartition", "salt_buckets",
+    }
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    for key in ("top_k", "repartition", "salt_buckets"):
+        if key in kwargs and kwargs[key] is not None:
+            kwargs[key] = int(kwargs[key])
+    return GrokPipelineConfig(**kwargs)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="anendektos-spark", description=__doc__)
     ap.add_argument("--version", action="version", version=__version__)
     ap.add_argument("--config", help="pipeline config (.ini or .json)")
     ap.add_argument("--input", help="transcripts path (overrides config input_path)")
     ap.add_argument("--output", help="stage-store root (overrides config output_root)")
+    ap.add_argument(
+        "--mode", choices=("zeek", "grok"), default="zeek",
+        help="zeek = embedded-log-line parse pipeline (default); "
+             "grok = north-star marker-payload parse→enrich→route→agg",
+    )
     args = ap.parse_args(argv)
 
     if not args.config and not (args.input and args.output):
         ap.error("need --config, or both --input and --output")
+    loader = load_grok_config if args.mode == "grok" else load_config
+    ctor = GrokPipelineConfig if args.mode == "grok" else PipelineConfig
     if args.config:
-        cfg = load_config(args.config)
+        cfg = loader(args.config)
         if args.input:
             cfg.input_path = args.input
         if args.output:
             cfg.output_root = args.output
     else:
-        cfg = PipelineConfig(input_path=args.input, output_root=args.output)
+        cfg = ctor(input_path=args.input, output_root=args.output)
 
     # Under spark-submit the session already exists and carries the
     # cluster config; getOrCreate picks it up. Standalone runs fall back
@@ -76,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("anendektos_spark").getOrCreate()
-    metrics = run_pipeline(spark, cfg)
+    run = run_grok_pipeline if args.mode == "grok" else run_pipeline
+    metrics = run(spark, cfg)
     print(json.dumps(metrics, indent=1, sort_keys=True))
     return 0
 

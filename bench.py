@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "funnel_steps", "rate_spikes", "scd2_user_type", "semantic_dup_pairs",
     "text_inverted_index", "tpch_q18", "text_lm_score", "freq_cms_users",
     "graph_pagerank", "dedup_spans", "validate_events", "hist_event_values",
+    "conv_sft_pairs", "sample_weighted",
 ]
 
 

@@ -6,6 +6,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from anendektos_spark.functions import convops
 
 
@@ -107,3 +109,33 @@ def test_synth_conv_deterministic(spark):
     a = convops.synth_conv(spark, 100, partitions=2).collect()
     b = convops.synth_conv(spark, 100, partitions=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sft_pairs_tiny(spark, tiny):
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in convops.sft_pairs(tiny, budget_chars=60).collect()
+    }
+    # one pair per assistant turn
+    assert set(out) == {("a", 1), ("a", 3), ("a", 4), ("b", 1)}
+    assert out[("a", 1)].prompt == "user: hello there"
+    assert out[("a", 1)].response == "run scan now"
+    assert out[("a", 3)].prompt == (
+        "user: hello there\nassistant: run scan now\nuser: ok"
+    )
+    # consecutive assistant turns: the earlier assistant turn is context
+    assert out[("a", 4)].prompt.endswith("\nassistant: lookup done")
+    assert out[("b", 1)].prompt == "user: hi"
+    for r in out.values():
+        assert r.pair_chars == len(r.prompt) + len(r.response)
+        assert r.fits_budget == (r.pair_chars <= 60)
+    assert not out[("a", 4)].fits_budget  # 4-turn context blows 60 chars
+
+
+def test_sft_pairs_order_independent(spark, tiny):
+    """Prompt rendering is deterministic under input shuffling and
+    repartitioning (the array_sort stable-order trick)."""
+    shuffled = tiny.orderBy(F.md5(F.concat_ws(":", "conv_id", "turn_idx"))).repartition(7)
+    a = sorted(map(tuple, convops.sft_pairs(tiny).collect()))
+    b = sorted(map(tuple, convops.sft_pairs(shuffled).collect()))
+    assert a == b

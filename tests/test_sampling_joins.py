@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from anendektos_spark.functions import joins, logops, sampling, textstats
@@ -572,3 +574,47 @@ def test_skew_stats_hand_computed(spark):
     assert r.p50_key_n == 2.0
     # floored mean = 10 DIV 3 = 3; (6 * 10000) DIV 3 = 20000
     assert r.skew_x10k == (6 * 10000) // (10 // 3)
+
+
+def test_weighted_sample_determinism_and_bounds(spark):
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+        # weight varies WITHIN each stratum (id div 4 alternates inside
+        # a fixed id % 4), 100x apart: the race should pick mostly heavy
+        F.when((F.col("id") / 4).cast("long") % 2 == 0, F.lit(50.0))
+        .otherwise(F.lit(0.5))
+        .alias("w"),
+    )
+    out = sampling.weighted_sample(df, 20, "w", "doc_id", group_col="src", salt="t")
+    rows = out.collect()
+    # exactly n per stratum, ranks 1..n, deterministic under repartition
+    per = {}
+    for r in rows:
+        per.setdefault(r.src, []).append(r.wsample_rank)
+    assert set(per) == {"0", "1", "2", "3"}
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, 21))
+    again = sampling.weighted_sample(
+        df.repartition(13), 20, "w", "doc_id", group_col="src", salt="t"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # monotone in weight: heavy rows (100x the weight) dominate the pick
+    n_heavy = sum(1 for r in rows if (r.doc_id // 4) % 2 == 0)
+    assert n_heavy >= 0.8 * len(rows)
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -2.0), (4, 0.00001), (5, 1.0)],
+        "doc_id int, w double",
+    )
+    # w=0, w<0, and w quantizing to 0 at w_scale=1e4 are never sampled
+    got = {r.doc_id for r in sampling.weighted_sample(df, 5, "w", "doc_id").collect()}
+    assert got == {1, 5}
+    with pytest.raises(ValueError, match="n must be"):
+        sampling.weighted_sample(df, 0, "w", "doc_id")
+    with pytest.raises(ValueError, match="reserved|exists|output columns"):
+        sampling.weighted_sample(
+            df.withColumn("wsample_rank", F.lit(1)), 2, "w", "doc_id"
+        )
