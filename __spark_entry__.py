@@ -92,9 +92,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # window = the 48 operators registered after the round-2 cutoff (all green
 # under the driver's own protocol via scripts/check_oracle.py that round,
 # but with no official CORRECTNESS row) — led by the six zeek_sink_* golden
-# parsers, the heart of the reference rebuild — plus the flagship pipeline
-# pair. Every query, in and out of the window, is additionally swept each
-# round by scripts/check_oracle.py → ORACLE_FULL_r<k>.json.
+# parsers, the heart of the reference rebuild — plus the grok north_star
+# pipeline's parse and enrich legs. Every query, in and out of the window,
+# is additionally swept each round by scripts/check_oracle.py →
+# ORACLE_FULL_r<k>.json.
 DRIVER_WINDOW = 50
 PRIORITY_QUERIES = [
     # the Zeek-semantics parse engine goldens (SURVEY §2 O1-O18)
@@ -154,10 +155,13 @@ PRIORITY_QUERIES = [
     "time_rollup",
     "zorder_events",
     "compaction_plan",
-    # flagship pipeline pair (driver-verified green in CORRECTNESS_r02;
-    # kept in-window as the north_star headline)
-    "route_counts",
-    "enrich_events",
+    # grok north_star pipeline legs over the input_hint transcript table
+    # (added after the round-3 window was first pinned; rotated in over
+    # route_counts/enrich_events, which already hold official green
+    # CORRECTNESS rows from rounds 1 AND 2 — the remaining transcript_*
+    # legs are swept by scripts/check_oracle.py → ORACLE_FULL_r<k>.json)
+    "transcript_parse",
+    "transcript_enrich_agg",
 ]
 
 
