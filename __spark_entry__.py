@@ -40,6 +40,7 @@ SF001 = "/root/testdata/sf0.001"
 
 # size of the deterministic transcript relation behind the conv_* queries
 _CONV_N = 20_000
+_CONV_DUP_N = 8_000
 
 _KNOWN = ", ".join(f"'{t}'" for t in logops.KNOWN_EVENT_TYPES)
 
@@ -566,6 +567,20 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         group_col="source",
         salt="ws",
     ).select("doc_id", "source", "wsample_rank")
+
+    # conversation-grain duplication / curation (synth_conv_dup injects
+    # template-copied conversations: exact + one-word-mutated near-dups)
+    q["conv_dedup_pairs"] = lambda s, d: dedup.lsh_jaccard(
+        convops.conv_reconstruct(convops.synth_conv_dup(s, _CONV_DUP_N)),
+        id_col="conv_id",
+        text_col="transcript",
+    )
+    q["conv_boilerplate"] = lambda s, d: convops.boilerplate_turns(
+        convops.synth_conv_dup(s, _CONV_DUP_N)
+    )
+    q["conv_pref_pairs"] = lambda s, d: convops.pref_pairs(
+        convops.synth_conv_dup(s, _CONV_DUP_N)
+    )
     return q
 
 
@@ -3034,6 +3049,10 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """
     o["conv_sft_pairs"] = convops.sft_pairs_sql(convops.synth_conv_sql(_CONV_N))
+    _conv_dup_rel = convops.synth_conv_dup_sql(_CONV_DUP_N)
+    o["conv_dedup_pairs"] = convops.conv_dedup_pairs_sql(_conv_dup_rel)
+    o["conv_boilerplate"] = convops.boilerplate_turns_sql(_conv_dup_rel)
+    o["conv_pref_pairs"] = convops.pref_pairs_sql(_conv_dup_rel)
     # uniform-race weighted sample (sampling.weighted_sample): identical
     # md5 uniform, integer weight quantization, HUGEINT priority divide
     o["sample_weighted"] = """

@@ -377,3 +377,297 @@ def context_growth_sql(rel: str, budget_chars: int = 400) -> str:
                ) > {budget_chars} AS over_budget
         FROM ({rel})
     """
+
+
+# --- conversation-grain duplication / curation operators -------------------
+
+DUP_TEMPLATES = 40
+
+
+def synth_conv_dup(
+    spark: SparkSession, n: int = 8_000, templates: int = DUP_TEMPLATES
+) -> DataFrame:
+    """Deterministic transcript relation with injected conversation-grain
+    duplication: turn text derives from ``template = conv % templates``
+    instead of the global turn id, so the conversations of one template
+    are exact copies of each other — except every third conversation,
+    which mutates the first word of one turn (turn ``conv % TURNS``),
+    yielding near-duplicates (one word of ~90 ⇒ shingle Jaccard ≈ 0.93).
+    Roles/tools/timestamps keep :func:`synth_conv`'s per-turn formulas.
+
+    This is the workload generator for conversation-grain dedup,
+    boilerplate-turn detection, and preference mining — the transcript
+    analogue of a crawl corpus's template/mirror duplication."""
+    rng = spark.range(n)
+    i = F.col("id")
+    conv = ((i - i % TURNS_PER_CONV) / TURNS_PER_CONV).cast("long")
+    turn = (i % TURNS_PER_CONV).cast("int")
+    tmpl = (conv % templates).cast("long")
+    is_user = turn % 2 == 0
+    tool_idx = ((i * 7 + conv) % 6).cast("int")
+    k = ((tmpl * 7 + turn) % 6 + 3).cast("int")
+    mutated = (conv % 3 == 0) & (turn == (conv % TURNS_PER_CONV).cast("int"))
+    base_word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", tmpl.cast("string"), turn.cast("string"), j.cast("string")
+                )
+            ),
+            1,
+            6,
+        ),
+    )
+    mut_word = F.concat(
+        F.lit("m"),
+        F.substring(
+            F.md5(F.concat_ws(":", conv.cast("string"), turn.cast("string"))), 1, 6
+        ),
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda j: F.when(mutated & (j == 0), mut_word).otherwise(base_word(j)),
+    )
+    epoch = F.lit(BASE_EPOCH) + conv * 3600 + turn * 30 + (i * 37) % 23
+    return rng.select(
+        F.concat(F.lit("conv"), conv.cast("string")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.when(is_user, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        F.array_join(words, " ").alias("text"),
+        F.when(is_user, F.lit(None).cast("string"))
+        .otherwise(F.element_at(F.array(*[F.lit(t) for t in TOOLS]), tool_idx + 1))
+        .alias("tool"),
+        F.timestamp_seconds(epoch).alias("ts"),
+    )
+
+
+def synth_conv_dup_sql(n: int = 8_000, templates: int = DUP_TEMPLATES) -> str:
+    """DuckDB mirror of :func:`synth_conv_dup`."""
+    tools = ", ".join(f"'{t}'" for t in TOOLS)
+    C = TURNS_PER_CONV
+    return f"""
+        SELECT 'conv' || CAST(i // {C} AS VARCHAR) AS conv_id,
+               CAST(i % {C} AS INT) AS turn_idx,
+               CASE WHEN (i % {C}) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               array_to_string(
+                 list_transform(range(3 + ((i // {C}) % {templates} * 7 + i % {C}) % 6),
+                   j -> CASE WHEN (i // {C}) % 3 = 0
+                              AND i % {C} = (i // {C}) % {C} AND j = 0
+                        THEN 'm' || substr(md5(CAST(i // {C} AS VARCHAR) || ':' ||
+                                               CAST(i % {C} AS VARCHAR)), 1, 6)
+                        ELSE 'w' || substr(md5(CAST((i // {C}) % {templates} AS VARCHAR)
+                                               || ':' || CAST(i % {C} AS VARCHAR)
+                                               || ':' || CAST(j AS VARCHAR)), 1, 6)
+                        END),
+                 ' ') AS text,
+               CASE WHEN (i % {C}) % 2 = 0 THEN NULL
+                    ELSE ([{tools}])[CAST((i * 7 + i // {C}) % 6 AS INT) + 1]
+               END AS tool,
+               {BASE_EPOCH} + (i // {C}) * 3600 + (i % {C}) * 30 + (i * 37) % 23 AS ts_epoch
+        FROM range({n}) t(i)
+    """
+
+
+def boilerplate_turns(df: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Boilerplate-turn detection: a turn whose normalized text recurs in
+    ≥ ``min_convs`` distinct conversations is template/boilerplate (the
+    transcript analogue of C4's repeated-line removal — canned greetings,
+    tool preambles, system banners). Emits per-conversation counts and
+    the fixed-point boilerplate fraction, the per-doc signal a curation
+    filter thresholds on.
+
+    100 TB shape: one fingerprint-keyed shuffle with map-side partial
+    distinct (the fp relation is one row per *distinct* turn text), a
+    shuffle-hash join back on fp (Zipf-headed fps are AQE's skew case),
+    one conv-keyed aggregate. No driver collect, no Python."""
+    fp = F.md5(textstats.normalize_text(F.col("text")))
+    turns = df.select("conv_id", fp.alias("fp"))
+    per_fp = turns.groupBy("fp").agg(
+        F.countDistinct("conv_id").alias("n_convs_with_fp")
+    )
+    flagged = turns.join(per_fp, "fp").select(
+        "conv_id",
+        (F.col("n_convs_with_fp") >= min_convs).cast("int").alias("is_boiler"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum("is_boiler").cast("long").alias("n_boiler"),
+        _fixed_point_avg("sum(is_boiler)", "boiler_frac"),
+    )
+
+
+def boilerplate_turns_sql(rel: str, min_convs: int = 3) -> str:
+    """DuckDB mirror of :func:`boilerplate_turns`."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH t AS (SELECT conv_id, md5({norm}) AS fp FROM ({rel})),
+        per_fp AS (
+          SELECT fp, count(DISTINCT conv_id) AS n_convs_with_fp
+          FROM t GROUP BY fp
+        ),
+        flagged AS (
+          SELECT t.conv_id,
+                 CASE WHEN p.n_convs_with_fp >= {min_convs} THEN 1 ELSE 0 END
+                   AS is_boiler
+          FROM t JOIN per_fp p USING (fp)
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+               CAST((sum(is_boiler) * 10000) // count(*) AS BIGINT) / 10000.0
+                 AS boiler_frac
+        FROM flagged GROUP BY conv_id
+    """
+
+
+def pref_pairs(df: DataFrame) -> DataFrame:
+    """Preference-pair mining for DPO-style training data: group assistant
+    responses by the fingerprint of the user prompt they answer; where a
+    prompt has ≥ 2 *distinct* responses across the corpus, emit one
+    (chosen, rejected) pair — best and worst response under a
+    deterministic quality score (token count, then distinct-token count,
+    fixed point; md5 fingerprint as the total-order tiebreak).
+
+    100 TB shape: one lag window keyed on conv_id (co-partitioned with
+    the transcript table's conv_id bucketing ⇒ map-side), then one
+    prompt_fp-keyed shuffle where both extremes come from the SAME hash
+    exchange (two ranks over one window partition — Catalyst reuses the
+    exchange); repeated prompts are Zipf-headed, AQE's skew case."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_text = F.lag("text").over(w)
+    toks = textstats.tokens(F.col("text"))
+    resp = (
+        df.select("conv_id", "turn_idx", "role", "text", prev_role.alias("p_role"),
+                  prev_text.alias("p_text"))
+        .filter((F.col("role") == "assistant") & (F.col("p_role") == "user"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.md5(textstats.normalize_text(F.col("p_text"))).alias("prompt_fp"),
+            F.md5(textstats.normalize_text(F.col("text"))).alias("resp_fp"),
+            (F.size(toks).cast("long") * 10000
+             + F.size(F.array_distinct(toks)).cast("long")).alias("score_fp"),
+        )
+    )
+    wc = Window.partitionBy("prompt_fp").orderBy(
+        F.desc("score_fp"), F.asc("resp_fp"), F.asc("conv_id"), F.asc("turn_idx")
+    )
+    wr = Window.partitionBy("prompt_fp").orderBy(
+        F.asc("score_fp"), F.desc("resp_fp"), F.desc("conv_id"), F.desc("turn_idx")
+    )
+    wd = Window.partitionBy("prompt_fp")
+    ranked = resp.select(
+        "*",
+        F.row_number().over(wc).alias("rk_best"),
+        F.row_number().over(wr).alias("rk_worst"),
+        F.size(F.collect_set("resp_fp").over(wd)).alias("n_distinct"),
+    ).filter(F.col("n_distinct") >= 2)
+    best = ranked.filter(F.col("rk_best") == 1).select(
+        "prompt_fp",
+        F.col("conv_id").alias("chosen_conv"),
+        F.col("turn_idx").alias("chosen_turn"),
+        F.col("resp_fp").alias("chosen_fp"),
+        F.col("score_fp").alias("chosen_score_fp"),
+    )
+    worst = ranked.filter(F.col("rk_worst") == 1).select(
+        "prompt_fp",
+        F.col("conv_id").alias("rejected_conv"),
+        F.col("turn_idx").alias("rejected_turn"),
+        F.col("resp_fp").alias("rejected_fp"),
+        F.col("score_fp").alias("rejected_score_fp"),
+    )
+    return best.join(worst, "prompt_fp").withColumn(
+        "score_gap_fp", F.col("chosen_score_fp") - F.col("rejected_score_fp")
+    )
+
+
+def pref_pairs_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`pref_pairs`."""
+    norm_p = "trim(regexp_replace(lower(p_text), '\\s+', ' ', 'g'))"
+    norm_t = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH t AS (
+          SELECT conv_id, turn_idx, role, text,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS p_role,
+                 lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS p_text
+          FROM ({rel})
+        ),
+        resp AS (
+          SELECT conv_id, turn_idx,
+                 md5({norm_p}) AS prompt_fp,
+                 md5({norm_t}) AS resp_fp,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) * 10000
+                   + len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS score_fp
+          FROM t WHERE role = 'assistant' AND p_role = 'user'
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY prompt_fp
+                   ORDER BY score_fp DESC, resp_fp ASC, conv_id ASC, turn_idx ASC)
+                   AS rk_best,
+                 row_number() OVER (PARTITION BY prompt_fp
+                   ORDER BY score_fp ASC, resp_fp DESC, conv_id DESC, turn_idx DESC)
+                   AS rk_worst,
+                 count(DISTINCT resp_fp) OVER (PARTITION BY prompt_fp) AS n_distinct
+          FROM resp
+        )
+        SELECT b.prompt_fp,
+               b.conv_id AS chosen_conv, b.turn_idx AS chosen_turn,
+               b.resp_fp AS chosen_fp, b.score_fp AS chosen_score_fp,
+               w.conv_id AS rejected_conv, w.turn_idx AS rejected_turn,
+               w.resp_fp AS rejected_fp, w.score_fp AS rejected_score_fp,
+               b.score_fp - w.score_fp AS score_gap_fp
+        FROM (SELECT * FROM ranked WHERE rk_best = 1 AND n_distinct >= 2) b
+        JOIN (SELECT * FROM ranked WHERE rk_worst = 1 AND n_distinct >= 2) w
+          USING (prompt_fp)
+    """
+
+
+def conv_dedup_pairs_sql(rel: str, num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    """DuckDB mirror of conversation-grain LSH near-dup detection:
+    reassemble each conversation's transcript in turn order, then the
+    exact MinHash/band/Jaccard chain of functions/dedup.py (same md5
+    min-wise family, same band slicing, same set-Jaccard refine)."""
+    n_bands = num_hashes // rows_per_band
+    return f"""
+        WITH tx AS ({rel}),
+        conv AS (
+          SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+          FROM tx GROUP BY conv_id
+        ),
+        t AS (SELECT conv_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM conv),
+        sh AS (SELECT conv_id,
+                      list_distinct(list_transform(range(len(toks) - 2),
+                        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                        AS shd
+               FROM t WHERE len(toks) >= 3),
+        sig AS (SELECT conv_id,
+                       list_transform(range({num_hashes}),
+                         i -> list_min(list_transform(shd,
+                           s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sigs
+                FROM sh),
+        bands AS (
+          SELECT conv_id, j,
+                 md5(array_to_string(
+                   sigs[j*{rows_per_band}+1 : j*{rows_per_band}+{rows_per_band}],
+                   ',')) AS band_hash
+          FROM sig, range({n_bands}) AS r(j)
+        ),
+        cand AS (
+          SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.band_hash = b.band_hash AND a.conv_id < b.conv_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(sa.shd, sb.shd)))
+                            AS DOUBLE), 4) AS jaccard
+        FROM cand c
+        JOIN sh sa ON c.id_a = sa.conv_id
+        JOIN sh sb ON c.id_b = sb.conv_id
+    """

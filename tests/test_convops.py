@@ -139,3 +139,116 @@ def test_sft_pairs_order_independent(spark, tiny):
     a = sorted(map(tuple, convops.sft_pairs(tiny).collect()))
     b = sorted(map(tuple, convops.sft_pairs(shuffled).collect()))
     assert a == b
+
+
+# --- conversation-grain duplication / curation ------------------------------
+
+
+def test_synth_conv_dup_structure(spark):
+    df = convops.synth_conv_dup(spark, 320, templates=4).cache()
+    # 20 conversations over 4 templates: copies of a template share all
+    # turn text except the mutated turn of every third conversation
+    t0 = {
+        r.turn_idx: r.text
+        for r in df.filter(F.col("conv_id") == "conv1").collect()  # conv1 % 3 != 0
+    }
+    t1 = {
+        r.turn_idx: r.text
+        for r in df.filter(F.col("conv_id") == "conv5").collect()  # 5 % 4 == 1 % 4
+    }
+    assert t0 == t1  # both unmutated copies of template 1
+    mut = {
+        r.turn_idx: r.text
+        for r in df.filter(F.col("conv_id") == "conv9").collect()  # 9 % 3 == 0
+    }
+    diff = [i for i in t0 if mut[i] != t0[i]]
+    assert diff == [9 % convops.TURNS_PER_CONV]  # exactly one mutated turn
+    assert mut[9].split(" ")[0].startswith("m")
+    df.unpersist()
+
+
+def test_boilerplate_turns_tiny(spark):
+    rows = []
+    for c in range(4):
+        rows.append((f"c{c}", 0, "user", "Hello   There", None, _ts(0)))  # 4 convs
+        rows.append((f"c{c}", 1, "assistant", f"unique {c}", "conn", _ts(5)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in convops.boilerplate_turns(df, min_convs=3).collect()}
+    for c in range(4):
+        r = got[f"c{c}"]
+        assert (r.n_turns, r.n_boiler) == (2, 1)  # greeting is boilerplate
+        assert r.boiler_frac == 0.5
+
+
+def test_boilerplate_normalization(spark):
+    # whitespace/case variants of the same turn share a fingerprint
+    rows = [
+        ("a", 0, "user", "Hello   World", None, _ts(0)),
+        ("b", 0, "user", "hello world", None, _ts(0)),
+        ("c", 0, "user", " HELLO  WORLD ", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = convops.boilerplate_turns(df, min_convs=3).collect()
+    assert all(r.n_boiler == 1 for r in out)
+
+
+def test_pref_pairs_tiny(spark):
+    # same prompt in three conversations; responses differ in length
+    rows = [
+        ("a", 0, "user", "what is spark", None, _ts(0)),
+        ("a", 1, "assistant", "a distributed sql engine", "conn", _ts(5)),
+        ("b", 0, "user", "what is spark", None, _ts(0)),
+        ("b", 1, "assistant", "an engine", "conn", _ts(5)),
+        ("c", 0, "user", "what is spark", None, _ts(0)),
+        ("c", 1, "assistant", "a distributed sql engine", "conn", _ts(5)),
+        # a different prompt with only one response: no pair
+        ("d", 0, "user", "lone prompt", None, _ts(0)),
+        ("d", 1, "assistant", "lone answer", "dns", _ts(5)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = convops.pref_pairs(df).collect()
+    assert len(out) == 1
+    p = out[0]
+    # chosen = longest response (4 tokens), deterministic tie-break on conv a < c
+    assert p.chosen_conv == "a" and p.rejected_conv == "b"
+    assert p.chosen_score_fp == 4 * 10000 + 4
+    assert p.rejected_score_fp == 2 * 10000 + 2
+    assert p.score_gap_fp == p.chosen_score_fp - p.rejected_score_fp
+
+
+def test_pref_pairs_order_independent(spark):
+    df = convops.synth_conv_dup(spark, 640, templates=4)
+    a = sorted(map(tuple, convops.pref_pairs(df).collect()))
+    b = sorted(map(tuple, convops.pref_pairs(df.orderBy(F.desc("text"))).collect()))
+    assert a == b
+
+
+def test_conv_dedup_pairs_detects_copies(spark):
+    from anendektos_spark.functions import dedup
+
+    df = convops.synth_conv_dup(spark, 640, templates=4)
+    conv = convops.conv_reconstruct(df)
+    pairs = dedup.lsh_jaccard(
+        conv, id_col="conv_id", text_col="transcript"
+    ).collect()
+    # exact template copies appear with jaccard 1.0
+    exact = [p for p in pairs if p.jaccard == 1.0]
+    assert exact, "expected exact-duplicate conversation pairs"
+    # mutated copies are near-dups strictly below 1.0 but high
+    near = [p for p in pairs if p.jaccard < 1.0]
+    assert near and all(p.jaccard > 0.5 for p in near)
+    # no cross-template pairs: ids in a pair must share the template
+    for p in pairs:
+        assert int(p.id_a[4:]) % 4 == int(p.id_b[4:]) % 4
