@@ -41,6 +41,7 @@ SF001 = "/root/testdata/sf0.001"
 # size of the deterministic transcript relation behind the conv_* queries
 _CONV_N = 20_000
 _CONV_DUP_N = 8_000
+_BM25_TERMS = ["join", "vector", "customer"]
 
 _KNOWN = ", ".join(f"'{t}'" for t in logops.KNOWN_EVENT_TYPES)
 
@@ -580,6 +581,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["conv_pref_pairs"] = lambda s, d: convops.pref_pairs(
         convops.synth_conv_dup(s, _CONV_DUP_N)
+    )
+
+    # BM25 ranked retrieval (fixed-point Okapi scoring, log-free RSJ idf)
+    q["text_bm25_topk"] = lambda s, d: textstats.bm25_topk(
+        _t(s, d, "documents"), _BM25_TERMS, 20
     )
     return q
 
@@ -3053,6 +3059,36 @@ def oracle_sql() -> dict[str, str]:
     o["conv_dedup_pairs"] = convops.conv_dedup_pairs_sql(_conv_dup_rel)
     o["conv_boilerplate"] = convops.boilerplate_turns_sql(_conv_dup_rel)
     o["conv_pref_pairs"] = convops.pref_pairs_sql(_conv_dup_rel)
+    _bm25_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    o["text_bm25_topk"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        docs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS s_toks FROM docs),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+               WHERE term IN ({_bm25_terms}) GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(((2*(n_docs - df_t) + 1) * 1000000) // (2*df_t + 1)
+                      AS BIGINT) AS idf_fp,
+                 CAST((CAST(22 AS HUGEINT) * tf * s_toks * 1000000) //
+                      (CAST(10 AS HUGEINT) * s_toks * tf + 3 * s_toks
+                       + CAST(9 AS HUGEINT) * dl * n_docs) AS BIGINT) AS tf_sat_fp
+          FROM tf JOIN dft USING (term) JOIN docs USING (doc_id)
+          CROSS JOIN stats),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+                 CAST(sum(CAST(idf_fp AS HUGEINT) * tf_sat_fp // 1000000)
+                      AS BIGINT) AS score_fp
+          FROM scored GROUP BY 1)
+        SELECT doc_id, n_terms_matched, score_fp,
+               round(CAST(score_fp AS DOUBLE) / 1000000.0, 6) AS score,
+               CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+                    AS INT) AS rank
+        FROM agg ORDER BY score_fp DESC, doc_id LIMIT 20
+    """
     # uniform-race weighted sample (sampling.weighted_sample): identical
     # md5 uniform, integer weight quantization, HUGEINT priority divide
     o["sample_weighted"] = """

@@ -924,3 +924,95 @@ def vocab_coverage(
             / F.lit(10000.0),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**6,
+    cache: bool = True,
+) -> DataFrame:
+    """BM25 ranked retrieval for a conjunctive/disjunctive term query —
+    the corpus-side scoring step of a retrieval pipeline (Robertson &
+    Spärck Jones probabilistic relevance; Okapi BM25 with k1=1.2,
+    b=0.75), in deterministic integer fixed point.
+
+    Classic BM25 multiplies ``ln((N-df+0.5)/(df+0.5))`` by a tf
+    saturation with the doc-length prior ``dl/avgdl``. Both pieces are
+    exact rationals here, following the module's engine-parity rules
+    (see :func:`tfidf_topk`, :func:`lm_score`): the idf keeps the RSJ
+    odds ratio un-logged — ``idf_fp = ((2(N-df)+1)·scale) div (2df+1)``,
+    per-term rank-equivalent since ln is monotone — and with k1=6/5,
+    b=3/4 and avgdl=S/N (S = corpus token count) the saturation clears
+    denominators exactly:
+
+        tf_sat_fp = 22·tf·S·scale div (10·S·tf + 3·S + 9·dl·N)
+
+    Products run in DECIMAL(38,0) so web-scale S (~10^14 tokens at
+    100 TB) cannot overflow the multiply; every quotient is < 2.2·scale²
+    so the engines' integral division (long result) is safe, and
+    truncating division is identical in Spark and DuckDB for the
+    all-positive operands.
+
+    Plan (100 TB shape): one token relation feeds dl, corpus stats, and
+    the postings; the ``term IN (…)`` literal filter lands directly on
+    the explode so only query-term postings reach the (doc, term)
+    shuffle; df(term) derives from the SAME tf relation; per-term idf
+    and the 1-row (N, S) stats broadcast; the final top-k is a global
+    TakeOrderedAndProject (sort+limit — no single-partition window over
+    the corpus). No driver collect, no Python, no libm."""
+    rel = _barrier(
+        spread(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks")),
+        cache,
+    )
+    docs = rel.select(F.col(id_col), F.size("toks").cast("long").alias("dl"))
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_toks"),
+    )
+    tf = (
+        rel.select(F.col(id_col), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(docs, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_fp",
+            F.expr(f"((2*(n_docs - df_t) + 1) * {scale}L) div (2*df_t + 1)"),
+        )
+        .withColumn(
+            "tf_sat_fp",
+            F.expr(
+                f"CAST(22 AS DECIMAL(38,0)) * tf * s_toks * {scale} div "
+                f"(CAST(10 AS DECIMAL(38,0)) * s_toks * tf + 3 * s_toks"
+                f" + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)"
+            ),
+        )
+        .withColumn(
+            "term_score_fp",
+            F.expr(f"CAST(idf_fp AS DECIMAL(38,0)) * tf_sat_fp div {scale}"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_terms_matched"),
+        F.sum("term_score_fp").cast("long").alias("score_fp"),
+    )
+    top = agg.orderBy(F.desc("score_fp"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_fp"), F.asc(id_col))
+    return top.select(
+        F.col(id_col),
+        "n_terms_matched",
+        "score_fp",
+        F.round(F.col("score_fp").cast("double") / F.lit(float(scale)), 6).alias(
+            "score"
+        ),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1322,3 +1322,49 @@ def test_vocab_build_and_coverage(spark):
         8, 6, 2, 4,
     )
     assert cov.coverage == (4 * 10000 // 8) / 10000.0
+
+
+def test_bm25_topk_hand_computed(spark):
+    from anendektos_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "b b b c")], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in textstats.bm25_topk(docs, ["a", "b"], 3, cache=False).collect()
+    }
+    # N=3, S=9; df(a)=df(b)=2 -> idf_fp = (2*1+1)*1e6 div 5 = 600000
+    # d1: a tf=2 sat=396e6 div 288=1375000; b tf=1 sat=198e6 div 198=1e6
+    assert (out[1].score_fp, out[1].n_terms_matched, out[1].rank) == (
+        825000 + 600000,
+        2,
+        1,
+    )
+    # d3: b tf=3 sat=594e6 div 405=1466666 -> 879999 (truncating div)
+    assert (out[3].score_fp, out[3].rank) == (879999, 2)
+    # d2: a tf=1 sat=198e6 div 171=1157894 -> 694736
+    assert (out[2].score_fp, out[2].rank) == (694736, 3)
+    assert out[1].score == 1.425
+
+
+def test_bm25_topk_partitioning_invariant(spark):
+    from anendektos_spark.functions import textstats
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("join"),
+            F.md5(F.col("id").cast("string")),
+            F.when(F.col("id") % 3 == 0, F.lit("vector")).otherwise(F.lit("x")),
+        ).alias("text"),
+    )
+    a = [tuple(r) for r in textstats.bm25_topk(docs, ["join", "vector"], 10, cache=False).collect()]
+    b = [
+        tuple(r)
+        for r in textstats.bm25_topk(
+            docs.repartition(7, "doc_id"), ["join", "vector"], 10, cache=False
+        ).collect()
+    ]
+    assert a == b
