@@ -590,3 +590,76 @@ def stream_session_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    dups_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.25,
+    available_now: bool = False,
+):
+    """Continuous conversation-grain near-dup detection: each micro-batch
+    reassembles its conversations (conv_reconstruct), MinHash-signs them,
+    LSH-matches them against the persisted signature index AND within the
+    batch (functions/dedup.incremental_dedup), writes the matches and
+    appends the batch's signatures — both epoch-keyed with the
+    overwrite-per-epoch exactly-once protocol of stream_grok_partials
+    (a replayed epoch rewrites its own partitions bit-identically; the
+    index read excludes the current epoch so a replay never matches a
+    batch against its own half-written signatures).
+
+    Corpus text is never re-read: the index carries fixed-width
+    signatures only (~H·32 bytes/conversation), so each epoch costs one
+    scan of the NEW turns plus band joins against the index — the shape
+    that lets a 10^12-turn corpus dedup its daily increment without
+    touching history. Conversations are assumed batch-complete (route
+    upstream micro-batches by conversation, or use session-window
+    assembly, before this operator)."""
+    import os
+
+    from .functions import convops, dedup
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        conv = convops.conv_reconstruct(batch).select("conv_id", "transcript")
+        new_sig = dedup.signature_index(
+            conv, id_col="conv_id", text_col="transcript",
+            num_hashes=num_hashes, n=n,
+        ).persist()
+        if os.path.isdir(index_dir) and any(
+            e.startswith("epoch=") for e in os.listdir(index_dir)
+        ):
+            index = (
+                spark.read.option("basePath", index_dir)
+                .parquet(index_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
+            )
+        else:
+            index = new_sig.limit(0)
+        matches = dedup.incremental_dedup(
+            None,
+            index,
+            id_col="conv_id",
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            new_sig=new_sig,
+        )
+        matches.write.mode("overwrite").parquet(f"{dups_dir}/epoch={epoch_id}")
+        new_sig.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+        new_sig.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

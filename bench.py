@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "funnel_steps", "rate_spikes", "scd2_user_type", "semantic_dup_pairs",
     "text_inverted_index", "tpch_q18", "text_lm_score", "freq_cms_users",
     "graph_pagerank", "dedup_spans", "validate_events", "hist_event_values",
-    "conv_sft_pairs", "sample_weighted",
+    "conv_sft_pairs", "sample_weighted", "text_bm25_topk",
 ]
 
 
@@ -133,6 +133,43 @@ def run_conv_bench(spark, n_turns: int) -> dict[str, float]:
     return out
 
 
+def run_conv_dup_bench(spark, n_turns: int) -> dict[str, float]:
+    """Conversation-grain curation ops over the duplication-injecting
+    generator (exact + near-dup template copies): boilerplate-turn
+    detection, preference-pair mining, and full LSH near-dup detection
+    at conversation grain. Template count scales with the corpus so
+    copies-per-template stays ~12 (pair output stays linear in convs —
+    the shape a dedup run has on real crawl mirrors)."""
+    from anendektos_spark.functions import convops, dedup
+
+    n_convs = n_turns // convops.TURNS_PER_CONV
+    templates = max(4, n_convs // 12)
+    tx = convops.synth_conv_dup(spark, n_turns, templates=templates).persist()
+    tx.count()
+    out: dict[str, float] = {}
+    for name, fn in (
+        ("conv_boilerplate_500k", convops.boilerplate_turns),
+        ("conv_pref_pairs_500k", convops.pref_pairs),
+        (
+            "conv_dedup_500k",
+            lambda d: dedup.lsh_jaccard(
+                convops.conv_reconstruct(d),
+                id_col="conv_id",
+                text_col="transcript",
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _force_eval(fn(tx))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+        print(f"# {name}: {out[name]}s", file=sys.stderr)
+    tx.unpersist()
+    return out
+
+
 def run_grok_bench(spark, n_turns: int) -> dict[str, float]:
     """The north_star grok pipeline (functions/transcript.py) over a
     persisted 2M-turn marker-bearing transcript relation: codegen-regexp
@@ -215,6 +252,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     timings.update(run_conv_bench(spark, 2_000_000))
+    timings.update(run_conv_dup_bench(spark, 500_000))
     timings.update(run_grok_bench(spark, 2_000_000))
 
     timings["zeek_pipeline_1m"] = round(pipe_sec, 3)

@@ -432,3 +432,62 @@ def test_stream_grok_partials_match_batch_tool_summary(spark, tmp_path):
             for r in transcript.tool_summary(
                 transcript.parse_turns(tx)).collect()}
     assert got == want
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streaming conversation dedup must find, per epoch, exactly the
+    new-vs-indexed and new-vs-new matches the batch incremental_dedup
+    finds for the same batch split — with the index carrying signatures
+    only (no text re-read). Epoch membership is read back from the
+    written index so the test is robust to file-discovery order."""
+    from anendektos_spark.functions import convops, dedup
+
+    tx = convops.synth_conv_dup(spark, 640, templates=4)
+    half = [f"conv{i}" for i in range(20)]
+    d = str(tmp_path / "src")
+    # one file per batch: conversations must be micro-batch-complete
+    tx.filter(F.col("conv_id").isin(half)).coalesce(1).write.parquet(d)
+    tx.filter(~F.col("conv_id").isin(half)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = streaming.stream_transcripts(spark, d, max_files_per_trigger=1)
+    idx, dups, ckpt = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "dups"),
+        str(tmp_path / "ck"),
+    )
+    q = streaming.stream_incremental_dedup(
+        stream, idx, dups, ckpt, available_now=True
+    )
+    q.awaitTermination(180)
+
+    by_epoch = {
+        r.conv_id: r.epoch
+        for r in spark.read.option("basePath", idx).parquet(idx).collect()
+    }
+    epochs = sorted(set(by_epoch.values()))
+    assert len(epochs) >= 2  # the split actually exercised multiple epochs
+
+    conv = convops.conv_reconstruct(tx).select("conv_id", "transcript")
+    sig_all = dedup.signature_index(
+        conv, id_col="conv_id", text_col="transcript"
+    ).persist()
+    expected = set()
+    for e in epochs:
+        new_ids = [c for c, ep in by_epoch.items() if ep == e]
+        old_ids = [c for c, ep in by_epoch.items() if ep < e]
+        new_sig = sig_all.filter(F.col("conv_id").isin(new_ids))
+        old_sig = sig_all.filter(F.col("conv_id").isin(old_ids))
+        expected |= {
+            (r.dup_id, r.match_id, r.est_jaccard)
+            for r in dedup.incremental_dedup(
+                None, old_sig, id_col="conv_id", new_sig=new_sig
+            ).collect()
+        }
+    got = {
+        (r.dup_id, r.match_id, r.est_jaccard)
+        for r in spark.read.parquet(dups).collect()
+    }
+    assert got == expected
+    assert got  # non-vacuous: the dup generator guarantees matches
+    sig_all.unpersist()
