@@ -587,6 +587,23 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bm25_topk"] = lambda s, d: textstats.bm25_topk(
         _t(s, d, "documents"), _BM25_TERMS, 20
     )
+
+    # cross-source contamination matrix (shingle-set Jaccard per pair)
+    q["source_overlap"] = lambda s, d: dedup.source_overlap_matrix(
+        _t(s, d, "documents")
+    )
+
+    # product quantization: encode + asymmetric-distance top-k (the
+    # pseudo-codebook from the first 16 vectors, as ann_ivf's centroids)
+    q["ann_pq_codes"] = lambda s, d: similarity.pq_encode(
+        _t(s, d, "embeddings"), similarity.pq_codebook(_t(s, d, "embeddings"))
+    )
+    q["ann_pq_topk"] = lambda s, d: similarity.pq_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").filter(F.col("vec_id") < 8),
+        similarity.pq_codebook(_t(s, d, "embeddings")),
+        5,
+    )
     return q
 
 
@@ -3088,6 +3105,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
                     AS INT) AS rank
         FROM agg ORDER BY score_fp DESC, doc_id LIMIT 20
+    """
+    o["source_overlap"] = f"""
+        WITH t AS (SELECT source AS src, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT DISTINCT src, s
+               FROM (SELECT src, unnest(list_distinct({_SHINGLES})) AS s
+                     FROM t)),
+        sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh
+                  FROM sh GROUP BY 1),
+        common AS (SELECT a.src AS src_a, b.src AS src_b,
+                          CAST(count(*) AS BIGINT) AS n_common
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+                   GROUP BY 1, 2),
+        pairs AS (SELECT a.src AS src_a, a.n_sh AS n_a,
+                         b.src AS src_b, b.n_sh AS n_b
+                  FROM sizes a, sizes b WHERE a.src < b.src)
+        SELECT src_a, src_b, n_a, n_b,
+               COALESCE(n_common, 0) AS n_common,
+               round(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                     / CAST(n_a + n_b - COALESCE(n_common, 0) AS DOUBLE), 4)
+                 AS jaccard
+        FROM pairs LEFT JOIN common USING (src_a, src_b)
+    """
+    _pq_d2 = (
+        "CAST(round(list_reduce(list_transform(range(8), "
+        "i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])), "
+        "(acc, x) -> acc + x) * 1000000) AS BIGINT)"
+    )
+    _pq_base = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        sub AS (SELECT vec_id, CAST(m AS INT) AS m,
+                       v[m*8+1 : m*8+8] AS vsub
+                FROM e, range(8) AS r(m)),
+        cb AS (SELECT m, CAST(vec_id AS INT) AS code_id, vsub AS csub
+               FROM sub WHERE vec_id < 16),
+        scored AS (SELECT s.vec_id, s.m, c.code_id,
+                          {_pq_d2.format(a='s.vsub', b='c.csub')} AS d2_fp
+                   FROM sub s JOIN cb c USING (m)),
+        best AS (SELECT vec_id, m, code_id, d2_fp,
+                        row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2_fp, code_id) AS rk
+                 FROM scored)
+    """
+    o["ann_pq_codes"] = f"""
+        {_pq_base}
+        SELECT vec_id, m, code_id, d2_fp FROM best WHERE rk = 1
+    """
+    o["ann_pq_topk"] = f"""
+        {_pq_base},
+        codes AS (SELECT vec_id AS neighbor_id, m, code_id
+                  FROM best WHERE rk = 1),
+        qsub AS (SELECT vec_id AS query_id, m, vsub FROM sub WHERE vec_id < 8),
+        tbl AS (SELECT query_id, q.m, code_id,
+                       {_pq_d2.format(a='q.vsub', b='c.csub')} AS d2_fp
+                FROM qsub q JOIN cb c USING (m)),
+        ad2 AS (SELECT t.query_id, c.neighbor_id,
+                       CAST(sum(t.d2_fp) AS BIGINT) AS ad2_fp
+                FROM codes c JOIN tbl t ON c.m = t.m AND c.code_id = t.code_id
+                WHERE t.query_id <> c.neighbor_id
+                GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id, ad2_fp,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY ad2_fp ASC, neighbor_id ASC)
+                       AS rk
+              FROM ad2)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
+               round(CAST(ad2_fp AS DOUBLE) / 1000000.0, 6) AS approx_d2
+        FROM r WHERE rk <= 5
     """
     # uniform-race weighted sample (sampling.weighted_sample): identical
     # md5 uniform, integer weight quantization, HUGEINT priority divide

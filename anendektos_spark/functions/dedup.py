@@ -639,3 +639,57 @@ def dedup_spans(
         )
     )
     return out
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source pair,
+    the count and Jaccard of shared distinct word n-gram shingles — the
+    corpus-level leakage diagnostic run before mixing training sources
+    (is src_a a mirror / partial crawl of src_b?).
+
+    Plan (100 TB shape): one (source, shingle)-distinct relation (single
+    shuffle, map-side partial distinct); per-source set sizes are an
+    n_sources-row relation; the intersection self-join meets sources only
+    through shared shingles, cost Σ_shingle df² with df ≤ n_sources — the
+    inverted-index-join trick of tfidf_cosine_pairs, never an all-pairs
+    document comparison. Zero-overlap pairs are kept via the (tiny)
+    size-relation cross join, so the matrix is total. Integer set sizes ⇒
+    the rounded double Jaccard is engine-exact."""
+    sh = (
+        df.select(F.col(source_col).alias("src"), shingle_set(F.col(text_col), n).alias("sh"))
+        .select("src", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count("*").cast("long").alias("n_sh"))
+    common = (
+        sh.select(F.col("src").alias("src_a"), "s")
+        .join(sh.select(F.col("src").alias("src_b"), "s"), "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    pairs = (
+        sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
+        .crossJoin(sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        pairs.join(common, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -493,3 +493,144 @@ def cosine_dup_pairs(
     return joined.select(
         "id_a", "id_b", F.round(cos, 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def _subspaces(df: DataFrame, out_id: str, m_sub: int, dims: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """(id, m, vsub) — the vector split into m_sub contiguous subvectors."""
+    sub = dims // m_sub
+    v = as_double(F.col(vec_col))
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(F.col("v"), m * sub + 1, sub),
+    )
+    return (
+        df.select(F.col(id_col).alias(out_id), v.alias("v"))
+        .select(out_id, F.posexplode(subs))
+        .withColumnsRenamed({"pos": "m", "col": "vsub"})
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    n_codes: int = 16,
+    m_sub: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pseudo-codebook (m, code_id, csub) from the first ``n_codes``
+    vectors' subvectors — deterministic and oracle-reproducible, the
+    same stand-in pattern ann_ivf_topk uses for centroids; a learned
+    codebook swaps in per-subspace kmeans_fit output with no change to
+    encode/search."""
+    cb = _subspaces(
+        emb.filter(F.col(id_col) < n_codes), "code_id", m_sub, dims, id_col, vec_col
+    )
+    return cb.select(F.col("m"), F.col("code_id").cast("int").alias("code_id"),
+                     F.col("vsub").alias("csub"))
+
+
+def _d2_fp(a, b, scale: int = 10**6):
+    """Fixed-point squared L2 between two double arrays: one sequential
+    left-fold (deterministic addition order), then ONE round to integer —
+    so downstream sums are integer and execution-order-free."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * scale).cast("long")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m_sub: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """PQ encoding (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", public domain of IR literature): each vector is
+    stored as m_sub small codes — the nearest codebook entry per
+    subspace by squared L2, ties broken by code_id. 64 dims × float32
+    collapse to 8 bytes/vector at m_sub=8/K≤256 — the memory shape that
+    lets a 10^9-vector index fit a cluster's RAM.
+
+    Plan: subvector explode (narrow), broadcast codebook join (m_sub ×
+    n_codes rows), one (id, m) aggregate with a struct-min argmin —
+    fixed-point distances so the argmin and every later sum are integer
+    and partition-order-free. Returns (id, m, code_id, d2_fp)."""
+    vs = _subspaces(emb, id_col, m_sub, dims, id_col, vec_col)
+    scored = vs.join(F.broadcast(codebook), "m").select(
+        id_col, "m",
+        F.col("code_id"),
+        _d2_fp(F.col("vsub"), F.col("csub"), scale).alias("d2_fp"),
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min(F.struct("d2_fp", "code_id")).alias("best")
+    )
+    return best.select(
+        id_col,
+        "m",
+        F.col("best.code_id").alias("code_id"),
+        F.col("best.d2_fp").alias("d2_fp"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: queries stay full-precision;
+    each query precomputes a distance table to every codebook entry, and
+    a candidate's approximate distance is the SUM of table lookups at
+    its stored codes — the corpus is never re-read as floats.
+
+    Plan (100 TB shape): the table is (queries × m_sub × n_codes) rows —
+    broadcast; candidates cost one hash join on (m, code_id) against the
+    8-row-per-vector code relation plus an integer-sum aggregate; top-k
+    per query is a rank window over the aggregated relation. All
+    distances are fixed-point integers (see pq_encode), so the ADC sum
+    is execution-order-free and the DuckDB oracle hash-matches."""
+    codes = pq_encode(emb, codebook, m_sub, dims, id_col, vec_col, scale).select(
+        F.col(id_col).alias("neighbor_id"), "m", "code_id"
+    )
+    qs = _subspaces(queries, "query_id", m_sub, dims, id_col, vec_col)
+    table = qs.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "code_id",
+        _d2_fp(F.col("vsub"), F.col("csub"), scale).alias("d2_fp"),
+    )
+    ad2 = (
+        codes.join(F.broadcast(table), ["m", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2_fp").alias("ad2_fp"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("ad2_fp"), F.asc("neighbor_id")
+    )
+    return (
+        ad2.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("ad2_fp").cast("double") / F.lit(float(scale)), 6).alias(
+                "approx_d2"
+            ),
+        )
+    )

@@ -1368,3 +1368,51 @@ def test_bm25_topk_partitioning_invariant(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_pq_encode_and_topk_hand_computed(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 1.0]),
+            (2, [0.9, 0.0, 0.0, 0.1]),
+            (3, [0.1, 0.0, 0.0, 0.9]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    cb = similarity.pq_codebook(emb, n_codes=2, m_sub=2, dims=4)
+    codes = {
+        (r.vec_id, r.m): r.code_id
+        for r in similarity.pq_encode(emb, cb, m_sub=2, dims=4).collect()
+    }
+    # v2 = [0.9,0 | 0,0.1]: subspace 0 nearest c1=[1,0], subspace 1 nearest c0=[0,0]
+    assert (codes[(2, 0)], codes[(2, 1)]) == (1, 0)
+    assert (codes[(3, 0)], codes[(3, 1)]) == (0, 1)
+    top = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") == 2), cb, 3, m_sub=2, dims=4
+    ).collect()
+    got = [(r.neighbor_id, r.rank, r.approx_d2) for r in sorted(top, key=lambda r: r.rank)]
+    # v0/v1 tie at ADC 0.82 (neighbor_id breaks it); v3's codes are far
+    assert got == [(0, 1, 0.82), (1, 2, 0.82), (3, 3, 1.62)]
+
+
+def test_pq_topk_partitioning_invariant(spark):
+    emb = spark.range(120).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 997) / 997.0),
+        ).alias("embedding"),
+    )
+    cb = similarity.pq_codebook(emb, n_codes=8, m_sub=4, dims=16)
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity.pq_topk(emb, q, cb, 5, m_sub=4, dims=16).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.pq_topk(
+                emb.repartition(13, "vec_id"), q, cb, 5, m_sub=4, dims=16
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -193,3 +193,27 @@ def test_dedup_spans_min_count_and_validation(spark):
         dedup.dedup_spans(df, block_tokens=0)
     with pytest.raises(ValueError):
         dedup.dedup_spans(df, min_count=0)
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    from anendektos_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "b c d e", "s2"),
+            (3, "x y z", "s3"),
+            (4, "a b c", "s1"),  # duplicate shingle within s1: counted once
+        ],
+        "doc_id int, text string, source string",
+    )
+    got = {
+        (r.src_a, r.src_b): r
+        for r in dedup.source_overlap_matrix(docs).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = got[("s1", "s2")]
+    # s1 = {abc, bcd}, s2 = {bcd, cde}: common 1, union 3
+    assert (r12.n_a, r12.n_b, r12.n_common, r12.jaccard) == (2, 2, 1, 0.3333)
+    r13 = got[("s1", "s3")]
+    assert (r13.n_common, r13.jaccard) == (0, 0.0)  # zero-overlap pair kept
