@@ -593,6 +593,23 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
 
+    # conversation-grain decontamination: hold out every 19th
+    # conversation as the "benchmark" set; template copies of held-out
+    # conversations in the training split get flagged (dup generator)
+    def _conv_decontaminate(s: SparkSession, d: str) -> DataFrame:
+        conv = convops.conv_reconstruct(convops.synth_conv_dup(s, _CONV_DUP_N)).select(
+            "conv_id", "transcript"
+        )
+        num = F.substring("conv_id", 5, 12).cast("long")
+        return textstats.ngram_contamination(
+            conv.filter(num % 19 != 0),
+            conv.filter(num % 19 == 0),
+            id_col="conv_id",
+            text_col="transcript",
+        )
+
+    q["conv_decontaminate"] = _conv_decontaminate
+
     # product quantization: encode + asymmetric-distance top-k (the
     # pseudo-codebook from the first 16 vectors, as ann_ivf's centroids)
     q["ann_pq_codes"] = lambda s, d: similarity.pq_encode(
@@ -3126,6 +3143,26 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_a + n_b - COALESCE(n_common, 0) AS DOUBLE), 4)
                  AS jaccard
         FROM pairs LEFT JOIN common USING (src_a, src_b)
+    """
+    o["conv_decontaminate"] = f"""
+        WITH tx AS ({_conv_dup_rel}),
+        conv AS (SELECT conv_id,
+                        string_agg(text, ' ' ORDER BY turn_idx) AS text
+                 FROM tx GROUP BY conv_id),
+        t AS (SELECT conv_id, CAST(substr(conv_id, 5) AS BIGINT) AS num,
+                     {_TOKS} AS toks
+              FROM conv),
+        g AS (SELECT conv_id, num, list_distinct({_SHINGLES}) AS grams FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                  WHERE num % 19 = 0),
+        train AS (SELECT conv_id, grams FROM g WHERE num % 19 <> 0),
+        tg AS (SELECT conv_id, unnest(grams) AS gram FROM train),
+        ov AS (SELECT conv_id, count(*) AS n_overlap FROM tg
+               WHERE gram IN (SELECT gram FROM bench) GROUP BY 1)
+        SELECT t2.conv_id, CAST(len(t2.grams) AS INT) AS n_grams,
+               CAST(coalesce(ov.n_overlap, 0) AS INT) AS n_overlap,
+               coalesce(ov.n_overlap, 0) >= 5 AS contaminated
+        FROM train t2 LEFT JOIN ov ON t2.conv_id = ov.conv_id
     """
     _pq_d2 = (
         "CAST(round(list_reduce(list_transform(range(8), "

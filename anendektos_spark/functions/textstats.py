@@ -1016,3 +1016,61 @@ def bm25_topk(
         ),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def _make_zlib_len(level: int):
+    """Arrow-batched compressed-length UDF — closure pickled by value (no
+    module-global references; executors need no repo import)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _clen(s):
+        import zlib
+
+        lvl = level
+
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lvl))
+        )
+
+    return pandas_udf(_clen, "long")
+
+
+def compression_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    max_ratio_fp: int = 9000,
+) -> DataFrame:
+    """Compression-ratio quality signal: deflate (zlib, fixed level) each
+    document and report compressed/raw size in fixed point. Highly
+    compressible text (low ratio) is repetitive/templated/machine-
+    generated — the cheap single-pass proxy curation pipelines run next
+    to the Gopher repetition rules; near-incompressible text (ratio ~1)
+    flags binary junk or noise. ``keep`` applies the high-side cut.
+
+    This joins the repo's sanctioned Arrow boundaries (addrs.py IP
+    normalization, the multimodal decoders): zlib has no SQL
+    equivalent, so the operator is an Arrow-batched pandas_udf (never
+    per-row) and stays library-only rather than driver-registered —
+    deterministic given the fixed zlib level, pinned in tests against
+    direct python zlib instead of a DuckDB oracle.
+
+    100 TB shape: narrow map, pipelines with the scan; the only cost is
+    the Arrow hop + deflate itself (~100 MB/s/core) — the same boundary
+    cost BENCH.md quantifies for the addr-normalize leg."""
+    clen = _make_zlib_len(level)
+    n_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    out = df.select(
+        F.col(id_col),
+        n_bytes.cast("long").alias("n_bytes"),
+        clen(F.col(text_col)).alias("n_compressed"),
+    )
+    ratio_fp = F.expr("n_compressed * 10000 div greatest(n_bytes, 1L)")
+    return out.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        ratio_fp.cast("long").alias("ratio_fp"),
+        F.round(F.col("n_compressed") / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double"), 4).alias("ratio"),
+    ).withColumn("keep", F.col("ratio_fp") <= max_ratio_fp)

@@ -1416,3 +1416,35 @@ def test_pq_topk_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_compression_quality_matches_python_zlib(spark):
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaaa " * 40),  # highly compressible -> low ratio
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in textstats.compression_quality(df).collect()}
+    for doc_id, text in rows:
+        raw = (text or "").encode("utf-8")
+        want_c = len(zlib.compress(raw, 6))
+        r = got[doc_id]
+        assert (r.n_bytes, r.n_compressed) == (len(raw), want_c)
+        assert r.ratio_fp == want_c * 10000 // max(len(raw), 1)
+    assert got[2].ratio_fp < 2000 and got[2].keep  # repetitive compresses hard
+    # empty/None: compressed header > 0 bytes, ratio blows past the cut
+    assert not got[3].keep and not got[4].keep
+
+
+def test_compression_quality_partitioning_invariant(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.repeat(F.md5(F.col("id").cast("string")), 5).alias("text"),
+    )
+    a = sorted(map(tuple, textstats.compression_quality(df).collect()))
+    b = sorted(map(tuple, textstats.compression_quality(df.repartition(7)).collect()))
+    assert a == b

@@ -298,3 +298,51 @@ def test_classifier_gradient_single_shuffle_and_narrow_scoring(spark):
     # scoring against literal weights is a pure narrow map
     score_plan = plan_of(classify.linear_score(xy, [1, 2, 3]), "simple")
     assert "Exchange" not in score_plan
+
+
+def test_conv_dedup_no_cartesian(spark):
+    from anendektos_spark.functions import convops
+
+    conv = convops.conv_reconstruct(convops.synth_conv_dup(spark, 320, templates=4))
+    p = plan_of(
+        dedup.lsh_jaccard(conv, id_col="conv_id", text_col="transcript"),
+        "extended",
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_topk_broadcasts_codebook_and_table(spark):
+    emb = spark.range(64).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 97) / 97.0),
+        ).alias("embedding"),
+    )
+    cb = similarity.pq_codebook(emb, n_codes=8, m_sub=4, dims=16)
+    df = similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 2), cb, 3, m_sub=4, dims=16)
+    df.collect()  # executed plan (post-AQE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # codebook + ADC table arrive as broadcasts; candidates via hash join
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+    # top-k never sorts the corpus into one partition
+    assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p
+
+
+def test_bm25_filters_postings_before_shuffle(spark, tmp_path):
+    from anendektos_spark.functions import textstats
+
+    d = str(tmp_path / "docs")
+    spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("join"), F.md5(F.col("id").cast("string"))).alias("text"),
+    ).write.parquet(d)
+    df = textstats.bm25_topk(spark.read.parquet(d), ["join"], 5, cache=False)
+    p = plan_of(df, "extended")
+    # the IN-list lands between the explode and the (doc, term) exchange:
+    # physical plan shows the Filter applied to the generated term column
+    assert "term#" in p and "Filter term" in p.replace("(", " ").replace(")", " ") or (
+        "Filter" in p and "IN (join" in p.replace("'", "")
+    )
+    assert "CartesianProduct" not in p
