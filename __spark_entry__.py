@@ -2148,10 +2148,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_docs
         FROM documents GROUP BY 1
     """
-    _sig = (
-        "list_transform(range(16), i -> list_min(list_transform(shd, "
-        "s -> md5(CAST(i AS VARCHAR) || ':' || s))))"
-    )
+    # single source of truth for the MinHash family (shared with the
+    # conversation-grain mirror, convops.conv_dedup_pairs_sql)
+    _sig = dedup.sig_sql_expr(16)
+    _band2 = dedup.band_sql_expr(2)
     _sig_cte = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd FROM t WHERE len(toks) >= 3),
@@ -2165,7 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         {_sig_cte},
         bands AS (
           SELECT doc_id, j,
-                 md5(array_to_string(sigs[j*2+1 : j*2+2], ',')) AS band_hash
+                 {_band2} AS band_hash
           FROM sig, range(8) AS r(j)
         )
     """
@@ -2193,12 +2193,12 @@ def oracle_sql() -> dict[str, str]:
         old_sig AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
         nb AS (
           SELECT doc_id, j,
-                 md5(array_to_string(sigs[j*2+1 : j*2+2], ',')) AS band_hash
+                 {_band2} AS band_hash
           FROM new_sig, range(8) AS r(j)
         ),
         ob AS (
           SELECT doc_id, j,
-                 md5(array_to_string(sigs[j*2+1 : j*2+2], ',')) AS band_hash
+                 {_band2} AS band_hash
           FROM old_sig, range(8) AS r(j)
         ),
         cand AS (
@@ -3128,8 +3128,11 @@ def oracle_sql() -> dict[str, str]:
         sh AS (SELECT DISTINCT src, s
                FROM (SELECT src, unnest(list_distinct({_SHINGLES})) AS s
                      FROM t)),
-        sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh
-                  FROM sh GROUP BY 1),
+        counts AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh
+                   FROM sh GROUP BY 1),
+        sizes AS (SELECT t.src, CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_sh
+                  FROM (SELECT DISTINCT source AS src FROM documents) t
+                  LEFT JOIN counts c USING (src)),
         common AS (SELECT a.src AS src_a, b.src AS src_b,
                           CAST(count(*) AS BIGINT) AS n_common
                    FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
@@ -3139,9 +3142,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM sizes a, sizes b WHERE a.src < b.src)
         SELECT src_a, src_b, n_a, n_b,
                COALESCE(n_common, 0) AS n_common,
-               round(CAST(COALESCE(n_common, 0) AS DOUBLE)
-                     / CAST(n_a + n_b - COALESCE(n_common, 0) AS DOUBLE), 4)
-                 AS jaccard
+               CASE WHEN n_a + n_b = 0 THEN 0.0
+                    ELSE round(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                               / CAST(n_a + n_b - COALESCE(n_common, 0)
+                                      AS DOUBLE), 4)
+               END AS jaccard
         FROM pairs LEFT JOIN common USING (src_a, src_b)
     """
     o["conv_decontaminate"] = f"""

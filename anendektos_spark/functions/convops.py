@@ -525,9 +525,12 @@ def pref_pairs(df: DataFrame) -> DataFrame:
     """Preference-pair mining for DPO-style training data: group assistant
     responses by the fingerprint of the user prompt they answer; where a
     prompt has ≥ 2 *distinct* responses across the corpus, emit one
-    (chosen, rejected) pair — best and worst response under a
+    (chosen, rejected) pair — best and worst DISTINCT response under a
     deterministic quality score (token count, then distinct-token count,
-    fixed point; md5 fingerprint as the total-order tiebreak).
+    fixed point; md5 fingerprint as the total-order tiebreak). Ranking
+    runs over one representative row per (prompt, response fingerprint) —
+    the best-scoring occurrence — so chosen and rejected are always
+    different responses, never two normalization-variants of one.
 
     100 TB shape: one lag window keyed on conv_id (co-partitioned with
     the transcript table's conv_id bucketing ⇒ map-side), then one
@@ -551,18 +554,35 @@ def pref_pairs(df: DataFrame) -> DataFrame:
              + F.size(F.array_distinct(toks)).cast("long")).alias("score_fp"),
         )
     )
-    wc = Window.partitionBy("prompt_fp").orderBy(
-        F.desc("score_fp"), F.asc("resp_fp"), F.asc("conv_id"), F.asc("turn_idx")
+    # rank DISTINCT responses, not rows: normalization collapses case/
+    # whitespace variants onto one resp_fp, and ranking raw rows could
+    # pick two variants of the SAME response as (chosen, rejected) — a
+    # degenerate preference pair — while skipping the real alternative.
+    # One row per (prompt_fp, resp_fp): its best-scoring occurrence.
+    rep = resp.groupBy("prompt_fp", "resp_fp").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_fp")).alias("neg_score"),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+            )
+        ).alias("rep")
     )
-    wr = Window.partitionBy("prompt_fp").orderBy(
-        F.asc("score_fp"), F.desc("resp_fp"), F.desc("conv_id"), F.desc("turn_idx")
+    cand = rep.select(
+        "prompt_fp",
+        "resp_fp",
+        (-F.col("rep.neg_score")).alias("score_fp"),
+        F.col("rep.conv_id").alias("conv_id"),
+        F.col("rep.turn_idx").alias("turn_idx"),
     )
+    wc = Window.partitionBy("prompt_fp").orderBy(F.desc("score_fp"), F.asc("resp_fp"))
+    wr = Window.partitionBy("prompt_fp").orderBy(F.asc("score_fp"), F.desc("resp_fp"))
     wd = Window.partitionBy("prompt_fp")
-    ranked = resp.select(
+    ranked = cand.select(
         "*",
         F.row_number().over(wc).alias("rk_best"),
         F.row_number().over(wr).alias("rk_worst"),
-        F.size(F.collect_set("resp_fp").over(wd)).alias("n_distinct"),
+        F.count(F.lit(1)).over(wd).alias("n_distinct"),
     ).filter(F.col("n_distinct") >= 2)
     best = ranked.filter(F.col("rk_best") == 1).select(
         "prompt_fp",
@@ -603,16 +623,22 @@ def pref_pairs_sql(rel: str) -> str:
                    AS score_fp
           FROM t WHERE role = 'assistant' AND p_role = 'user'
         ),
+        rep AS (
+          SELECT prompt_fp, resp_fp, score_fp, conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY prompt_fp, resp_fp
+                   ORDER BY score_fp DESC, conv_id ASC, turn_idx ASC) AS rr
+          FROM resp
+        ),
+        cand AS (SELECT prompt_fp, resp_fp, score_fp, conv_id, turn_idx
+                 FROM rep WHERE rr = 1),
         ranked AS (
           SELECT *,
                  row_number() OVER (PARTITION BY prompt_fp
-                   ORDER BY score_fp DESC, resp_fp ASC, conv_id ASC, turn_idx ASC)
-                   AS rk_best,
+                   ORDER BY score_fp DESC, resp_fp ASC) AS rk_best,
                  row_number() OVER (PARTITION BY prompt_fp
-                   ORDER BY score_fp ASC, resp_fp DESC, conv_id DESC, turn_idx DESC)
-                   AS rk_worst,
-                 count(DISTINCT resp_fp) OVER (PARTITION BY prompt_fp) AS n_distinct
-          FROM resp
+                   ORDER BY score_fp ASC, resp_fp DESC) AS rk_worst,
+                 count(*) OVER (PARTITION BY prompt_fp) AS n_distinct
+          FROM cand
         )
         SELECT b.prompt_fp,
                b.conv_id AS chosen_conv, b.turn_idx AS chosen_turn,
@@ -629,8 +655,14 @@ def pref_pairs_sql(rel: str) -> str:
 def conv_dedup_pairs_sql(rel: str, num_hashes: int = 16, rows_per_band: int = 2) -> str:
     """DuckDB mirror of conversation-grain LSH near-dup detection:
     reassemble each conversation's transcript in turn order, then the
-    exact MinHash/band/Jaccard chain of functions/dedup.py (same md5
-    min-wise family, same band slicing, same set-Jaccard refine)."""
+    exact MinHash/band/Jaccard chain of functions/dedup.py — the hash
+    family and band slicing come from dedup.sig_sql_expr/band_sql_expr,
+    the same builders the documents mirror in __spark_entry__ uses, so
+    the two oracles cannot silently diverge."""
+    from . import dedup as _dedup
+
+    sig_expr = _dedup.sig_sql_expr(num_hashes)
+    band_expr = _dedup.band_sql_expr(rows_per_band)
     n_bands = num_hashes // rows_per_band
     return f"""
         WITH tx AS ({rel}),
@@ -646,16 +678,9 @@ def conv_dedup_pairs_sql(rel: str, num_hashes: int = 16, rows_per_band: int = 2)
                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
                         AS shd
                FROM t WHERE len(toks) >= 3),
-        sig AS (SELECT conv_id,
-                       list_transform(range({num_hashes}),
-                         i -> list_min(list_transform(shd,
-                           s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sigs
-                FROM sh),
+        sig AS (SELECT conv_id, {sig_expr} AS sigs FROM sh),
         bands AS (
-          SELECT conv_id, j,
-                 md5(array_to_string(
-                   sigs[j*{rows_per_band}+1 : j*{rows_per_band}+{rows_per_band}],
-                   ',')) AS band_hash
+          SELECT conv_id, j, {band_expr} AS band_hash
           FROM sig, range({n_bands}) AS r(j)
         ),
         cand AS (

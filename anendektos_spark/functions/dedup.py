@@ -665,7 +665,15 @@ def source_overlap_matrix(
         .select("src", F.explode("sh").alias("s"))
         .distinct()
     )
-    sizes = sh.groupBy("src").agg(F.count("*").cast("long").alias("n_sh"))
+    # sizes come from the SOURCE taxonomy, not the shingle relation: a
+    # source whose documents are all shorter than n tokens has zero
+    # shingles but must still appear in every pair (n_sh = 0)
+    sizes = (
+        df.select(F.col(source_col).alias("src"))
+        .distinct()
+        .join(sh.groupBy("src").agg(F.count("*").cast("long").alias("n_sh")), "src", "left")
+        .select("src", F.coalesce("n_sh", F.lit(0)).cast("long").alias("n_sh"))
+    )
     common = (
         sh.select(F.col("src").alias("src_a"), "s")
         .join(sh.select(F.col("src").alias("src_b"), "s"), "s")
@@ -686,10 +694,43 @@ def source_overlap_matrix(
             "n_a",
             "n_b",
             F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            F.round(
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))).cast("double"),
-                4,
-            ).alias("jaccard"),
+            # two shingle-less sources have an empty union: define J = 0
+            F.when(
+                (F.col("n_a") + F.col("n_b")) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce("n_common", F.lit(0)).cast("double")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))
+                    ).cast("double"),
+                    4,
+                )
+            )
+            .alias("jaccard"),
         )
+    )
+
+
+def sig_sql_expr(num_hashes: int = 16) -> str:
+    """DuckDB expression: MinHash signature list over a ``shd`` distinct-
+    shingle list column — the single source of truth for the md5
+    min-wise hash family. Both oracle mirrors (documents in
+    __spark_entry__, conversations in convops.conv_dedup_pairs_sql) must
+    build signatures from THIS expression so a family change (e.g. the
+    documented xxhash64 swap) cannot update one mirror and silently
+    diverge the other."""
+    return (
+        f"list_transform(range({num_hashes}), i -> list_min(list_transform(shd, "
+        "s -> md5(CAST(i AS VARCHAR) || ':' || s))))"
+    )
+
+
+def band_sql_expr(rows_per_band: int = 2) -> str:
+    """DuckDB expression: LSH band hash for band ``j`` over a ``sigs``
+    signature list — shared by the same two mirrors as sig_sql_expr
+    (mirrors dedup._bands_from_sig's slicing exactly)."""
+    return (
+        f"md5(array_to_string(sigs[j*{rows_per_band}+1 : "
+        f"j*{rows_per_band}+{rows_per_band}], ','))"
     )

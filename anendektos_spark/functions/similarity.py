@@ -593,6 +593,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: queries stay full-precision;
     each query precomputes a distance table to every codebook entry, and
@@ -605,9 +606,12 @@ def pq_topk(
     per query is a rank window over the aggregated relation. All
     distances are fixed-point integers (see pq_encode), so the ADC sum
     is execution-order-free and the DuckDB oracle hash-matches."""
-    codes = pq_encode(emb, codebook, m_sub, dims, id_col, vec_col, scale).select(
-        F.col(id_col).alias("neighbor_id"), "m", "code_id"
-    )
+    # the encode-once/search-many index shape: pass the persisted code
+    # relation (pq_encode output) so queries never re-read corpus floats;
+    # the default re-encodes for one-shot/contract use
+    if codes is None:
+        codes = pq_encode(emb, codebook, m_sub, dims, id_col, vec_col, scale)
+    codes = codes.select(F.col(id_col).alias("neighbor_id"), "m", "code_id")
     qs = _subspaces(queries, "query_id", m_sub, dims, id_col, vec_col)
     table = qs.join(F.broadcast(codebook), "m").select(
         "query_id", "m", "code_id",

@@ -944,8 +944,16 @@ def bm25_topk(
     saturation with the doc-length prior ``dl/avgdl``. Both pieces are
     exact rationals here, following the module's engine-parity rules
     (see :func:`tfidf_topk`, :func:`lm_score`): the idf keeps the RSJ
-    odds ratio un-logged — ``idf_fp = ((2(N-df)+1)·scale) div (2df+1)``,
-    per-term rank-equivalent since ln is monotone — and with k1=6/5,
+    odds ratio un-logged — ``idf_fp = ((2(N-df)+1)·scale) div (2df+1)``.
+    NOTE the rank-equivalence this buys is PER TERM only (ln is
+    monotone); the returned score SUMS terms, and a sum of un-logged
+    odds is not a monotone transform of the sum of their logs, so
+    multi-term rankings can diverge from classic BM25 — the un-logged
+    idf weights rare terms much more aggressively (linear in N/df
+    rather than logarithmic). This is a deliberate determinism/fidelity
+    trade, documented rather than hidden; a production corpus accepting
+    float scores swaps one expression (``ln``) and keeps the plan.
+    With k1=6/5,
     b=3/4 and avgdl=S/N (S = corpus token count) the saturation clears
     denominators exactly:
 

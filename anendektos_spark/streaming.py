@@ -625,35 +625,43 @@ def stream_incremental_dedup(
     from .functions import convops, dedup
 
     def commit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():  # idle trigger: no junk epoch partitions
+            return
         spark = batch.sparkSession
         conv = convops.conv_reconstruct(batch).select("conv_id", "transcript")
+        # cache=False: the inner shingle-set persist is never released and
+        # each micro-batch has a fresh plan, so the long-lived stream
+        # would leak one cache entry per epoch; the one reuse it would
+        # buy is covered by persisting new_sig (released in finally)
         new_sig = dedup.signature_index(
             conv, id_col="conv_id", text_col="transcript",
-            num_hashes=num_hashes, n=n,
+            num_hashes=num_hashes, n=n, cache=False,
         ).persist()
-        if os.path.isdir(index_dir) and any(
-            e.startswith("epoch=") for e in os.listdir(index_dir)
-        ):
-            index = (
-                spark.read.option("basePath", index_dir)
-                .parquet(index_dir)
-                .filter(F.col("epoch") != epoch_id)
-                .drop("epoch")
+        try:
+            if os.path.isdir(index_dir) and any(
+                e.startswith("epoch=") for e in os.listdir(index_dir)
+            ):
+                index = (
+                    spark.read.option("basePath", index_dir)
+                    .parquet(index_dir)
+                    .filter(F.col("epoch") != epoch_id)
+                    .drop("epoch")
+                )
+            else:
+                index = new_sig.limit(0)
+            matches = dedup.incremental_dedup(
+                None,
+                index,
+                id_col="conv_id",
+                num_hashes=num_hashes,
+                rows_per_band=rows_per_band,
+                threshold=threshold,
+                new_sig=new_sig,
             )
-        else:
-            index = new_sig.limit(0)
-        matches = dedup.incremental_dedup(
-            None,
-            index,
-            id_col="conv_id",
-            num_hashes=num_hashes,
-            rows_per_band=rows_per_band,
-            threshold=threshold,
-            new_sig=new_sig,
-        )
-        matches.write.mode("overwrite").parquet(f"{dups_dir}/epoch={epoch_id}")
-        new_sig.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
-        new_sig.unpersist()
+            matches.write.mode("overwrite").parquet(f"{dups_dir}/epoch={epoch_id}")
+            new_sig.write.mode("overwrite").parquet(f"{index_dir}/epoch={epoch_id}")
+        finally:
+            new_sig.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(commit)

@@ -252,3 +252,30 @@ def test_conv_dedup_pairs_detects_copies(spark):
     # no cross-template pairs: ids in a pair must share the template
     for p in pairs:
         assert int(p.id_a[4:]) % 4 == int(p.id_b[4:]) % 4
+
+
+def test_pref_pairs_never_degenerate(spark):
+    # regression: two case-variants of ONE response (same normalized
+    # fingerprint, different distinct-token scores) plus one genuinely
+    # different response — the pair must be the two DISTINCT responses,
+    # never the two variants of the same one
+    rows = [
+        ("a", 0, "user", "what is spark", None, _ts(0)),
+        ("a", 1, "assistant", "A a B b", "conn", _ts(5)),  # fp X, score 40004
+        ("b", 0, "user", "what is spark", None, _ts(0)),
+        ("b", 1, "assistant", "a a b b", "conn", _ts(5)),  # fp X, score 40002
+        ("c", 0, "user", "what is spark", None, _ts(0)),
+        ("c", 1, "assistant", "c c d e", "conn", _ts(5)),  # fp Y, score 40003
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = convops.pref_pairs(df).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert p.chosen_fp != p.rejected_fp
+    # chosen = fp X's best occurrence (conv a, 40004); rejected = fp Y
+    assert (p.chosen_conv, p.chosen_score_fp) == ("a", 40004)
+    assert (p.rejected_conv, p.rejected_score_fp) == ("c", 40003)

@@ -217,3 +217,18 @@ def test_source_overlap_matrix_hand_computed(spark):
     assert (r12.n_a, r12.n_b, r12.n_common, r12.jaccard) == (2, 2, 1, 0.3333)
     r13 = got[("s1", "s3")]
     assert (r13.n_common, r13.jaccard) == (0, 0.0)  # zero-overlap pair kept
+
+
+def test_source_overlap_keeps_shingle_less_sources(spark):
+    # regression: a source whose docs are all shorter than n tokens has
+    # zero shingles but must still appear in every pair with n_sh = 0
+    from anendektos_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "b c d e", "s2"), (3, "x y", "s3")],
+        "doc_id int, text string, source string",
+    )
+    got = {(r.src_a, r.src_b): r for r in dedup.source_overlap_matrix(docs).collect()}
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r13 = got[("s1", "s3")]
+    assert (r13.n_a, r13.n_b, r13.n_common, r13.jaccard) == (2, 0, 0, 0.0)
