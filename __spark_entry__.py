@@ -549,6 +549,27 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcript_topk_tools"] = lambda s, d: transcript.topk_tools(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)), 3
     )
+    # agent-behavior analytics over the parsed call stream (round 3);
+    # retry loops run at category grain — the corpus's rotating tool
+    # schedule never repeats a TOOL back-to-back (tool grain is
+    # pytest-covered on a handcrafted stream in tests/test_transcript.py)
+    q["transcript_retry_loops"] = lambda s, d: transcript.category_retry_loops(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)),
+        transcript.tool_dim(s),
+        2,
+    )
+    q["transcript_latency_pctl"] = lambda s, d: transcript.latency_percentiles(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_conv_outcomes"] = lambda s, d: transcript.conv_outcomes(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_tool_cooccur"] = lambda s, d: transcript.tool_cooccurrence(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_templates"] = lambda s, d: transcript.turn_templates(
+        transcript.synth_transcript(s, _CONV_N), 3
+    )
 
     # tokenizer-vocab primitives (functions/textstats.py)
     q["text_vocab"] = lambda s, d: textstats.vocab_build(_t(s, d, "documents"), 5)
@@ -3066,6 +3087,11 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_tool_summary"] = transcript.tool_summary_sql(_tx_rel)
     o["transcript_hourly"] = transcript.hourly_counts_sql(_tx_rel)
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
+    o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
+    o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
+    o["transcript_conv_outcomes"] = transcript.conv_outcomes_sql(_tx_rel)
+    o["transcript_tool_cooccur"] = transcript.tool_cooccurrence_sql(_tx_rel)
+    o["transcript_templates"] = transcript.turn_templates_sql(_tx_rel, 3)
 
     _vocab_counts = f"""
         i AS (SELECT unnest(regexp_split_to_array({_NORM}, '\\s+')) AS token

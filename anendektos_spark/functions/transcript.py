@@ -420,3 +420,276 @@ def topk_tools_sql(rel: str, k: int = 3) -> str:
         SELECT * FROM r WHERE rank <= {k}
         """
     )
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: agent-behavior analytics over the parsed call stream
+# --------------------------------------------------------------------------
+
+def retry_loops(parsed: DataFrame, min_run: int = 2) -> DataFrame:
+    """Stuck-agent detection: maximal runs of >= ``min_run`` CONSECUTIVE
+    parsed calls (per conversation, in turn order) to the SAME tool where
+    every call failed (status != OK) — the transcript-grain analog of the
+    reference's repeated-connection-attempt summaries (conn.d:233-241's
+    per-key counting, applied to failure bursts).
+
+    Gaps-and-islands in two window passes: ``seq`` numbers ALL parsed
+    calls per conversation (so an intervening OK call — absent from the
+    failing subset — breaks an island), then ``seq - row_number() OVER
+    (conv, tool)`` on the failing subset keys each maximal same-tool run.
+    Both windows and the final aggregate hash on conv_id (+tool): no
+    driver state, no Python, skew bounded by max calls per conversation.
+    """
+    from pyspark.sql import Window
+
+    seq_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    fail_w = Window.partitionBy("conv_id", "tool_called").orderBy("turn_idx")
+    return (
+        parsed.withColumn("seq", F.row_number().over(seq_w))
+        .filter(F.col("status") != "OK")
+        .withColumn("island", F.col("seq") - F.row_number().over(fail_w))
+        .groupBy(
+            "conv_id", F.col("tool_called").alias("tool"), F.col("island")
+        )
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .drop("island")
+    )
+
+
+def retry_loops_sql(rel: str, min_run: int = 2) -> str:
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , seqd AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS seq
+          FROM parsed
+        ),
+        fails AS (
+          SELECT conv_id, tool_called, turn_idx,
+                 seq - row_number() OVER (PARTITION BY conv_id, tool_called
+                                          ORDER BY turn_idx) AS island
+          FROM seqd WHERE status <> 'OK'
+        )
+        SELECT conv_id, tool_called AS tool,
+               count(*) AS run_len,
+               min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+        FROM fails GROUP BY conv_id, tool_called, island
+        HAVING count(*) >= {min_run}
+        """
+    )
+
+
+# nearest-rank percentiles computed exactly (no interpolation, no floats)
+PCTL_PS = (50, 90, 99)
+
+
+def latency_percentiles(parsed: DataFrame, ps: tuple = PCTL_PS) -> DataFrame:
+    """Exact per-tool latency percentiles by the nearest-rank definition
+    (value at rank ``ceil(p*n/100)`` of the sorted latencies) — integer
+    end to end, so Spark and the oracle agree bit-for-bit, unlike
+    interpolating quantile functions whose float blends differ per
+    engine.
+
+    Scale shape: ONE hash exchange on tool for both windows (count +
+    row_number share the partitioning), then a narrow posexplode of the
+    |ps|-element literal array and a codegen filter — never a per-group
+    collect. Ties inside a tool are broken (latency, conv_id, turn_idx)
+    so rank k is a deterministic row at any parallelism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tool_called")
+    ow = w.orderBy("latency_ms", "conv_id", "turn_idx")
+    ranked = (
+        parsed.withColumn("n", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(ow))
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps])).alias("p")
+    return (
+        ranked.select("tool_called", "latency_ms", "n", "rn", p)
+        .filter(F.col("rn") == F.expr("(n * p + 99) DIV 100"))
+        .select(
+            F.col("tool_called").alias("tool"),
+            "p",
+            F.col("latency_ms").alias("latency_p_ms"),
+        )
+    )
+
+
+def latency_percentiles_sql(rel: str, ps: tuple = PCTL_PS) -> str:
+    plist = ", ".join(str(int(x)) for x in ps)
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , ranked AS (
+          SELECT tool_called, latency_ms,
+                 count(*) OVER (PARTITION BY tool_called) AS n,
+                 row_number() OVER (PARTITION BY tool_called
+                                    ORDER BY latency_ms, conv_id, turn_idx)
+                   AS rn
+          FROM parsed
+        )
+        SELECT tool_called AS tool, CAST(p AS INT) AS p,
+               latency_ms AS latency_p_ms
+        FROM ranked, unnest([{plist}]) u(p)
+        WHERE rn = (n * p + 99) // 100
+        """
+    )
+
+
+def conv_outcomes(parsed: DataFrame) -> DataFrame:
+    """Per-conversation outcome attribution: total parsed calls, failures,
+    the FINAL call's status (max_by over the unique turn_idx), and a
+    failed flag when the conversation's last tool call did not succeed.
+    One map-side-combined shuffle on conv_id."""
+    return parsed.groupBy("conv_id").agg(
+        F.count("*").alias("n_calls"),
+        F.sum(F.when(F.col("status") != "OK", 1).otherwise(0)).alias("n_err"),
+        F.expr("max_by(status, turn_idx)").alias("last_status"),
+        (F.expr("max_by(status, turn_idx)") != "OK").alias("failed"),
+    )
+
+
+def conv_outcomes_sql(rel: str) -> str:
+    return (
+        _parsed_cte(rel)
+        + """
+        SELECT conv_id, count(*) AS n_calls,
+               CAST(sum(CASE WHEN status <> 'OK' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_err,
+               max_by(status, turn_idx) AS last_status,
+               max_by(status, turn_idx) <> 'OK' AS failed
+        FROM parsed GROUP BY conv_id
+        """
+    )
+
+
+def tool_cooccurrence(parsed: DataFrame) -> DataFrame:
+    """Market-basket over conversations: for every unordered tool pair,
+    how many conversations invoked both. The distinct (conv, tool)
+    relation is built once and self-joined on conv_id with a strict
+    ordering predicate — Catalyst reuses the single exchange for both
+    sides (same pattern as dedup's LSH self-join), and the pair aggregate
+    is bounded by 6C2 = 15 groups regardless of input size."""
+    ct = parsed.select("conv_id", F.col("tool_called").alias("tool")).distinct()
+    a, b = ct.alias("a"), ct.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.tool") < F.col("b.tool")),
+        )
+        .groupBy(
+            F.col("a.tool").alias("tool_a"), F.col("b.tool").alias("tool_b")
+        )
+        .agg(F.count("*").alias("n_convs"))
+    )
+
+
+def tool_cooccurrence_sql(rel: str) -> str:
+    return (
+        _parsed_cte(rel)
+        + """
+        , ct AS (SELECT DISTINCT conv_id, tool_called AS tool FROM parsed)
+        SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_convs
+        FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+        GROUP BY a.tool, b.tool
+        """
+    )
+
+
+# template canonicalization: content words (the synth corpus's
+# w<md5-hex6> tokens) collapse to W, digit runs to '#'
+_TMPL_WORD = "w[0-9a-f]{6}"
+_TMPL_NUM = "[0-9]+"
+
+
+def turn_templates(df: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Boilerplate-template mining over RAW turn text (both roles):
+    canonicalize each turn (content words → W, digit runs → #), then
+    count turns and exact-distinct conversations per template, keeping
+    templates seen in >= ``min_convs`` conversations. Unlike
+    convops.boilerplate_turns (exact-text grain) this clusters turns
+    that differ only in parameters — the "same prompt, different IDs"
+    pattern a curation pipeline strips. Narrow codegen regexp map + one
+    shuffle on the template string."""
+    tmpl = F.regexp_replace(
+        F.regexp_replace("text", _TMPL_WORD, "W"), _TMPL_NUM, "#"
+    )
+    return (
+        df.select(tmpl.alias("template"), "conv_id")
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def turn_templates_sql(rel: str, min_convs: int = 3) -> str:
+    return f"""
+        WITH t AS ({rel})
+        SELECT regexp_replace(regexp_replace(text, '{_TMPL_WORD}', 'W', 'g'),
+                              '{_TMPL_NUM}', '#', 'g') AS template,
+               count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+        FROM t
+        GROUP BY 1 HAVING count(DISTINCT conv_id) >= {min_convs}
+    """
+
+
+def category_retry_loops(
+    parsed: DataFrame, dim: DataFrame, min_run: int = 2
+) -> DataFrame:
+    """:func:`retry_loops` at tool-CATEGORY grain: broadcast-enrich the
+    parsed stream with the tool dimension first, then find maximal runs
+    of consecutive failing calls within the same category. Composes the
+    north_star's enrich stage with the islands pass — on this corpus's
+    rotating tool schedule, same-TOOL retries never occur back-to-back
+    but same-category ones do, so this grain is the one that yields
+    non-trivial runs (tool grain is pytest-covered on a handcrafted
+    stream). Plan: broadcast join (no big-side shuffle) + the two
+    conv-keyed windows of retry_loops."""
+    enriched = parsed.join(
+        F.broadcast(dim), parsed.tool_called == dim.tool, "inner"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("category").alias("tool_called"),
+        "status",
+    )
+    return retry_loops(enriched, min_run).withColumnRenamed("tool", "category")
+
+
+def category_retry_loops_sql(rel: str, min_run: int = 2) -> str:
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , enr AS (
+          SELECT parsed.conv_id, parsed.turn_idx, d.category, parsed.status
+          FROM parsed JOIN {tool_dim_sql()} ON parsed.tool_called = d.tool
+        ),
+        seqd AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS seq
+          FROM enr
+        ),
+        fails AS (
+          SELECT conv_id, category, turn_idx,
+                 seq - row_number() OVER (PARTITION BY conv_id, category
+                                          ORDER BY turn_idx) AS island
+          FROM seqd WHERE status <> 'OK'
+        )
+        SELECT conv_id, category,
+               count(*) AS run_len,
+               min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+        FROM fails GROUP BY conv_id, category, island
+        HAVING count(*) >= {min_run}
+        """
+    )

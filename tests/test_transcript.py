@@ -167,3 +167,118 @@ def test_grok_pipeline_commit_and_resume(spark, tmp_path):
     import glob
     assert glob.glob(str(tmp_path / "stages" / "grok_sink_conn" / "data" /
                          "part_bucket=*"))
+
+
+# --------------------------------------------------------------------------
+# round-3 agent-behavior analytics
+# --------------------------------------------------------------------------
+
+def _mk_parsed(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        schema="conv_id string, turn_idx int, tool_called string, "
+        "status string, epoch long, latency_ms int",
+    )
+
+
+def test_retry_loops_tool_grain_handcrafted(spark):
+    # c1: dns fails at turns 1,3 consecutively (parsed stream has no
+    # intervening call) → one run of 2; its later dns failure at turn 9
+    # is separated by an OK call → its own singleton run (dropped).
+    # c2: an OK breaks same-tool adjacency even when statuses fail.
+    rows = [
+        ("c1", 1, "dns", "ERR", 0, 5),
+        ("c1", 3, "dns", "TIMEOUT", 0, 5),
+        ("c1", 5, "http", "OK", 0, 5),
+        ("c1", 7, "dns", "ERR", 0, 5),
+        ("c2", 1, "ssl", "ERR", 0, 5),
+        ("c2", 3, "ssl", "OK", 0, 5),
+        ("c2", 5, "ssl", "ERR", 0, 5),
+    ]
+    out = transcript.retry_loops(_mk_parsed(spark, rows), 2).collect()
+    assert [(r.conv_id, r.tool, r.run_len, r.first_turn, r.last_turn) for r in out] == [
+        ("c1", "dns", 2, 1, 3)
+    ]
+
+
+def test_retry_loops_min_run_one_keeps_singletons(spark):
+    rows = [("c1", 1, "dns", "ERR", 0, 5), ("c1", 3, "http", "OK", 0, 5)]
+    out = transcript.retry_loops(_mk_parsed(spark, rows), 1).collect()
+    assert len(out) == 1 and out[0].run_len == 1
+
+
+def test_category_retry_loops_nonempty_on_synth(spark, parsed):
+    # the rotating tool schedule guarantees same-CATEGORY adjacency;
+    # every run must be genuinely consecutive failing calls
+    runs = transcript.category_retry_loops(
+        parsed, transcript.tool_dim(spark), 2
+    )
+    rows = runs.collect()
+    assert rows, "synth corpus must produce category-grain retry runs"
+    assert all(r.run_len >= 2 and r.first_turn < r.last_turn for r in rows)
+
+
+def test_latency_percentiles_nearest_rank(spark, parsed):
+    out = {
+        (r.tool, r.p): r.latency_p_ms
+        for r in transcript.latency_percentiles(parsed).collect()
+    }
+    lats = {}
+    for r in parsed.select("tool_called", "latency_ms").collect():
+        lats.setdefault(r.tool_called, []).append(r.latency_ms)
+    for tool, xs in lats.items():
+        xs.sort()
+        for p in transcript.PCTL_PS:
+            k = -(-len(xs) * p // 100)  # ceil
+            assert out[(tool, p)] == xs[k - 1]
+    assert len(out) == len(lats) * len(transcript.PCTL_PS)
+
+
+def test_conv_outcomes_last_status(spark):
+    rows = [
+        ("c1", 1, "dns", "ERR", 0, 5),
+        ("c1", 3, "dns", "OK", 0, 5),
+        ("c2", 1, "ssl", "OK", 0, 5),
+        ("c2", 9, "ssl", "TIMEOUT", 0, 5),
+    ]
+    out = {r.conv_id: r for r in transcript.conv_outcomes(_mk_parsed(spark, rows)).collect()}
+    assert out["c1"].last_status == "OK" and not out["c1"].failed
+    assert out["c1"].n_calls == 2 and out["c1"].n_err == 1
+    assert out["c2"].last_status == "TIMEOUT" and out["c2"].failed
+
+
+def test_tool_cooccurrence_pairs(spark, parsed):
+    out = transcript.tool_cooccurrence(parsed)
+    rows = out.collect()
+    # unordered pairs, strictly ordered columns, no self-pairs
+    assert all(r.tool_a < r.tool_b for r in rows)
+    # cross-check one pair by brute force
+    per_conv = {}
+    for r in parsed.select("conv_id", "tool_called").distinct().collect():
+        per_conv.setdefault(r.conv_id, set()).add(r.tool_called)
+    a, b = rows[0].tool_a, rows[0].tool_b
+    expect = sum(1 for s in per_conv.values() if a in s and b in s)
+    assert rows[0].n_convs == expect
+
+
+def test_turn_templates_collapse_parameters(spark, tx):
+    out = transcript.turn_templates(tx, 3)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert "w" not in r.template or "W" in r.template
+        assert not re.search(r"[0-9]", r.template)
+        assert r.n_convs >= 3
+
+
+def test_new_ops_plan_shapes(spark, parsed):
+    # co-occurrence must reuse one exchange for both self-join sides and
+    # never go cartesian; percentiles must not collect per group
+    co = plan_of(transcript.tool_cooccurrence(parsed))
+    assert "CartesianProduct" not in co and "BroadcastNestedLoop" not in co
+    pc = plan_of(transcript.latency_percentiles(parsed))
+    assert "collect_list" not in pc
+    cat = plan_of(
+        transcript.category_retry_loops(parsed, transcript.tool_dim(spark), 2)
+    )
+    assert "BroadcastHashJoin" in cat
