@@ -592,6 +592,123 @@ def stream_session_counts(
     return writer.start()
 
 
+def stream_retry_loops(
+    parsed_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_run: int = 2,
+    available_now: bool = False,
+):
+    """Streaming twin of functions/transcript.retry_loops: a per-conversation
+    state machine over the parsed call stream that tracks the CURRENT maximal
+    run of consecutive same-tool failing calls across micro-batch boundaries
+    (state = the open run), via applyInPandasWithState.
+
+    Emission protocol (idempotent to reconcile at read time):
+    - a run that CLOSES in this batch (an OK call or a different tool
+      arrives) is emitted once with ``open = false`` iff run_len >= min_run;
+    - a run still OPEN at batch end is emitted as a snapshot with
+      ``open = true`` at ANY length (it may still grow next batch).
+    :func:`read_retry_loops` folds snapshots by (conv_id, tool, first_turn)
+    — run_len/last_turn are monotone per run, so max() reconciles open
+    snapshots with the final closed row bit-exactly, and the min_run cut
+    happens after the fold. test_streaming.py pins streaming == batch
+    retry_loops with conversations split mid-run across micro-batches.
+
+    Ordering contract (same as stream_conv_stats): rows are sorted by
+    turn_idx WITHIN a batch; across batches the source must deliver a
+    conversation's turns in nondecreasing turn order (true for append-only
+    transcript logs). State is one open run per conversation — O(1) per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, tool string, run_len long, first_turn long, "
+        "last_turn long, open boolean"
+    )
+    state_schema = "cur_tool string, cur_len long, first_turn long, last_turn long"
+    need = int(min_run)
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        cur_tool, cur_len, first, last = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        out = {c: [] for c in
+               ("conv_id", "tool", "run_len", "first_turn", "last_turn", "open")}
+
+        def close():
+            nonlocal cur_len
+            if cur_len >= need:
+                out["conv_id"].append(key[0])
+                out["tool"].append(cur_tool)
+                out["run_len"].append(cur_len)
+                out["first_turn"].append(first)
+                out["last_turn"].append(last)
+                out["open"].append(False)
+            cur_len = 0
+
+        rows = _pd.concat(list(pdfs)).sort_values("turn_idx")
+        for tool, status, turn in zip(
+            rows["tool_called"], rows["status"], rows["turn_idx"]
+        ):
+            turn = int(turn)
+            if status != "OK":
+                if cur_len > 0 and tool == cur_tool:
+                    cur_len += 1
+                    last = turn
+                else:
+                    close()
+                    cur_tool, cur_len, first, last = tool, 1, turn, turn
+            elif cur_len > 0:
+                close()
+        if cur_len > 0:
+            out["conv_id"].append(key[0])
+            out["tool"].append(cur_tool)
+            out["run_len"].append(cur_len)
+            out["first_turn"].append(first)
+            out["last_turn"].append(last)
+            out["open"].append(True)
+            state.update((cur_tool, cur_len, first, last))
+        else:
+            state.update((None, 0, 0, 0))
+        yield _pd.DataFrame(out)
+
+    keyed = parsed_stream.select("conv_id", "turn_idx", "tool_called", "status")
+    runs = keyed.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        runs.writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(output_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_retry_loops(
+    spark: SparkSession, output_dir: str, min_run: int = 2
+) -> DataFrame:
+    """Fold stream_retry_loops emissions into current run rows, schema- and
+    value-compatible with the batch op (conv_id, tool, run_len, first_turn,
+    last_turn). One shuffle on the (conv, tool, first_turn) run key."""
+    return (
+        spark.read.parquet(output_dir)
+        .groupBy("conv_id", "tool", "first_turn")
+        .agg(
+            F.max("run_len").alias("run_len"),
+            F.max("last_turn").alias("last_turn"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "tool", "run_len", "first_turn", "last_turn")
+    )
+
+
 def stream_incremental_dedup(
     stream: DataFrame,
     index_dir: str,

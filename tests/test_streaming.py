@@ -491,3 +491,63 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     assert got == expected
     assert got  # non-vacuous: the dup generator guarantees matches
     sig_all.unpersist()
+
+
+def test_stream_retry_loops_matches_batch_across_splits(spark, tmp_path):
+    """Stateful retry-run detection: conversations split across three
+    micro-batches (turn ranges 0-5 / 6-11 / 12-15, so failing runs straddle
+    batch boundaries) must reconcile to EXACTLY the batch op's output."""
+    from anendektos_spark.functions import transcript
+
+    tx = transcript.synth_transcript(spark, 19 * 16 * 2)
+    parsed = transcript.parse_turns(tx)
+    dim = transcript.tool_dim(spark)
+    enriched = (
+        parsed.join(F.broadcast(dim), parsed.tool_called == dim.tool)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("category").alias("tool_called"),
+            "status",
+        )
+        .cache()
+    )
+
+    d = str(tmp_path / "pin")
+    for lo, hi in ((0, 6), (6, 12), (12, 16)):
+        (
+            enriched.filter(
+                (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    out, ckpt = str(tmp_path / "runs"), str(tmp_path / "runsck")
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, tool_called string, status string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    streaming.stream_retry_loops(
+        stream, out, ckpt, min_run=2, available_now=True
+    ).awaitTermination(180)
+
+    # the stream emitted open snapshots in earlier batches for runs that
+    # later closed or grew — the read-time fold must collapse them
+    raw = spark.read.parquet(out)
+    assert raw.filter(F.col("open")).count() > 0, "no cross-batch open runs"
+
+    got = {
+        (r.conv_id, r.tool, r.run_len, r.first_turn, r.last_turn)
+        for r in streaming.read_retry_loops(spark, out, 2).collect()
+    }
+    want = {
+        (r.conv_id, r.category, r.run_len, r.first_turn, r.last_turn)
+        for r in transcript.category_retry_loops(parsed, dim, 2).collect()
+    }
+    assert got == want and want, (len(got), len(want))
