@@ -494,6 +494,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_spans"] = lambda s, d: dedup.dedup_spans(
         _t(s, d, "documents"), block_tokens=5, min_count=2
     )
+    # winnowing (MOSS) local fingerprints + fingerprint-overlap pairs
+    q["dedup_winnow_fp"] = lambda s, d: dedup.winnow_fingerprints(
+        _t(s, d, "documents"), k=4, w=4
+    )
+    q["dedup_winnow_pairs"] = lambda s, d: dedup.winnow_overlap_pairs(
+        _t(s, d, "documents"), k=4, w=4, min_shared=2, max_df=50
+    )
     # fixed-point batch-GD linear probe: trains on a deterministic
     # derived target (sign of the first 8 quantized dims — the synthetic
     # label column is noise w.r.t. the embeddings) and returns per-row
@@ -3003,6 +3010,11 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(CAST(nb.norm2 AS DOUBLE))), 6) >= 0.3
     """
     # duplicated-span removal: block counts + ordered string_agg rebuild
+    _doc_rel = "SELECT doc_id, text FROM documents"
+    o["dedup_winnow_fp"] = dedup.winnow_fingerprints_sql(_doc_rel, "doc_id", 4, 4)
+    o["dedup_winnow_pairs"] = dedup.winnow_overlap_pairs_sql(
+        _doc_rel, "doc_id", 4, 4, 2, 50
+    )
     o["dedup_spans"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         b0 AS (SELECT doc_id, toks, len(toks) AS n, len(toks) // 5 AS nb

@@ -21,6 +21,7 @@ from pyspark.storagelevel import StorageLevel
 from . import iterutils
 from .textstats import (
     _barrier,
+    gram_arr,
     normalize_text,
     shingles,
     spread as _spread,
@@ -733,4 +734,181 @@ def band_sql_expr(rows_per_band: int = 2) -> str:
     return (
         f"md5(array_to_string(sigs[j*{rows_per_band}+1 : "
         f"j*{rows_per_band}+{rows_per_band}], ','))"
+    )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken local fingerprinting)
+# --------------------------------------------------------------------------
+
+# position packing width: winnowing supports docs up to 10^6 k-grams; the
+# inverted zero-padded decimal keeps lexicographic == numeric order
+_WINNOW_POS_MAX = 999_999
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm): hash every
+    word k-gram, slide a window of ``w`` consecutive gram hashes, select
+    each window's minimum (rightmost position on ties), and keep the
+    distinct (position, hash) selections. Guarantees every shared run of
+    ``w + k - 1`` tokens between two documents yields at least one shared
+    fingerprint, at expected density 2/(w+1) — a LOCAL overlap detector
+    (which k-gram region matches), unlike MinHash's global Jaccard.
+
+    Engine-portable argmin: the frame key is ``hex8(md5(gram)) || '-' ||
+    lpad(999999 - pos)`` so a plain ``min()`` over a ROWS frame returns
+    the minimal hash at its rightmost position — no structs, no
+    float/int conversion, bit-identical in the DuckDB mirror.
+
+    100 TB shape: tokenize/gram/hash are narrow codegen maps; ONE hash
+    exchange on the doc id serves both windows (the unordered count and
+    the ordered frame-min share the partitioning — Spark adds only a
+    sort), and the final distinct is the second, fingerprint-sized
+    shuffle. Docs cap at 10^6 grams (the position packing width); chunk
+    longer docs upstream (textstats.chunk_documents)."""
+    from pyspark.sql import Window
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    grams = gram_arr(toks, k)
+    e = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    key = F.concat(
+        F.substring(F.md5("gram"), 1, 8),
+        F.lit("-"),
+        F.lpad((F.lit(_WINNOW_POS_MAX) - F.col("pos")).cast("string"), 6, "0"),
+    )
+    cw = Window.partitionBy(id_col)
+    fw = cw.orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        e.select(
+            id_col,
+            "pos",
+            key.alias("key"),
+            F.count("*").over(cw).alias("n"),
+        )
+        .withColumn("wmin", F.min("key").over(fw))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+    )
+    return sel.select(
+        id_col,
+        (F.lit(_WINNOW_POS_MAX) - F.substring("wmin", 10, 6).cast("int")).alias(
+            "pos"
+        ),
+        F.substring("wmin", 1, 8).alias("fingerprint"),
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` distinct winnowing
+    fingerprints — localized plagiarism/copy detection on top of
+    :func:`winnow_fingerprints`. Fingerprints occurring in more than
+    ``max_df`` documents are dropped BEFORE the self-join (the postings-
+    cap idiom: a boilerplate gram shared by millions of docs would
+    otherwise explode the join quadratically); the join then buckets on
+    the fingerprint value and the pair aggregate counts distinct shared
+    prints. Same ReusedExchange self-join shape as the LSH candidate
+    stage."""
+    fpd = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    keep = fpd.withColumn(
+        "df", F.count("*").over(Window.partitionBy("fingerprint"))
+    ).filter(F.col("df") <= max_df)
+    a = keep.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = keep.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_fp_cte(rel: str, id_col: str, k: int, w: int) -> str:
+    """Shared DuckDB CTE chain ending in ``fp(id, pos, fingerprint)`` —
+    single source of truth for both winnowing oracle mirrors."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(1, k + 1))
+    return f"""
+        WITH d AS ({rel}),
+        t AS (SELECT {id_col},
+                     regexp_split_to_array(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS toks
+              FROM d),
+        g AS (SELECT {id_col},
+                list_transform(
+                  range(CASE WHEN len(toks) >= {k} THEN len(toks) - {k - 1}
+                             ELSE 0 END),
+                  i -> struct_pack(pos := i, g := {gram})) AS grams
+              FROM t),
+        e AS (SELECT {id_col}, u.pos AS pos, u.g AS gram
+              FROM (SELECT {id_col}, unnest(grams) AS u FROM g)),
+        h AS (SELECT {id_col}, pos,
+                     substr(md5(gram),1,8) || '-' ||
+                       lpad(CAST({_WINNOW_POS_MAX} - pos AS VARCHAR), 6, '0')
+                       AS key,
+                     count(*) OVER (PARTITION BY {id_col}) AS n
+              FROM e),
+        wnd AS (SELECT {id_col}, pos, n,
+                     min(key) OVER (PARTITION BY {id_col} ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND {w - 1}
+                                    FOLLOWING) AS wmin
+              FROM h),
+        fp AS (SELECT DISTINCT {id_col},
+                      CAST({_WINNOW_POS_MAX} -
+                           CAST(substr(wmin, 10, 6) AS INT) AS INT) AS pos,
+                      substr(wmin, 1, 8) AS fingerprint
+               FROM wnd WHERE pos <= greatest(n - {w}, 0))
+    """
+
+
+def winnow_fingerprints_sql(
+    rel: str, id_col: str = "doc_id", k: int = 4, w: int = 4
+) -> str:
+    return (
+        _winnow_fp_cte(rel, id_col, k, w)
+        + f"SELECT {id_col}, pos, fingerprint FROM fp"
+    )
+
+
+def winnow_overlap_pairs_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    return (
+        _winnow_fp_cte(rel, id_col, k, w)
+        + f"""
+        , fpd AS (SELECT DISTINCT {id_col} AS id, fingerprint FROM fp),
+        keep AS (
+          SELECT id, fingerprint FROM (
+            SELECT id, fingerprint,
+                   count(*) OVER (PARTITION BY fingerprint) AS df
+            FROM fpd)
+          WHERE df <= {max_df})
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM keep a JOIN keep b
+          ON a.fingerprint = b.fingerprint AND a.id < b.id
+        GROUP BY a.id, b.id HAVING count(*) >= {min_shared}
+        """
     )

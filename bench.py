@@ -188,6 +188,12 @@ def run_grok_bench(spark, n_turns: int) -> dict[str, float]:
         ("transcript_grok_enrich_2m",
          lambda d: transcript.enrich_agg(transcript.parse_turns(d), dim)),
         ("transcript_grok_rejects_2m", transcript.reject_turns),
+        # round-3 agent-behavior analytics over the same parsed stream
+        ("transcript_retry_loops_2m",
+         lambda d: transcript.category_retry_loops(
+             transcript.parse_turns(d), dim, 2)),
+        ("transcript_latency_pctl_2m",
+         lambda d: transcript.latency_percentiles(transcript.parse_turns(d))),
     ):
         best = float("inf")
         for _ in range(3):

@@ -1448,3 +1448,92 @@ def test_compression_quality_partitioning_invariant(spark):
     a = sorted(map(tuple, textstats.compression_quality(df).collect()))
     b = sorted(map(tuple, textstats.compression_quality(df.repartition(7)).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+def _winnow_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    return spark.createDataFrame(
+        [
+            ("d1", f"intro one two {shared} outro red blue"),
+            ("d2", f"completely different start {shared} and another tail"),
+            ("d3", "no overlap here at all just unrelated words entirely"),
+        ],
+        "doc_id string, text string",
+    )
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # k=4, w=4: any shared token run of length >= w+k-1 = 7 must produce
+    # at least one common fingerprint (the winnowing guarantee); the
+    # shared run above is 10 tokens.
+    fp = dedup.winnow_fingerprints(_winnow_docs(spark), k=4, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc["d1"] & by_doc["d2"]
+    assert not (by_doc["d1"] & by_doc["d3"])
+    assert not (by_doc["d2"] & by_doc["d3"])
+
+
+def test_winnow_density_and_positions(spark):
+    # positions must be valid gram indices and selection density must be
+    # well below 1 (w=4 → expected 2/(w+1) = 0.4 of grams)
+    docs = _winnow_docs(spark)
+    fp = dedup.winnow_fingerprints(docs, k=4, w=4)
+    toks = docs.select(
+        "doc_id", F.size(textstats.tokens(textstats.normalize_text("text"))).alias("n")
+    )
+    j = fp.join(toks, "doc_id").collect()
+    assert all(0 <= r.pos <= r.n - 4 for r in j)
+    n_grams = sum(r.n - 3 for r in toks.collect())
+    assert len(j) < 0.8 * n_grams
+
+
+def test_winnow_partition_independent(spark):
+    docs = _winnow_docs(spark)
+    a = sorted(map(tuple, dedup.winnow_fingerprints(docs, k=4, w=4).collect()))
+    b = sorted(
+        map(tuple, dedup.winnow_fingerprints(docs.repartition(7), k=4, w=4).collect())
+    )
+    assert a == b and a
+
+
+def test_winnow_overlap_pairs_and_df_cap(spark):
+    pairs = dedup.winnow_overlap_pairs(
+        _winnow_docs(spark), k=4, w=4, min_shared=1, max_df=50
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [("d1", "d2")]
+    assert pairs[0].n_shared >= 1
+    # a fingerprint present in EVERY doc is dropped by max_df=1
+    boiler = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"unique{i} filler{i} {boiler} tail{i}") for i in range(4)],
+        "doc_id string, text string",
+    )
+    capped = dedup.winnow_overlap_pairs(
+        docs, k=4, w=4, min_shared=1, max_df=1
+    ).count()
+    assert capped == 0
+
+
+def test_winnow_short_doc_truncated_window(spark):
+    # fewer grams than w: a single whole-doc window selects exactly one
+    # fingerprint (the global min, rightmost on ties)
+    docs = spark.createDataFrame(
+        [("s", "only five little words here")], "doc_id string, text string"
+    )  # 5 tokens → 2 grams < w=4
+    out = dedup.winnow_fingerprints(docs, k=4, w=4).collect()
+    assert len(out) == 1 and out[0].pos in (0, 1)
+
+
+def test_winnow_plan_shapes(spark):
+    from tests.test_plans import plan_of
+
+    docs = _winnow_docs(spark)
+    pairs_plan = plan_of(dedup.winnow_overlap_pairs(docs, k=4, w=4))
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoop" not in pairs_plan
