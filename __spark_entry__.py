@@ -252,6 +252,12 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.lsh_candidates(_t(s, d, "documents")),
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_t(s, d, "documents"))
+    # O(log n)-round large-star/small-star CC — same contract (and same
+    # recursive-CTE oracle) as the min-label dedup_clusters
+    q["dedup_clusters_bigstar"] = lambda s, d: dedup.dup_clusters_bigstar(
+        _t(s, d, "documents").select("doc_id"),
+        dedup.lsh_candidates(_t(s, d, "documents")),
+    )
     q["dedup_incremental"] = _dedup_incremental
 
     # --- similarity search over embeddings ---
@@ -2280,6 +2286,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # the reach CTE recurses → the whole WITH chain needs RECURSIVE
     o["dedup_clusters"] = o["dedup_clusters"].replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    # the big-star variant has the identical output contract, so it shares
+    # the exact connected-components oracle verbatim
+    o["dedup_clusters_bigstar"] = o["dedup_clusters"]
     o["ann_ivf_topk"] = f"""
         WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -912,3 +912,99 @@ def winnow_overlap_pairs_sql(
         GROUP BY a.id, b.id HAVING count(*) >= {min_shared}
         """
     )
+
+
+def dup_clusters_bigstar(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round scale path beside :func:`dup_clusters`'s
+    O(component-diameter) min-label loop. Identical output contract
+    (``(id_col, cluster_id)`` with the component-minimum id as label,
+    isolated nodes labeling themselves), so the two are interchangeable
+    and share one DuckDB recursive-CTE oracle; tests pin them equal and
+    pin a 64-node path converging here within rounds that min-label
+    provably cannot.
+
+    Each round is two grouped-min + join passes over the edge relation:
+    large-star points every neighbor LARGER than u at u's minimum
+    neighborhood label; small-star contracts the ≤-side the same way.
+    Edges always point larger→smaller afterwards, components contract to
+    rooted stars in O(log n) rounds regardless of diameter (LSH dup
+    chains at crawl scale can be long — diameter is the wrong thing to
+    bet on at 100 TB). Per-round state is persisted and
+    lineage-truncated; the convergence probe is two limit(1) anti-join
+    counts, never a data-sized collect."""
+    checkpoint = iterutils.resolve_checkpoint_mode(ids, checkpoint)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        a = _sym(e)
+        if large:
+            grp, out = a, a.filter(F.col("dst") > F.col("src"))
+        else:
+            grp = a.filter(F.col("dst") <= F.col("src"))
+            out = grp
+        m = grp.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least("src", "mn").alias("m"))
+        emitted = (
+            out.join(m, "src")
+            .select(F.col("dst").alias("node"), F.col("m"))
+        )
+        if not large:
+            emitted = emitted.unionByName(
+                m.select(F.col("src").alias("node"), F.col("m"))
+            )
+        return (
+            emitted.filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    converged = False
+    for it in range(1, max_iter + 1):
+        new_edges = iterutils.truncate_lineage(
+            _star(_star(edges, large=True), large=False), checkpoint
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        grew = new_edges.exceptAll(edges).limit(1).count()
+        shrank = edges.exceptAll(new_edges).limit(1).count()
+        edges.unpersist()
+        edges = new_edges
+        if grew == 0 and shrank == 0:
+            converged = True
+            break
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_clusters_bigstar did not converge within max_iter={max_iter} "
+            "rounds (expected O(log n); check for pathological input)"
+        )
+    labels = ids.select(F.col(id_col).alias("node")).join(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("root")),
+        "node",
+        "left",
+    )
+    out = labels.select(
+        F.col("node").alias(id_col),
+        F.coalesce("root", "node").alias("cluster_id"),
+    )
+    return out

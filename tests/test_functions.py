@@ -1537,3 +1537,50 @@ def test_winnow_plan_shapes(spark):
     pairs_plan = plan_of(dedup.winnow_overlap_pairs(docs, k=4, w=4))
     assert "CartesianProduct" not in pairs_plan
     assert "BroadcastNestedLoop" not in pairs_plan
+
+
+# --------------------------------------------------------------------------
+# large-star / small-star connected components
+# --------------------------------------------------------------------------
+
+def _cc_fixture(spark, edges, n_nodes):
+    ids = spark.createDataFrame(
+        [(f"n{i:03d}",) for i in range(n_nodes)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    return ids, pairs
+
+
+def test_bigstar_equals_minlabel_on_mixed_graph(spark):
+    # two components + isolated nodes + a triangle + a duplicate edge
+    edges = [
+        ("n000", "n001"), ("n001", "n002"), ("n000", "n002"),  # triangle
+        ("n004", "n005"), ("n005", "n006"), ("n004", "n005"),  # path + dup
+    ]
+    ids, pairs = _cc_fixture(spark, edges, 8)
+    a = dict(dedup.dup_clusters(ids, pairs).collect())
+    b = dict(dedup.dup_clusters_bigstar(ids, pairs).collect())
+    assert a == b
+    assert b["n002"] == "n000" and b["n006"] == "n004" and b["n007"] == "n007"
+
+
+def test_bigstar_logarithmic_rounds_on_long_path(spark):
+    # a 64-node path has diameter 63: min-label needs >31 label rounds
+    # (max_iter=8 must raise), big-star must converge within 8 full
+    # rounds AND produce the exact component labels
+    n = 64
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)]
+    ids, pairs = _cc_fixture(spark, edges, n)
+    with pytest.raises(RuntimeError):
+        dedup.dup_clusters(ids, pairs, max_iter=8)
+    got = dict(dedup.dup_clusters_bigstar(ids, pairs, max_iter=8).collect())
+    assert got == {f"n{i:03d}": "n000" for i in range(n)}
+
+
+def test_bigstar_matches_minlabel_on_lsh_candidates(spark, docs_df=None):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = docs.select("doc_id")
+    cand = dedup.lsh_candidates(docs)
+    a = sorted(dedup.dup_clusters(ids, cand).collect())
+    b = sorted(dedup.dup_clusters_bigstar(ids, cand).collect())
+    assert a == b
