@@ -507,6 +507,17 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_winnow_pairs"] = lambda s, d: dedup.winnow_overlap_pairs(
         _t(s, d, "documents"), k=4, w=4, min_shared=2, max_df=50
     )
+    q["dedup_winnow_spans"] = lambda s, d: dedup.winnow_match_spans(
+        _t(s, d, "documents"), k=4, w=4, max_df=50
+    )
+    # quality-aware keep-one-copy over the resolved dup clusters
+    q["dedup_canonical_quality"] = lambda s, d: dedup.canonical_by_quality(
+        dedup.dup_clusters(
+            _t(s, d, "documents").select("doc_id"),
+            dedup.lsh_candidates(_t(s, d, "documents")),
+        ),
+        textstats.quality_score(_t(s, d, "documents")),
+    )
     # fixed-point batch-GD linear probe: trains on a deterministic
     # derived target (sign of the first 8 quantized dims — the synthetic
     # label column is noise w.r.t. the embeddings) and returns per-row
@@ -2289,6 +2300,21 @@ def oracle_sql() -> dict[str, str]:
     # the big-star variant has the identical output contract, so it shares
     # the exact connected-components oracle verbatim
     o["dedup_clusters_bigstar"] = o["dedup_clusters"]
+    # quality-aware canonicalization: exact-CC clusters × the text_quality
+    # score, best score per cluster with a min-id tiebreak
+    o["dedup_canonical_quality"] = f"""
+        WITH base AS ({o["dedup_clusters"]}),
+        qual AS (SELECT doc_id, quality FROM ({o["text_quality"]})),
+        m AS (SELECT base.cluster_id, base.doc_id, qual.quality
+              FROM base JOIN qual USING (doc_id)),
+        b AS (SELECT cluster_id, max(quality) AS best_score,
+                     count(*) AS n_docs
+              FROM m GROUP BY cluster_id)
+        SELECT m.cluster_id, min(m.doc_id) AS keep_id, b.n_docs, b.best_score
+        FROM m JOIN b ON m.cluster_id = b.cluster_id
+                     AND m.quality = b.best_score
+        GROUP BY m.cluster_id, b.n_docs, b.best_score
+    """
     o["ann_ivf_topk"] = f"""
         WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -3023,6 +3049,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_winnow_fp"] = dedup.winnow_fingerprints_sql(_doc_rel, "doc_id", 4, 4)
     o["dedup_winnow_pairs"] = dedup.winnow_overlap_pairs_sql(
         _doc_rel, "doc_id", 4, 4, 2, 50
+    )
+    o["dedup_winnow_spans"] = dedup.winnow_match_spans_sql(
+        _doc_rel, "doc_id", 4, 4, 50
     )
     o["dedup_spans"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

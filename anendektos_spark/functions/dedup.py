@@ -1008,3 +1008,97 @@ def dup_clusters_bigstar(
         F.coalesce("root", "node").alias("cluster_id"),
     )
     return out
+
+
+def canonical_by_quality(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keep-one-copy: for every dup cluster choose the
+    HIGHEST-quality member (ties → minimum id) instead of
+    :func:`canonical_corpus`'s min-id rule — the curation policy real
+    pipelines want (keep the best copy, not the lexicographically first).
+
+    ``clusters`` is any (id, cluster_id) relation (dup_clusters or
+    dup_clusters_bigstar); ``scores`` any (id, score) relation (e.g.
+    textstats.quality_score). Two hash aggregates on cluster_id sharing
+    one exchange: best-score+size, then min-id among the arg-max rows.
+    Output: (cluster_id, keep_id, n_docs, best_score)."""
+    m = clusters.select(
+        F.col(id_col).alias("_id"), "cluster_id"
+    ).join(
+        scores.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s")),
+        "_id",
+    )
+    best = m.groupBy("cluster_id").agg(
+        F.max("_s").alias("best_score"), F.count("*").alias("n_docs")
+    )
+    return (
+        m.join(best, "cluster_id")
+        .filter(F.col("_s") == F.col("best_score"))
+        .groupBy("cluster_id", "n_docs", "best_score")
+        .agg(F.min("_id").alias("keep_id"))
+        .select("cluster_id", "keep_id", "n_docs", "best_score")
+    )
+
+
+def winnow_match_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """Localized overlap evidence: every matched fingerprint OCCURRENCE
+    between two documents, with both positions — the alignment detail
+    :func:`winnow_overlap_pairs` aggregates away (which k-gram region of
+    A matches which region of B). Same df-cap before the self-join;
+    output grain is (id_a, id_b, pos_a, pos_b, fingerprint)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    dcount = (
+        fps.select(id_col, "fingerprint")
+        .distinct()
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fingerprint")
+    )
+    keep = fps.join(dcount, "fingerprint")
+    a = keep.select(
+        "fingerprint", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = keep.select(
+        "fingerprint", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b", "fingerprint")
+    )
+
+
+def winnow_match_spans_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+) -> str:
+    return (
+        _winnow_fp_cte(rel, id_col, k, w)
+        + f"""
+        , dc AS (
+          SELECT fingerprint FROM (
+            SELECT fingerprint, count(DISTINCT {id_col}) AS ndocs
+            FROM fp GROUP BY 1)
+          WHERE ndocs <= {max_df}),
+        keep AS (SELECT fp.* FROM fp JOIN dc USING (fingerprint))
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.fingerprint
+        FROM keep a JOIN keep b
+          ON a.fingerprint = b.fingerprint AND a.{id_col} < b.{id_col}
+        """
+    )

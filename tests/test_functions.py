@@ -1584,3 +1584,35 @@ def test_bigstar_matches_minlabel_on_lsh_candidates(spark, docs_df=None):
     a = sorted(dedup.dup_clusters(ids, cand).collect())
     b = sorted(dedup.dup_clusters_bigstar(ids, cand).collect())
     assert a == b
+
+
+def test_canonical_by_quality_picks_best_member(spark):
+    clusters = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d9", "d9")],
+        "doc_id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("d1", 0.2), ("d2", 0.9), ("d3", 0.9), ("d9", 0.5)],
+        "doc_id string, quality double",
+    )
+    out = {r.cluster_id: r for r in dedup.canonical_by_quality(clusters, scores).collect()}
+    # max quality wins; tie (d2, d3) broken by min id
+    assert out["c1"].keep_id == "d2" and out["c1"].n_docs == 3
+    assert out["c1"].best_score == 0.9
+    assert out["d9"].keep_id == "d9" and out["d9"].n_docs == 1
+
+
+def test_winnow_match_spans_localize_overlap(spark):
+    spans = dedup.winnow_match_spans(
+        _winnow_docs(spark), k=4, w=4, max_df=50
+    ).collect()
+    assert spans and all(r.id_a == "d1" and r.id_b == "d2" for r in spans)
+    # shared region starts at token 3 in d1 and token 3 in d2 — every
+    # matched fingerprint must sit inside the shared 10-token run
+    for r in spans:
+        assert 3 <= r.pos_a <= 9 and 3 <= r.pos_b <= 9
+    # spans grain must be consistent with the pair detector
+    pair = dedup.winnow_overlap_pairs(
+        _winnow_docs(spark), k=4, w=4, min_shared=1, max_df=50
+    ).collect()[0]
+    assert pair.n_shared == len({r.fingerprint for r in spans})
