@@ -117,6 +117,15 @@ def run_grok_pipeline(spark: SparkSession, cfg: GrokPipelineConfig) -> dict:
         "grok_summary": lambda: transcript.tool_summary(parsed),
         "grok_hourly": lambda: transcript.hourly_counts(parsed),
         "grok_topk": lambda: transcript.topk_tools(parsed, cfg.top_k),
+        # agent-behavior analytics (round 3): stuck-agent runs at
+        # category grain, exact latency percentiles, and per-conversation
+        # outcome attribution — same committed-parse input, each its own
+        # resumable stage
+        "grok_retry_loops": lambda: transcript.category_retry_loops(
+            parsed, dim, 2
+        ),
+        "grok_latency_pctl": lambda: transcript.latency_percentiles(parsed),
+        "grok_outcomes": lambda: transcript.conv_outcomes(parsed),
     }.items():
         _commit(store, fp, metrics, stage, build)
 

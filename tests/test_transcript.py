@@ -167,6 +167,15 @@ def test_grok_pipeline_commit_and_resume(spark, tmp_path):
     import glob
     assert glob.glob(str(tmp_path / "stages" / "grok_sink_conn" / "data" /
                          "part_bucket=*"))
+    # round-3 analytics stages: committed outputs equal the direct batch ops
+    p = transcript.parse_turns(tx)
+    assert sorted(map(tuple, store.read(spark, "grok_retry_loops").collect())) == \
+        sorted(map(tuple, transcript.category_retry_loops(
+            p, transcript.tool_dim(spark), 2).collect()))
+    assert sorted(map(tuple, store.read(spark, "grok_latency_pctl").collect())) == \
+        sorted(map(tuple, transcript.latency_percentiles(p).collect()))
+    assert store.read(spark, "grok_outcomes").count() == \
+        p.select("conv_id").distinct().count()
 
 
 # --------------------------------------------------------------------------
