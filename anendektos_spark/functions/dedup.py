@@ -831,6 +831,12 @@ def winnow_overlap_pairs(
     keep = fpd.withColumn(
         "df", F.count("*").over(Window.partitionBy("fingerprint"))
     ).filter(F.col("df") <= max_df)
+    # one-pass idiom (same as lsh_jaccard's shingle relation): persist the
+    # capped fingerprint relation so BOTH self-join sides read one
+    # materialization instead of re-winnowing the corpus (executed-plan
+    # audit: 9 shuffles → the cache halves the winnow work; entry lives
+    # until session end, release with clearCache on corpus change)
+    keep = keep.persist(StorageLevel.MEMORY_AND_DISK)
     a = keep.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = keep.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (
@@ -1057,7 +1063,12 @@ def winnow_match_spans(
     :func:`winnow_overlap_pairs` aggregates away (which k-gram region of
     A matches which region of B). Same df-cap before the self-join;
     output grain is (id_a, id_b, pos_a, pos_b, fingerprint)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    # persisted like winnow_overlap_pairs: the positional fingerprint
+    # relation feeds the df-count AND both self-join sides — one winnow
+    # pass instead of three
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dcount = (
         fps.select(id_col, "fingerprint")
         .distinct()
