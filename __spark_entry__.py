@@ -400,6 +400,9 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_pagerank"] = lambda s, d: graph.pagerank(
         graph.synth_links(s, 20_000, 1_000), iters=5
     )
+    q["graph_triangles"] = lambda s, d: graph.triangle_counts(
+        graph.synth_links(s, 20_000, 1_000)
+    )
     # deterministic train/val/test assignment (cumulative md5 ranges)
     q["sample_split"] = lambda s, d: sampling.split_dataset(
         _t(s, d, "documents").select("doc_id"),
@@ -2739,6 +2742,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["graph_pagerank"] = graph.pagerank_sql(
         graph.synth_links_sql(20_000, 1_000), iters=5
+    )
+    o["graph_triangles"] = graph.triangle_counts_sql(
+        graph.synth_links_sql(20_000, 1_000)
     )
     _split_case = sampling.split_dataset_sql(
         {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"

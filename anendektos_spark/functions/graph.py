@@ -152,3 +152,109 @@ def pagerank_sql(edges_rel: str, iters: int = 5, damping_pct: int = 85,
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, r AS rank_fp FROM r{iters}"
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation — the
+    MapReduce-classic trick (Suri & Vassilvitskii, "Counting Triangles
+    and the Curse of the Last Reducer") that makes the wedge join safe on
+    power-law graphs: orient every undirected edge from its lower-(degree,
+    id) endpoint to the higher one, so every out-neighborhood is O(√m)
+    even at a celebrity hub, and each triangle is generated EXACTLY once
+    at its lowest-ordered vertex.
+
+    Stages (all hash joins, no driver state): simple-graph canonicalize →
+    degree count → orient → wedge self-join on the tail vertex (one
+    exchange, reused across both sides) → close wedges against the
+    oriented edge list → explode each triangle's three corners → count.
+    Output: (node, n_triangles) for every node in at least one triangle.
+    """
+    a, b = F.col("a"), F.col("b")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(a != b)
+        .distinct()
+    )
+    deg = (
+        und.select(a.alias("node"))
+        .unionByName(und.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    withdeg = (
+        und.join(da, und.a == F.col("da.node"))
+        .join(db, und.b == F.col("db.node"))
+        .select(
+            "a", "b",
+            F.col("da.deg").alias("dega"), F.col("db.deg").alias("degb"),
+        )
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (a < b)
+    )
+    oriented = withdeg.select(
+        F.when(a_first, a).otherwise(b).alias("u"),
+        F.when(a_first, b).otherwise(a).alias("v"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge_ord = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    wedges = o1.join(o2, (F.col("o1.u") == F.col("o2.u")) & wedge_ord).select(
+        F.col("o1.u").alias("t0"),
+        F.col("o1.v").alias("t1"),
+        F.col("o2.v").alias("t2"),
+    )
+    closer = oriented.select(F.col("u").alias("t1"), F.col("v").alias("t2"))
+    tris = wedges.join(closer, ["t1", "t2"])
+    return (
+        tris.select(F.explode(F.array("t0", "t1", "t2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(edges_rel: str) -> str:
+    """DuckDB mirror of :func:`triangle_counts` (same orientation and
+    wedge arithmetic; node ids integer)."""
+    return f"""
+        WITH raw AS ({edges_rel}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node
+        ),
+        oriented AS (
+          SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS u,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS v,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                      THEN db.deg ELSE da.deg END AS dv
+          FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+        ),
+        wedges AS (
+          SELECT o1.u AS t0, o1.v AS t1, o2.v AS t2
+          FROM oriented o1 JOIN oriented o2
+            ON o1.u = o2.u
+           AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        ),
+        tris AS (
+          SELECT w.t0, w.t1, w.t2
+          FROM wedges w JOIN oriented c ON w.t1 = c.u AND w.t2 = c.v
+        )
+        SELECT node, count(*) AS n_triangles FROM (
+          SELECT t0 AS node FROM tris
+          UNION ALL SELECT t1 FROM tris
+          UNION ALL SELECT t2 FROM tris)
+        GROUP BY node
+    """

@@ -1616,3 +1616,38 @@ def test_winnow_match_spans_localize_overlap(spark):
         _winnow_docs(spark), k=4, w=4, min_shared=1, max_df=50
     ).collect()[0]
     assert pair.n_shared == len({r.fingerprint for r in spans})
+
+
+# --------------------------------------------------------------------------
+# triangle counting (degree-oriented wedge join)
+# --------------------------------------------------------------------------
+
+def test_triangle_counts_handcrafted(spark):
+    from anendektos_spark.functions import graph
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant edge,
+    # fed as a messy multigraph: duplicates, reversed copies, self-loop
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges = k4 + [(j, i) for i, j in k4] + [(0, 1), (2, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = dict(graph.triangle_counts(df).collect())
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_matches_bruteforce_on_synth(spark):
+    from anendektos_spark.functions import graph
+
+    edges = graph.synth_links(spark, 600, 60)
+    got = dict(graph.triangle_counts(edges).collect())
+    und = {tuple(sorted((r.src, r.dst))) for r in edges.collect()}
+    adj = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {}
+    for x, y in und:
+        for z in adj[x] & adj[y]:
+            if x < y < z:
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+    assert got == want and want
