@@ -305,3 +305,36 @@ def quality_quota(
         scored.withColumn("quota_rank", F.row_number().over(w))
         .filter(F.col("quota_rank") <= n)
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Per-source keep-rates for temperature-based data mixing: sampled
+    source mass ∝ n_g^alpha (alpha=1 → natural proportions, alpha→0 →
+    uniform across sources), realized as rate_g ∝ n_g^(alpha-1) and
+    normalized so the most-upweighted (smallest) source keeps 100% —
+    rates are then valid [0,1] inputs for :func:`mixture_sample`, which
+    applies them as the usual deterministic md5-threshold filter.
+
+    The only driver-side data is the per-source count vector (model-
+    sized, like a k-means centroid set) — the sample itself stays
+    distributed and deterministic. Library helper (no oracle query): the
+    rate computation involves float pow(), which is not guaranteed
+    bit-identical across engines, so the cross-engine contract lives in
+    mixture_sample's fixed rates instead."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    weights = {g: n ** (alpha - 1.0) for g, n in counts.items()}
+    top = max(weights.values())
+    return {g: w / top for g, w in weights.items()}

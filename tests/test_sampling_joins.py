@@ -618,3 +618,28 @@ def test_weighted_sample_excludes_nonpositive_and_validates(spark):
         sampling.weighted_sample(
             df.withColumn("wsample_rank", F.lit(1)), 2, "w", "doc_id"
         )
+
+
+def test_temperature_rates_mixture(spark):
+    from anendektos_spark.functions import sampling
+
+    # sources with 10:100:1000 natural counts
+    rows = [(f"d{i}", "s_small" if i < 10 else ("s_mid" if i < 110 else "s_big"))
+            for i in range(1110)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    rates = sampling.temperature_rates(df, "source", alpha=0.5)
+    # smallest source keeps everything; rate ratio = sqrt(n_small/n_g)
+    assert rates["s_small"] == 1.0
+    assert abs(rates["s_mid"] - (10 / 100) ** 0.5) < 1e-12
+    assert abs(rates["s_big"] - (10 / 1000) ** 0.5) < 1e-12
+    # alpha=1 → natural proportions (all rates 1.0, nothing dropped)
+    assert set(sampling.temperature_rates(df, "source", 1.0).values()) == {1.0}
+    # feeds mixture_sample deterministically: sampled mass ∝ n^alpha
+    kept = sampling.mixture_sample(df, rates, "source", "doc_id")
+    again = sampling.mixture_sample(df.repartition(7), rates, "source", "doc_id")
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+    got = {r.source: r.n for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["s_small"] == 10  # rate 1.0 keeps all
+    # expected masses: 10, sqrt(10*100)≈31.6, sqrt(10*1000)=100 (±md5 noise)
+    assert 15 <= got.get("s_mid", 0) <= 50 and 70 <= got.get("s_big", 0) <= 135
