@@ -627,6 +627,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_boilerplate"] = lambda s, d: convops.boilerplate_turns(
         convops.synth_conv_dup(s, _CONV_DUP_N)
     )
+    # branch-point detection over the dup-injecting corpus (template
+    # copies share full prefixes; mutants diverge at their mutated turn)
+    q["conv_prefix_groups"] = lambda s, d: convops.prefix_groups(
+        convops.synth_conv_dup(s, _CONV_DUP_N)
+    )
     q["conv_pref_pairs"] = lambda s, d: convops.pref_pairs(
         convops.synth_conv_dup(s, _CONV_DUP_N)
     )
@@ -3174,6 +3179,7 @@ def oracle_sql() -> dict[str, str]:
     _conv_dup_rel = convops.synth_conv_dup_sql(_CONV_DUP_N)
     o["conv_dedup_pairs"] = convops.conv_dedup_pairs_sql(_conv_dup_rel)
     o["conv_boilerplate"] = convops.boilerplate_turns_sql(_conv_dup_rel)
+    o["conv_prefix_groups"] = convops.prefix_groups_sql(_conv_dup_rel)
     o["conv_pref_pairs"] = convops.pref_pairs_sql(_conv_dup_rel)
     _bm25_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     o["text_bm25_topk"] = f"""

@@ -696,3 +696,74 @@ def conv_dedup_pairs_sql(rel: str, num_hashes: int = 16, rows_per_band: int = 2)
         JOIN sh sa ON c.id_a = sa.conv_id
         JOIN sh sb ON c.id_b = sb.conv_id
     """
+
+
+# branch-point probe depths: powers of two so a shared prefix of any
+# length is bracketed within 2x
+PREFIX_DEPTHS = (1, 2, 4, 8)
+
+
+def prefix_groups(
+    df: DataFrame,
+    depths: tuple = PREFIX_DEPTHS,
+    min_convs: int = 2,
+) -> DataFrame:
+    """Conversation branch-point detection: groups of conversations that
+    share an EXACT turn-prefix at each probe depth — the signature of
+    regenerated/retried conversations that fork from a common context
+    (a conversation tree flattened into independent rows). A group at
+    depth d that shrinks at depth 2d brackets the branch point.
+
+    One shuffle builds each conversation's ordered turn array (the
+    conv_reconstruct array_sort idiom — no second window pass); the
+    depth probe is a narrow |depths|-literal explode + md5 of the
+    unit-separator-joined turn-prefix slice; the group aggregate keys on
+    (depth, prefix_fp). Prefix fingerprints use chr(31) joins so turn
+    boundaries cannot alias (' a b' + 'c' vs 'a' + 'b c').
+    Output: (depth, prefix_fp, n_convs, example_conv)."""
+    base = df.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s["text"],
+        ).alias("texts")
+    )
+    d = F.explode(F.array(*[F.lit(int(x)) for x in depths])).alias("depth")
+    probed = base.select("conv_id", "texts", d).filter(
+        F.size("texts") >= F.col("depth")
+    )
+    fp = F.md5(F.array_join(F.slice("texts", 1, F.col("depth")), "\x1f"))
+    return (
+        probed.select(F.col("depth").cast("int").alias("depth"),
+                      fp.alias("prefix_fp"), "conv_id")
+        .groupBy("depth", "prefix_fp")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.min("conv_id").alias("example_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def prefix_groups_sql(
+    rel: str, depths: tuple = PREFIX_DEPTHS, min_convs: int = 2
+) -> str:
+    dlist = ", ".join(str(int(x)) for x in depths)
+    return f"""
+        WITH c AS ({rel}),
+        g AS (
+          SELECT conv_id, list(text ORDER BY turn_idx) AS texts
+          FROM c GROUP BY conv_id
+        ),
+        probed AS (
+          SELECT CAST(u.d AS INT) AS depth,
+                 md5(array_to_string(g.texts[1:CAST(u.d AS INT)], chr(31)))
+                   AS prefix_fp,
+                 g.conv_id
+          FROM g, unnest([{dlist}]) u(d)
+          WHERE len(g.texts) >= u.d
+        )
+        SELECT depth, prefix_fp, count(*) AS n_convs,
+               min(conv_id) AS example_conv
+        FROM probed GROUP BY depth, prefix_fp
+        HAVING count(*) >= {min_convs}
+    """

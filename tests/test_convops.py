@@ -279,3 +279,30 @@ def test_pref_pairs_never_degenerate(spark):
     # chosen = fp X's best occurrence (conv a, 40004); rejected = fp Y
     assert (p.chosen_conv, p.chosen_score_fp) == ("a", 40004)
     assert (p.rejected_conv, p.rejected_score_fp) == ("c", 40003)
+
+
+def test_prefix_groups_branch_points(spark):
+    # three conversations: c1/c2 share the first 2 turns then diverge;
+    # c3 is unrelated. depth 1 and 2 must group {c1,c2}; depth 4 must not.
+    rows = []
+    for conv, texts in (
+        ("c1", ["hello", "run tool", "ok branch a", "done a"]),
+        ("c2", ["hello", "run tool", "ok branch b", "done b"]),
+        ("c3", ["different", "start", "entirely", "here"]),
+    ):
+        rows += [(conv, i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {(r.depth, r.n_convs, r.example_conv)
+           for r in convops.prefix_groups(df).collect()}
+    assert got == {(1, 2, "c1"), (2, 2, "c1")}
+    # input-order independence (array_sort ordering, not arrival order)
+    got2 = {(r.depth, r.n_convs, r.example_conv)
+            for r in convops.prefix_groups(df.orderBy(F.desc("turn_idx"))).collect()}
+    assert got2 == got
+
+
+def test_prefix_groups_no_turn_boundary_aliasing(spark):
+    # 'a b'+'c' must NOT collide with 'a'+'b c' at depth 2
+    rows = [("x", 0, "a b"), ("x", 1, "c"), ("y", 0, "a"), ("y", 1, "b c")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    assert convops.prefix_groups(df, depths=(2,)).count() == 0
