@@ -90,90 +90,99 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries() (dict-insertion order). PRIORITY_QUERIES pins the
 # window's contents explicitly so an insertion elsewhere can never silently
 # push a core query out of the verified set (guarded by
-# tests/test_entry_contract.py::test_driver_window_priority). Round 3's
-# window = the 48 operators registered after the round-2 cutoff (all green
-# under the driver's own protocol via scripts/check_oracle.py that round,
-# but with no official CORRECTNESS row) — led by the six zeek_sink_* golden
-# parsers, the heart of the reference rebuild — plus the grok north_star
-# pipeline's parse and enrich legs. Every query, in and out of the window,
-# is additionally swept each round by scripts/check_oracle.py →
+# tests/test_entry_contract.py::test_driver_window_priority).
+#
+# Round-4 rotation (VERDICT r3 ask #2): the window holds exactly the
+# queries that have NEVER had an official CORRECTNESS row — rounds 1-3
+# officially verified 100 distinct queries (union of CORRECTNESS_r01-r03
+# keys, incl. all zeek_sink_* goldens, the conv/asof/sampling/similarity
+# sets, and the grok parse+enrich legs; those keep their recorded rows) —
+# led by the ten remaining transcript_* north_star analytics legs and the
+# round-3 operator additions. 53 queries had no official row; the window
+# caps at 50, so three TPC-H mirrors (tpch_q11/q12/q15) stay sweep-only
+# and head the round-5 rotation (they are placed FIRST among the
+# non-window remainder below). Every query, in and out of the window, is
+# additionally swept each round by scripts/check_oracle.py →
 # ORACLE_FULL_r<k>.json.
 DRIVER_WINDOW = 50
 PRIORITY_QUERIES = [
-    # the Zeek-semantics parse engine goldens (SURVEY §2 O1-O18)
-    "zeek_sink_conn",
-    "zeek_sink_dns",
-    "zeek_sink_http",
-    "zeek_sink_files",
-    "zeek_sink_ssl",
-    "zeek_sink_x509",
-    "zeek_rejects",
-    "zeek_conn_latency",
-    "zeek_sink_conn_pipe",
-    "zeek_topk_fields",
-    "zeek_golden_aggregates",
-    # conversation-transcript ops (north_star payload)
-    "conv_reconstruct",
-    "conv_tool_transitions",
-    "conv_turn_latency",
-    "conv_role_balance",
-    # temporal joins
-    "asof_last_order",
-    "asof_last_order_bucketed",
-    "range_order_pairs",
-    # deterministic sampling / curation
-    "sample_hash",
-    "sample_stratified",
-    "sample_quality_quota",
-    "sample_mixture",
-    "sample_pack_sequences",
-    "sample_split",
-    "dedup_canonical_corpus",
-    # changelog / history ops
-    "scd2_user_type",
-    "latest_event_per_user",
-    "sessionize_events",
-    # embedding / similarity round-2 additions
-    "semantic_dup_pairs",
-    "ann_ivf_assign",
-    "embed_dup_pairs",
-    "embed_lsh_buckets",
-    "embed_lsh_dup_pairs",
-    "embed_quantize_int8",
-    "ann_quantized_topk",
-    # graph / sketch / decontamination
-    "graph_pagerank",
-    "freq_cms_users",
-    "decontaminate_ngrams",
-    # text round-2 additions
-    "text_inverted_index",
-    "text_search_and",
-    "text_lm_score",
-    "text_repetition",
-    "text_redact_pii",
-    # profiling / layout
-    "profile_columns",
-    "profile_skew",
-    "time_rollup",
-    "zorder_events",
-    "compaction_plan",
-    # grok north_star pipeline legs over the input_hint transcript table
-    # (added after the round-3 window was first pinned; rotated in over
-    # route_counts/enrich_events, which already hold official green
-    # CORRECTNESS rows from rounds 1 AND 2 — the remaining transcript_*
-    # legs are swept by scripts/check_oracle.py → ORACLE_FULL_r<k>.json)
-    "transcript_parse",
-    "transcript_enrich_agg",
+    # grok north_star pipeline analytics over the input_hint transcript
+    # table (the workload's own summaries — VERDICT r3 top ask)
+    "transcript_route_counts",
+    "transcript_rejects",
+    "transcript_tool_summary",
+    "transcript_hourly",
+    "transcript_topk_tools",
+    "transcript_retry_loops",
+    "transcript_latency_pctl",
+    "transcript_conv_outcomes",
+    "transcript_tool_cooccur",
+    "transcript_templates",
+    # round-3 dedup additions
+    "dedup_winnow_fp",
+    "dedup_winnow_pairs",
+    "dedup_winnow_spans",
+    "dedup_clusters_bigstar",
+    "dedup_canonical_quality",
+    "dedup_spans",
+    "source_overlap",
+    # round-3 similarity additions
+    "ann_pq_codes",
+    "ann_pq_topk",
+    # round-3 conversation-curation additions
+    "conv_sft_pairs",
+    "conv_boilerplate",
+    "conv_pref_pairs",
+    "conv_dedup_pairs",
+    "conv_decontaminate",
+    "conv_prefix_groups",
+    "conv_context_growth",
+    # round-3 text additions
+    "text_bm25_topk",
+    "text_vocab",
+    "text_vocab_coverage",
+    "text_cosine_pairs",
+    # graph / classify
+    "graph_triangles",
+    "classify_linear_probe",
+    # sketches / membership
+    "hll_distinct_events",
+    "hll_registers_events",
+    "bloom_probe_users",
+    "bloom_pruned_enrich",
+    "hist_event_values",
+    # sampling / changelog / validation
+    "sample_weighted",
+    "cdc_apply_customers",
+    "snapshot_diff_customers",
+    "validate_events",
+    "unique_violations_users",
+    "distinct_users_per_type",
+    # TPC-H mirrors never officially verified (q11/q12/q15 defer to r5)
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
 ]
+
+# Never-officially-verified queries that did not fit this round's window;
+# they are emitted immediately after PRIORITY_QUERIES so round 5's window
+# picks them up first.
+NEXT_ROTATION = ["tpch_q11", "tpch_q12", "tpch_q15"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All registered queries, PRIORITY_QUERIES first (driver window)."""
+    """All registered queries, PRIORITY_QUERIES first (driver window),
+    then NEXT_ROTATION (round 5's window head), then the rest."""
     q = _register_all()
-    missing = [n for n in PRIORITY_QUERIES if n not in q]
+    missing = [n for n in PRIORITY_QUERIES + NEXT_ROTATION if n not in q]
     if missing:
         raise RuntimeError(f"PRIORITY_QUERIES references unregistered: {missing}")
     out = {n: q[n] for n in PRIORITY_QUERIES}
+    out.update({n: q[n] for n in NEXT_ROTATION})
     out.update({n: f for n, f in q.items() if n not in out})
     return out
 

@@ -770,17 +770,35 @@ def winnow_fingerprints(
     exchange on the doc id serves both windows (the unordered count and
     the ordered frame-min share the partitioning — Spark adds only a
     sort), and the final distinct is the second, fingerprint-sized
-    shuffle. Docs cap at 10^6 grams (the position packing width); chunk
-    longer docs upstream (textstats.chunk_documents)."""
+    shuffle. Docs cap at 10^6 grams (the position packing width) and the
+    cap is ENFORCED: a gram position past _WINNOW_POS_MAX raises at
+    execution time (raise_error inside the key expression — the packed
+    decimal would otherwise go negative and silently corrupt the
+    lexicographic argmin); chunk longer docs upstream
+    (textstats.chunk_documents). The DuckDB mirror carries the same
+    guard via error(), so both engines fail fast identically."""
     from pyspark.sql import Window
 
     toks = tokens(normalize_text(F.col(text_col)))
     grams = gram_arr(toks, k)
     e = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    pos_ck = F.when(F.col("pos") <= _WINNOW_POS_MAX, F.col("pos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: doc "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" exceeds {_WINNOW_POS_MAX + 1} k-grams "
+                    "(position packing width); chunk longer docs upstream "
+                    "(textstats.chunk_documents)"
+                ),
+            )
+        )
+    )
     key = F.concat(
         F.substring(F.md5("gram"), 1, 8),
         F.lit("-"),
-        F.lpad((F.lit(_WINNOW_POS_MAX) - F.col("pos")).cast("string"), 6, "0"),
+        F.lpad((F.lit(_WINNOW_POS_MAX) - pos_ck).cast("string"), 6, "0"),
     )
     cw = Window.partitionBy(id_col)
     fw = cw.orderBy("pos").rowsBetween(0, w - 1)
@@ -868,7 +886,12 @@ def _winnow_fp_cte(rel: str, id_col: str, k: int, w: int) -> str:
               FROM (SELECT {id_col}, unnest(grams) AS u FROM g)),
         h AS (SELECT {id_col}, pos,
                      substr(md5(gram),1,8) || '-' ||
-                       lpad(CAST({_WINNOW_POS_MAX} - pos AS VARCHAR), 6, '0')
+                       lpad(CAST({_WINNOW_POS_MAX} -
+                         CASE WHEN pos > {_WINNOW_POS_MAX}
+                              THEN CAST(error('winnow_fingerprints: doc exceeds '
+                                   || '{_WINNOW_POS_MAX + 1}'
+                                   || ' k-grams; chunk upstream') AS INT)
+                              ELSE pos END AS VARCHAR), 6, '0')
                        AS key,
                      count(*) OVER (PARTITION BY {id_col}) AS n
               FROM e),

@@ -26,12 +26,34 @@ the per-stage resume contract checkpoint.py gives the batch path).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .parse import ParseOptions, parse_sink
 from .schemas import KNOWN_TOOLS, SINKS, TRANSCRIPTS_SCHEMA
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so it works on
+    HDFS/S3A/local alike (driver-local os.path is always-False off-box)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _fs_has_epoch_partitions(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and contains at least one ``epoch=*`` child,
+    checked through the Hadoop FileSystem API (spark's own filesystem
+    abstraction) so the probe works on HDFS/S3A/local alike. A driver-local
+    ``os.path`` probe would be always-False on any non-local store, which
+    for stream_incremental_dedup would silently read the signature index as
+    empty every epoch (ADVICE r3, medium)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + "/epoch=*"))
+    return statuses is not None and len(statuses) > 0
 
 
 def stream_transcripts(
@@ -517,7 +539,7 @@ def stream_rate_spikes(
             # write) propagates and fails the micro-batch so the
             # checkpoint retries it — silently computing spike verdicts
             # with no history would be wrong-but-green (round-3 ADVICE).
-            if not os.path.isdir(history_dir):
+            if not _fs_exists(s, history_dir):
                 hist = None
             else:
                 hist = s.read.parquet(history_dir)
@@ -618,7 +640,10 @@ def stream_retry_loops(
     Ordering contract (same as stream_conv_stats): rows are sorted by
     turn_idx WITHIN a batch; across batches the source must deliver a
     conversation's turns in nondecreasing turn order (true for append-only
-    transcript logs). State is one open run per conversation — O(1) per key.
+    transcript logs). State is one open run per conversation — O(1) per key
+    — and is REMOVED whenever a conversation has no open run, so the state
+    store holds only conversations currently mid-run, not every key ever
+    seen (bounded state on an unbounded conv_id space).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -671,8 +696,13 @@ def stream_retry_loops(
             out["last_turn"].append(last)
             out["open"].append(True)
             state.update((cur_tool, cur_len, first, last))
-        else:
-            state.update((None, 0, 0, 0))
+        elif state.exists:
+            # no open run → drop the key's state entirely; keeping a
+            # (None,0,0,0) tombstone per conversation ever seen would grow
+            # the state store without bound on an unbounded conv_id space
+            # (ADVICE r3). state.get's (None,0,0,0) default on a missing
+            # key reproduces the tombstone's semantics exactly.
+            state.remove()
         yield _pd.DataFrame(out)
 
     keyed = parsed_stream.select("conv_id", "turn_idx", "tool_called", "status")
@@ -736,9 +766,9 @@ def stream_incremental_dedup(
     that lets a 10^12-turn corpus dedup its daily increment without
     touching history. Conversations are assumed batch-complete (route
     upstream micro-batches by conversation, or use session-window
-    assembly, before this operator)."""
-    import os
-
+    assembly, before this operator). Index discovery goes through the
+    Hadoop FileSystem API (_fs_has_epoch_partitions), not driver-local
+    os.path, so the index is found on HDFS/S3 exactly as on local disk."""
     from .functions import convops, dedup
 
     def commit(batch: DataFrame, epoch_id: int) -> None:
@@ -755,9 +785,7 @@ def stream_incremental_dedup(
             num_hashes=num_hashes, n=n, cache=False,
         ).persist()
         try:
-            if os.path.isdir(index_dir) and any(
-                e.startswith("epoch=") for e in os.listdir(index_dir)
-            ):
+            if _fs_has_epoch_partitions(spark, index_dir):
                 index = (
                     spark.read.option("basePath", index_dir)
                     .parquet(index_dir)

@@ -1,11 +1,31 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
+Two blocks, each in its OWN fresh JVM (subprocess), so numbers stay
+round-over-round comparable (round-3 lesson: per-query times drifted a
+median 1.19x on byte-identical code purely because the suite grew inside
+one JVM — codegen/code-cache/GC accumulation inflates everything run
+late in a long-lived process):
+
+- ``core``  — a FROZEN, never-growing set (the round-1 query list + the
+  1M-turn pipeline legs + the 2M-turn conversation legs). This block is
+  the round-over-round comparison basis and owns the headline
+  ``turns_per_sec``. DO NOT add queries to CORE_QUERIES — new operators
+  go in the suite block.
+- ``suite`` — the full growing operator suite (same flow as round 3's
+  bench), kept for breadth; its numbers are comparable only to other
+  suite-context numbers.
+
+The emitted JSON carries ``queries`` (suite block, comparable to
+BENCH_r03), ``core`` (fresh-JVM frozen block, the basis from round 4
+on), and a ``host`` sentinel (loadavg + concurrent java/duckdb process
+count at start) so a co-tenant-poisoned run is visible in the record
+instead of silently wrong.
+
 The headline metric is the transcript pipeline's parse→route→aggregate
 throughput (turns/sec) on a synthesized ~1M-turn input (BASELINE.json
-north_rule); per-query wall times for the operator suite ride along in
-"queries". Run scripts/scaling_bench.py for the two-parallelism-level
-scaling-efficiency evidence.
+north_rule), taken from the CORE block. Run scripts/scaling_bench.py for
+the two-parallelism-level scaling-efficiency evidence.
 """
 
 from __future__ import annotations
@@ -13,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -21,6 +42,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PIPELINE_REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "40000"))
+
+# FROZEN round-over-round comparison core (= the round-1 bench set).
+# Never grows; new operators belong in BENCH_QUERIES below.
+CORE_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "enrich_events", "time_buckets",
+    "topk_users", "sessionize", "text_quality", "dedup_minhash",
+    "dedup_lsh_jaccard", "dedup_simhash", "ann_cosine_topk", "ann_ivf_assign",
+]
 
 BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "enrich_events", "time_buckets",
@@ -33,7 +62,36 @@ BENCH_QUERIES = [
     "text_inverted_index", "tpch_q18", "text_lm_score", "freq_cms_users",
     "graph_pagerank", "dedup_spans", "validate_events", "hist_event_values",
     "conv_sft_pairs", "sample_weighted", "text_bm25_topk",
+    "dedup_winnow_pairs", "ann_pq_topk", "conv_prefix_groups",
+    "graph_triangles", "source_overlap",
 ]
+
+
+def host_sentinel() -> dict:
+    """Record host idleness evidence at bench start: loadavg and how many
+    OTHER java/duckdb processes are running (this process has started no
+    JVM yet). A co-tenant Spark/DuckDB job is the documented bench hazard;
+    annotating the record beats relying on operator discipline."""
+    load1, load5, load15 = os.getloadavg()
+    n_java = n_duck = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            comm = open(f"/proc/{pid}/comm").read().strip()
+        except OSError:
+            continue
+        if comm == "java":
+            n_java += 1
+        elif "duckdb" in comm:
+            n_duck += 1
+    return {
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "java_procs": n_java,
+        "duckdb_procs": n_duck,
+        "busy": bool(n_java or n_duck or load1 > 0.5 * CPUS),
+    }
 
 
 def build_session(cpus: int):
@@ -220,29 +278,17 @@ def _force_eval(df) -> int:
     return row["n"]
 
 
-def main() -> None:
+def _run_query_list(spark, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entrymod
-
-    m = re.search(r"sf([0-9.]+)", SF_DIR)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-
-    spark = build_session(CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # pipeline leg FIRST, on the fresh JVM: measured 3x degradation (5.9s
-    # -> 18.5s) when it runs after the 18-query suite has filled the old
-    # gen with codegen/broadcast remnants — the headline metric must not
-    # depend on what ran before it in the same process
-    pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
-    pipe_sec = pipe_legs["normalize"]  # headline stays the faithful leg
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         # best of 3: the first run pays Janino codegen compile + C2 JIT of
         # the query's generated classes (one-time per plan shape, amortized
         # to nothing on real corpora; big plans need a second rep to fully
-        # warm); the last run is the steady state a cluster job sees. Same protocol as scripts/scaling_bench.py.
+        # warm); the last run is the steady state a cluster job sees. Same
+        # protocol as scripts/scaling_bench.py.
         # clearCache before EVERY timed run: operators that persist shared
         # relations (dedup._cached_sets) must pay their fill cost inside
         # the measurement, and one query's cache must not subsidize the
@@ -256,6 +302,43 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def run_block_core() -> dict:
+    """The frozen comparison block, meant for a FRESH JVM: pipeline legs
+    first (they own the headline), then the round-1 query set, then the
+    conversation legs. Nothing here may grow between rounds."""
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
+    timings = _run_query_list(spark, CORE_QUERIES)
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    timings.update(run_conv_bench(spark, 2_000_000))
+    timings["zeek_pipeline_1m"] = round(pipe_legs["normalize"], 3)
+    timings["zeek_pipeline_1m_passthrough"] = round(pipe_legs["passthrough"], 3)
+    out = {
+        "queries": timings,
+        "turns_per_sec": round(n_turns / pipe_legs["normalize"], 1),
+        "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
+        "pipeline_turns": n_turns,
+    }
+    spark.stop()
+    return out
+
+
+def run_block_suite() -> dict:
+    """The full growing operator suite (round-3 flow, pipeline first)."""
+    spark = build_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # pipeline leg FIRST, on the fresh JVM: measured 3x degradation (5.9s
+    # -> 18.5s) when it runs after the 18-query suite has filled the old
+    # gen with codegen/broadcast remnants
+    pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
+
+    timings = _run_query_list(spark, BENCH_QUERIES)
 
     for section, n in (
         (run_conv_bench, 2_000_000),
@@ -274,27 +357,77 @@ def main() -> None:
         spark._jvm.System.gc()
         timings.update(section(spark, n))
 
-    timings["zeek_pipeline_1m"] = round(pipe_sec, 3)
+    timings["zeek_pipeline_1m"] = round(pipe_legs["normalize"], 3)
     timings["zeek_pipeline_1m_passthrough"] = round(pipe_legs["passthrough"], 3)
-    turns_per_sec = round(n_turns / pipe_sec, 1)
-    turns_per_sec_pt = round(n_turns / pipe_legs["passthrough"], 1)
-    print(f"# pipeline: {n_turns} turns in {pipe_sec:.1f}s = {turns_per_sec}/s "
-          f"(passthrough {pipe_legs['passthrough']:.1f}s = {turns_per_sec_pt}/s)",
-          file=sys.stderr)
+    out = {
+        "queries": timings,
+        "turns_per_sec": round(n_turns / pipe_legs["normalize"], 1),
+        "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
+        "pipeline_turns": n_turns,
+    }
+    spark.stop()
+    return out
 
-    total = round(sum(timings.values()), 3)
+
+def _spawn_block(block: str) -> dict:
+    """Run one block in its own fresh interpreter+JVM; stderr streams
+    through, stdout's last line is the block's JSON."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--block", block],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--block" in sys.argv:
+        block = sys.argv[sys.argv.index("--block") + 1]
+        result = run_block_core() if block == "core" else run_block_suite()
+        print(json.dumps(result))
+        return
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    sentinel = host_sentinel()
+    if sentinel["busy"]:
+        print(f"# WARNING: host not idle at bench start: {sentinel}", file=sys.stderr)
+
+    core = _spawn_block("core")
+    suite = _spawn_block("suite")
+
+    pc, ps = core["queries"], suite["queries"]
+    print(
+        "# core pipeline: {0} turns {1:.1f}s = {2}/s (passthrough {3}/s); "
+        "suite-context pipeline = {4}/s".format(
+            core["pipeline_turns"], pc["zeek_pipeline_1m"],
+            core["turns_per_sec"], core["turns_per_sec_passthrough"],
+            suite["turns_per_sec"],
+        ),
+        file=sys.stderr,
+    )
+
+    total = round(sum(ps.values()), 3)
     print(json.dumps({
         "metric": "operator suite + 1M-turn parse/route/aggregate pipeline wall time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # suite-context numbers — comparable to BENCH_r03's "queries"
+        "queries": ps,
+        # frozen fresh-JVM block — THE round-over-round basis from r4 on
+        "core": pc,
         "sf": sf,
-        "turns_per_sec": turns_per_sec,
-        "turns_per_sec_passthrough": turns_per_sec_pt,
-        "pipeline_turns": n_turns,
+        # headline = the core block's fresh-JVM pipeline throughput
+        "turns_per_sec": core["turns_per_sec"],
+        "turns_per_sec_passthrough": core["turns_per_sec_passthrough"],
+        "turns_per_sec_suite": suite["turns_per_sec"],
+        "pipeline_turns": core["pipeline_turns"],
         "cpus": CPUS,
+        "host": sentinel,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

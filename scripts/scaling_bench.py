@@ -56,6 +56,22 @@ if job == "grok":
     # the north_star grok pipeline's input: marker-bearing conversation
     # transcripts (~25 turns per zeek-replica keeps row counts comparable)
     tx = transcript.synth_transcript(spark, replicas * 25, partitions=128).persist()
+elif job in ("convdedup", "winnow"):
+    # the curation legs' input: duplication-injecting conversation
+    # generator (~12 turns/replica ≈ the suite's 500k-turn leg at the
+    # default 40k replicas). Materialized to DISK, not cache: these jobs'
+    # operators persist internal relations (dedup._cached_sets), so the
+    # measurement loop clearCache()s before every run — the input must
+    # survive that.
+    import tempfile
+    from anendektos_spark.functions import convops, dedup
+    n_turns = replicas * 12
+    n_convs = n_turns // convops.TURNS_PER_CONV
+    d = tempfile.mkdtemp() + "/tx"
+    convops.synth_conv_dup(
+        spark, n_turns, templates=max(4, n_convs // 12)
+    ).write.parquet(d)
+    tx = spark.read.parquet(d)
 else:
     tx = synth_transcripts(spark, replicas=replicas, hot_fraction=0.01,
                            malformed_fraction=0.01, partitions=128).persist()
@@ -73,6 +89,18 @@ def build():
         # enrich -> category aggregate (addr mode n/a: zero Python)
         return transcript.enrich_agg(
             transcript.parse_turns(tx), transcript.tool_dim(spark))
+    if job == "convdedup":
+        # the slowest suite leg: conversation reassembly + MinHash/LSH
+        # near-dup pairs (identical to bench.py's conv_dedup_500k shape)
+        return dedup.lsh_jaccard(
+            convops.conv_reconstruct(tx), id_col="conv_id",
+            text_col="transcript")
+    if job == "winnow":
+        # winnowing local fingerprints + df-capped overlap pairs over the
+        # reassembled conversations
+        return dedup.winnow_overlap_pairs(
+            convops.conv_reconstruct(tx), id_col="conv_id",
+            text_col="transcript")
     opts = ParseOptions(addr_mode=mode)
     if job == "validate":
         # one-pass CASE-gated validation across all six sinks: one scan,
@@ -103,6 +131,11 @@ def build():
 import gc as pygc
 times = []
 for _ in range(runs):
+    if job in ("convdedup", "winnow"):
+        # these operators persist shared relations internally; a later
+        # run must not reuse an earlier run's cache (plan-equality cache
+        # substitution) — pay the fill cost inside every measurement
+        spark.catalog.clearCache()
     j = build()
     t0 = time.time(); j.collect(); times.append(time.time() - t0)
     del j

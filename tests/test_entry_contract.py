@@ -32,12 +32,27 @@ def test_driver_window_priority():
     window = list(q)[: entrymod.DRIVER_WINDOW]
     assert len(entrymod.PRIORITY_QUERIES) == entrymod.DRIVER_WINDOW
     assert window == entrymod.PRIORITY_QUERIES
-    # the core reference goldens must always be inside the window
-    core = {f"zeek_sink_{t}" for t in ("conn", "dns", "http", "files", "ssl", "x509")}
-    core |= {"zeek_rejects", "zeek_golden_aggregates"}
-    assert core <= set(window), core - set(window)
+    # round-4 rotation: the window holds only queries with NO official
+    # CORRECTNESS row from rounds 1-3 (the zeek_sink_* goldens et al. keep
+    # their recorded r1-r3 rows); the ten transcript_* north_star analytics
+    # legs lead it (VERDICT r3 ask #2)
+    legs = {
+        f"transcript_{x}"
+        for x in (
+            "route_counts", "rejects", "tool_summary", "hourly", "topk_tools",
+            "retry_loops", "latency_pctl", "conv_outcomes", "tool_cooccur",
+            "templates",
+        )
+    }
+    assert legs <= set(window), legs - set(window)
+    # round-5 rotation head follows immediately after the window
+    after = list(q)[
+        entrymod.DRIVER_WINDOW : entrymod.DRIVER_WINDOW + len(entrymod.NEXT_ROTATION)
+    ]
+    assert after == entrymod.NEXT_ROTATION
     # no duplicates in the priority list (dict would silently collapse them)
     assert len(set(entrymod.PRIORITY_QUERIES)) == len(entrymod.PRIORITY_QUERIES)
+    assert not set(entrymod.NEXT_ROTATION) & set(entrymod.PRIORITY_QUERIES)
 
 
 def test_query_callables_shape():

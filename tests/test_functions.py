@@ -1530,6 +1530,46 @@ def test_winnow_short_doc_truncated_window(spark):
     assert len(out) == 1 and out[0].pos in (0, 1)
 
 
+def test_winnow_position_cap_enforced(spark):
+    # a doc past the 10^6-gram position-packing width must FAIL FAST, not
+    # silently corrupt the packed-decimal argmin (round-3 ADVICE): the
+    # guard raises inside the key expression at execution time.
+    import pytest as _pytest
+
+    n_toks = 1_000_004  # grams = n_toks - k + 1 = 1_000_001 > cap
+    docs = spark.createDataFrame([("big",)], "doc_id string").select(
+        "doc_id",
+        F.ltrim(F.repeat(F.lit(" x"), n_toks)).alias("text"),
+    )
+    with _pytest.raises(Exception, match="exceeds 1000000 k-grams"):
+        dedup.winnow_fingerprints(docs, k=4, w=4).collect()
+
+
+def test_winnow_position_cap_boundary_ok(spark):
+    # exactly 10^6 grams (max pos = 999_999) is within the packing width
+    # and must not raise
+    n_toks = 1_000_003  # grams = 1_000_000, max pos = 999_999 == cap
+    docs = spark.createDataFrame([("edge",)], "doc_id string").select(
+        "doc_id",
+        F.ltrim(F.repeat(F.lit(" x"), n_toks)).alias("text"),
+    )
+    out = dedup.winnow_fingerprints(docs, k=4, w=4).collect()
+    # all grams identical → one distinct (rightmost-min pos, hash) per
+    # window chain collapses to a handful of rows; just assert it ran
+    assert out and all(0 <= r.pos <= 1_000_000 - 4 + 3 for r in out)
+
+
+def test_winnow_position_cap_duckdb_mirror(spark):
+    # the DuckDB oracle mirror carries the same guard (error()), so both
+    # engines fail fast on over-cap docs instead of diverging silently
+    import duckdb
+    import pytest as _pytest
+
+    rel = "SELECT 'big' AS doc_id, trim(repeat('x ', 1000004)) AS text"
+    with _pytest.raises(Exception, match="exceeds"):
+        duckdb.sql(dedup.winnow_fingerprints_sql(rel, "doc_id", 4, 4)).fetchall()
+
+
 def test_winnow_plan_shapes(spark):
     from tests.test_plans import plan_of
 

@@ -434,6 +434,31 @@ def test_stream_grok_partials_match_batch_tool_summary(spark, tmp_path):
     assert got == want
 
 
+def test_fs_helpers_use_hadoop_filesystem(spark, tmp_path):
+    """Index/history discovery must go through the Hadoop FileSystem API
+    (works on HDFS/S3A/local alike), not driver-local os.path — the
+    round-3 ADVICE hazard was an always-False probe off-box that made
+    stream_incremental_dedup silently read the index as empty."""
+    missing = str(tmp_path / "nope")
+    assert not streaming._fs_exists(spark, missing)
+    assert not streaming._fs_has_epoch_partitions(spark, missing)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert streaming._fs_exists(spark, str(empty))
+    assert not streaming._fs_has_epoch_partitions(spark, str(empty))
+
+    # a non-epoch child does not count; an epoch=K child does
+    (empty / "_SUCCESS").write_text("")
+    assert not streaming._fs_has_epoch_partitions(spark, str(empty))
+    (empty / "epoch=0").mkdir()
+    assert streaming._fs_has_epoch_partitions(spark, str(empty))
+
+    # explicit scheme resolves through the same API (the off-box shape)
+    assert streaming._fs_exists(spark, "file://" + str(empty))
+    assert streaming._fs_has_epoch_partitions(spark, "file://" + str(empty))
+
+
 def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     """Streaming conversation dedup must find, per epoch, exactly the
     new-vs-indexed and new-vs-new matches the batch incremental_dedup

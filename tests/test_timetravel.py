@@ -102,3 +102,80 @@ def test_read_rejects_bad_version(spark, tmp_path):
         store.read(spark, "s", version=0)
     with _pt.raises(ValueError):
         store.read(spark, "s", version="1")  # type: ignore[arg-type]
+
+
+# --------------------------------------------------------------------------
+# iceberg backend read(version=k): the snapshot-id mapping has never run
+# against a real Iceberg table (jars absent in this image) — logic-test the
+# branch with a stubbed SparkSession so the mapping SQL and the
+# FileNotFoundError path are at least executed (round-3 VERDICT ask #5).
+# --------------------------------------------------------------------------
+
+
+class _FakeHistory:
+    def __init__(self, rows):
+        self._rows = rows
+        self._limit = None
+
+    def limit(self, n):
+        self._limit = n
+        return self
+
+    def collect(self):
+        return self._rows[: self._limit]
+
+
+class _FakeSpark:
+    """Stub of the two SparkSession members the iceberg read path touches:
+    .sql() (history query + VERSION AS OF select) and .table()."""
+
+    def __init__(self, snapshot_ids):
+        self.snapshot_ids = list(snapshot_ids)
+        self.sql_calls = []
+
+    def sql(self, q):
+        self.sql_calls.append(q)
+        if ".history" in q:
+            assert "ORDER BY made_current_at" in q  # oldest→newest ordering
+            return _FakeHistory(
+                [{"snapshot_id": s} for s in self.snapshot_ids]
+            )
+        return ("DF", q)
+
+    def table(self, name):
+        return ("TBL", name)
+
+
+def test_iceberg_read_maps_version_to_kth_snapshot(tmp_path):
+    store = StageStore(
+        str(tmp_path), format="iceberg", iceberg_table_prefix="cat.db"
+    )
+    fake = _FakeSpark([111, 222, 333])
+    # version=None → plain table read
+    assert store.read(fake, "parse") == ("TBL", "cat.db.parse")
+    # version=2 → the 2nd-oldest snapshot id, selected via VERSION AS OF
+    tag, q = store.read(fake, "parse", version=2)
+    assert tag == "DF"
+    assert q == "SELECT * FROM cat.db.parse VERSION AS OF 222"
+    # the history scan asked for exactly `version` rows (limit pushdown)
+    hist_q = [c for c in fake.sql_calls if ".history" in c]
+    assert hist_q == [
+        "SELECT snapshot_id FROM cat.db.parse.history ORDER BY made_current_at"
+    ]
+    # boundary: version = number of snapshots → last snapshot id
+    _, q3 = store.read(fake, "parse", version=3)
+    assert q3.endswith("VERSION AS OF 333")
+
+
+def test_iceberg_read_missing_version_raises(tmp_path):
+    store = StageStore(
+        str(tmp_path), format="iceberg", iceberg_table_prefix="cat.db"
+    )
+    fake = _FakeSpark([111])
+    with pytest.raises(FileNotFoundError, match="only 1 iceberg snapshots"):
+        store.read(fake, "parse", version=2)
+    # bad version values rejected before any SQL is issued
+    fake2 = _FakeSpark([111])
+    with pytest.raises(ValueError):
+        store.read(fake2, "parse", version=0)
+    assert fake2.sql_calls == []
