@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from anendektos_spark.functions import (
+    bpe,
     classify,
     convops,
     dedup,
@@ -170,8 +171,18 @@ PRIORITY_QUERIES = [
 
 # Never-officially-verified queries that did not fit this round's window;
 # they are emitted immediately after PRIORITY_QUERIES so round 5's window
-# picks them up first.
-NEXT_ROTATION = ["tpch_q11", "tpch_q12", "tpch_q15"]
+# picks them up first. The round-4 operator additions (prefix-filtered
+# exact Jaccard join, DSIR importance selection, BPE tokenizer training)
+# queue behind the three deferred TPC-H mirrors.
+NEXT_ROTATION = [
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "dedup_prefix_jaccard",
+    "sample_importance",
+    "text_bpe_merges",
+    "text_bpe_tokens",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -682,6 +693,28 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings").filter(F.col("vec_id") < 8),
         similarity.pq_codebook(_t(s, d, "embeddings")),
         5,
+    )
+
+    # --- round-4 additions ---
+    # exact-threshold similarity self-join (AllPairs/PPJoin prefix
+    # filter): the no-false-negatives counterpart of the LSH path
+    q["dedup_prefix_jaccard"] = lambda s, d: dedup.prefix_jaccard_pairs(
+        _t(s, d, "documents"), threshold=0.5
+    )
+    # DSIR-style targeted data selection (hashed-feature importance
+    # ratios; src0/src1 play the "looks like Wikipedia" target set)
+    q["sample_importance"] = lambda s, d: sampling.importance_sample(
+        _t(s, d, "documents").withColumn(
+            "is_tgt", F.col("source").isin("src0", "src1")
+        ),
+        "is_tgt",
+        15,
+    )
+    # BPE tokenizer training over the distinct-word vocabulary: the
+    # learned merge table and the resulting subword token frequencies
+    q["text_bpe_merges"] = lambda s, d: bpe.bpe_merges(_t(s, d, "documents"), 6)
+    q["text_bpe_tokens"] = lambda s, d: bpe.bpe_token_counts(
+        _t(s, d, "documents"), 6
     )
     return q
 
@@ -3331,4 +3364,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(rk AS INT) AS wsample_rank
         FROM r WHERE rk <= 10
     """
+    # round-4 additions: each mirror is generated by the operator's own
+    # *_sql builder so the arithmetic cannot drift from the Spark side
+    o["dedup_prefix_jaccard"] = dedup.prefix_jaccard_pairs_sql(
+        "SELECT * FROM documents", _TOKS, _SHINGLES, threshold=0.5
+    )
+    o["sample_importance"] = sampling.importance_sample_sql(
+        "SELECT * FROM documents", "source IN ('src0','src1')", 15
+    )
+    o["text_bpe_merges"] = bpe.bpe_merges_sql("SELECT * FROM documents", 6)
+    o["text_bpe_tokens"] = bpe.bpe_token_counts_sql("SELECT * FROM documents", 6)
     return o

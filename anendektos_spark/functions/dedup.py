@@ -1136,3 +1136,103 @@ def winnow_match_spans_sql(
           ON a.fingerprint = b.fingerprint AND a.{id_col} < b.{id_col}
         """
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT threshold Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — every
+    pair with shingle Jaccard >= threshold, with NO false negatives
+    (unlike the probabilistic MinHash/LSH path).
+
+    Prefix-filter lemma: order each doc's shingles by ascending global
+    document frequency (rarest first, lexicographic tiebreak). If
+    J(A,B) >= t then |A∩B| >= ceil(t·|A|), so A's first
+    |A| - ceil(t·|A|) + 1 shingles under that order must contain a
+    common shingle — and symmetrically for B; the EARLIEST common
+    shingle therefore sits inside BOTH prefixes, so an equi-join of the
+    prefix relations yields a complete candidate set, refined exactly by
+    the shared ``_refine`` arithmetic.
+
+    100 TB shape: candidates are Σ over prefix shingles of df² — and
+    prefix shingles are by construction the RAREST in each doc, so df is
+    small where it matters (the frequent shingles that would explode a
+    naive inverted-index join never enter a prefix). One df aggregation,
+    one doc-keyed exchange shared by the two windows (rank + set size),
+    one equi-join on the prefix shingle. The threshold is quantized to
+    1e-4 so the ceil() is integer arithmetic, bit-equal across engines.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tq = int(round(threshold * 10000))
+    sets = _cached_sets(df, id_col, text_col, n, cache)
+    e = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    sdf = e.groupBy("s").agg(F.count("*").alias("sdf"))
+    w = Window.partitionBy(id_col)
+    ranked = (
+        e.join(sdf, "s")
+        .select(
+            F.col(id_col),
+            F.col("s"),
+            F.row_number().over(w.orderBy(F.asc("sdf"), F.asc("s"))).alias("rk"),
+            F.count("*").over(w).alias("sz"),
+        )
+    )
+    plen = (
+        F.col("sz")
+        - F.floor((F.lit(tq) * F.col("sz") + F.lit(9999)) / F.lit(10000))
+        + 1
+    )
+    pref = ranked.filter(F.col("rk") <= plen).select(id_col, "s")
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "s")
+        .join(pref.select(F.col(id_col).alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _refine(sets, cand, id_col, threshold)
+
+
+def prefix_jaccard_pairs_sql(
+    rel: str, toks_sql: str, shingles_sql: str, threshold: float = 0.8
+) -> str:
+    """DuckDB mirror of prefix_jaccard_pairs: identical prefix-length
+    integer arithmetic, identical refine; ``toks_sql``/``shingles_sql``
+    are the caller's shared token/shingle fragments."""
+    tq = int(round(threshold * 10000))
+    return f"""
+        WITH t AS (SELECT doc_id, {toks_sql} AS toks FROM ({rel})),
+        sets AS (SELECT doc_id, list_distinct({shingles_sql}) AS shd FROM t),
+        e AS (SELECT doc_id, unnest(shd) AS s FROM sets),
+        sdf AS (SELECT s, count(*) AS sdf FROM e GROUP BY s),
+        ranked AS (
+          SELECT e.doc_id, e.s,
+                 row_number() OVER (PARTITION BY e.doc_id
+                                    ORDER BY sdf.sdf ASC, e.s ASC) AS rk,
+                 count(*) OVER (PARTITION BY e.doc_id) AS sz
+          FROM e JOIN sdf USING (s)),
+        pref AS (
+          SELECT doc_id, s FROM ranked
+          WHERE rk <= sz - (({tq} * sz + 9999) // 10000) + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(sa.shd, sb.shd)))
+                              AS DOUBLE), 4) AS jaccard
+          FROM cand c
+          JOIN sets sa ON c.id_a = sa.doc_id
+          JOIN sets sb ON c.id_b = sb.doc_id)
+        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+    """

@@ -338,3 +338,159 @@ def temperature_rates(
     weights = {g: n ** (alpha - 1.0) for g, n in counts.items()}
     top = max(weights.values())
     return {g: w / top for g, w in weights.items()}
+
+
+def importance_sample(
+    df: DataFrame,
+    target_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each candidate
+    document by how target-like its hashed word-feature distribution is,
+    then keep the top ``k`` — the targeted-subset step of a pretraining
+    data recipe ("select the 1% of the web crawl that looks like
+    Wikipedia").
+
+    ``target_col`` is a boolean column: true rows define the target
+    distribution, false rows are the candidate pool being scored.
+    Features are words hashed into ``n_buckets`` buckets (md5 prefix mod
+    B — the paper's hashed n-gram features at n=1). Each bucket gets a
+    Laplace-smoothed probability under both distributions and a
+    fixed-point importance ratio
+
+        ratio_fp(f) = (c_t(f)+1)·(R+B)·fp_scale DIV ((c_r(f)+1)·(T+B))
+
+    (T, R = total target/raw feature instances); a document scores the
+    MEAN ratio over its feature instances (integer DIV). House exactness
+    rule (cf. textstats.lm_score): the faithful DSIR weight is the SUM
+    OF LOG ratios (a geometric mean), but log is libm and
+    engine-divergent in the last ulp — the arithmetic-mean-ratio variant
+    keeps every sum an order-independent integer, so scores and the
+    selected set are bit-identical across engines and re-runs.
+    Selection is deterministic top-k (score desc, id asc) — the paper's
+    Gumbel-noise resampling adds diversity at the cost of replayability;
+    swapping the rank expression restores it.
+
+    100 TB shape: the bucket tables are B rows — broadcast; the corpus
+    is read once into a (doc, bucket) instance relation (one map-side-
+    combined aggregation per distribution), and the per-doc score is one
+    doc-keyed shuffle. Arithmetic runs in DECIMAL(38,0) ≡ DuckDB
+    HUGEINT (counts × fp_scale overflows BIGINT at web scale).
+    Documents with no word features never enter the instance relation
+    and are exempt from selection (route them by length policy
+    upstream)."""
+    from .textstats import normalize_text, tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 6), 16, 10).cast("long")
+        % n_buckets
+    )
+    inst = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).alias("_is_t"),
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(F.col(id_col), F.col("_is_t"), bucket.alias("f"))
+    )
+    grp = inst.groupBy("f", id_col, "_is_t").agg(F.count("*").alias("n_f"))
+    buckets = (
+        grp.groupBy("f")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), F.col("n_f")).otherwise(0)).alias("c_t"),
+            F.sum(F.when(~F.col("_is_t"), F.col("n_f")).otherwise(0)).alias("c_r"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("c_t").cast("decimal(38,0)").alias("_T"),
+        F.sum("c_r").cast("decimal(38,0)").alias("_R"),
+    )
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.expr(
+            f"CAST((c_t + 1) AS DECIMAL(38,0)) * (_R + {n_buckets})"
+            f" * {fp_scale} DIV (CAST((c_r + 1) AS DECIMAL(38,0))"
+            f" * (_T + {n_buckets}))"
+        ).alias("ratio_fp"),
+    )
+    scored = (
+        grp.filter(~F.col("_is_t"))
+        .join(F.broadcast(ratios), "f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_f").cast("long").alias("n_feat"),
+            F.expr("sum(n_f * ratio_fp) DIV sum(n_f)")
+            .cast("long")
+            .alias("dsir_score_fp"),
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed partial
+    # top-k, no global sort); the rank window then runs over k rows only
+    # — a global row_number over the full pool would funnel the whole
+    # corpus through one partition.
+    top = scored.orderBy(F.desc("dsir_score_fp"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("dsir_score_fp"), F.asc(id_col))
+    return top.withColumn("dsir_rank", F.row_number().over(w).cast("int"))
+
+
+def importance_sample_sql(
+    rel: str,
+    target_sql: str,
+    k: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    fp_scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of importance_sample. ``target_sql`` is the boolean
+    target-membership expression over the relation's columns."""
+    return f"""
+        WITH inst AS (
+          SELECT {id_col}, ({target_sql}) AS is_t,
+                 CAST(('0x' || substr(md5(word), 1, 6))::BIGINT % {n_buckets}
+                      AS BIGINT) AS f
+          FROM (SELECT *, unnest(string_split_regex(
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'))
+                  AS word
+                FROM ({rel}))
+          WHERE word <> ''),
+        grp AS (SELECT f, {id_col}, is_t, count(*) AS n_f
+                FROM inst GROUP BY 1, 2, 3),
+        buckets AS (
+          SELECT f,
+                 sum(CASE WHEN is_t THEN n_f ELSE 0 END) AS c_t,
+                 sum(CASE WHEN NOT is_t THEN n_f ELSE 0 END) AS c_r
+          FROM grp GROUP BY f),
+        totals AS (SELECT CAST(sum(c_t) AS HUGEINT) AS t_tot,
+                          CAST(sum(c_r) AS HUGEINT) AS r_tot
+                   FROM buckets),
+        ratios AS (
+          SELECT f,
+                 CAST((c_t + 1) AS HUGEINT) * (r_tot + {n_buckets})
+                   * {fp_scale}
+                   // (CAST((c_r + 1) AS HUGEINT) * (t_tot + {n_buckets}))
+                   AS ratio_fp
+          FROM buckets, totals),
+        scored AS (
+          SELECT g.{id_col},
+                 CAST(sum(g.n_f) AS BIGINT) AS n_feat,
+                 CAST(sum(g.n_f * r.ratio_fp) // sum(g.n_f) AS BIGINT)
+                   AS dsir_score_fp
+          FROM grp g JOIN ratios r USING (f)
+          WHERE NOT g.is_t
+          GROUP BY 1)
+        SELECT {id_col}, n_feat, dsir_score_fp,
+               CAST(row_number() OVER (ORDER BY dsir_score_fp DESC,
+                                       {id_col} ASC) AS INT) AS dsir_rank
+        FROM scored
+        QUALIFY dsir_rank <= {k}
+    """

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "conv_sft_pairs", "sample_weighted", "text_bm25_topk",
     "dedup_winnow_pairs", "ann_pq_topk", "conv_prefix_groups",
     "graph_triangles", "source_overlap",
+    "dedup_prefix_jaccard", "sample_importance", "text_bpe_merges",
 ]
 
 

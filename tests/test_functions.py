@@ -1691,3 +1691,121 @@ def test_triangle_counts_matches_bruteforce_on_synth(spark):
                 for n in (x, y, z):
                     want[n] = want.get(n, 0) + 1
     assert got == want and want
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered exact Jaccard self-join (round 4)
+# --------------------------------------------------------------------------
+
+
+def _brute_jaccard(spark, docs, threshold):
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    return sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs(
+            docs, pairs, threshold=threshold, cache=False
+        ).collect()
+    )
+
+
+def test_prefix_jaccard_exact_vs_brute_force(spark):
+    # near-dup templates + mutants + unrelated docs: the prefix-filtered
+    # join must find EXACTLY the brute-force pair set at every threshold
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(12):
+        words = base.split()
+        words[i % len(words)] = f"mut{i}"  # one-word mutants of the template
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, f"totally unrelated text number {i} about nothing") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.prefix_jaccard_pairs(
+                docs, threshold=t, cache=False
+            ).collect()
+        )
+        assert got == _brute_jaccard(spark, docs, t), f"threshold {t}"
+    # sanity: the mutant family actually produces pairs at 0.5
+    assert len(_brute_jaccard(spark, docs, 0.5)) >= 9
+
+
+def test_prefix_jaccard_validation_and_duckdb_mirror(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(docs, threshold=0.0)
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(docs, threshold=1.5)
+    got = sorted(
+        tuple(r)
+        for r in dedup.prefix_jaccard_pairs(
+            docs, threshold=0.4, cache=False
+        ).collect()
+    )
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    sh = (
+        "list_transform(range(len(toks) - 2),"
+        " i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+    )
+    rel = (
+        "SELECT * FROM (VALUES (1,'a b c d e f'),(2,'a b c d e g'),"
+        "(3,'x y z w v u')) AS t(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            dedup.prefix_jaccard_pairs_sql(rel, toks, sh, threshold=0.4)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 1
+
+
+# --------------------------------------------------------------------------
+# DSIR importance selection (round 4)
+# --------------------------------------------------------------------------
+
+
+def test_importance_sample_prefers_target_like_docs(spark):
+    from anendektos_spark.functions import sampling
+
+    rows = (
+        # target distribution: "science" vocabulary
+        [(i, "quantum physics energy particle wave theory", True) for i in range(5)]
+        # pool docs that look like the target
+        + [(10 + i, "physics energy wave experiment quantum", False) for i in range(3)]
+        # pool docs that do not
+        + [(20 + i, "recipe butter flour sugar oven cake", False) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = sampling.importance_sample(df, "is_tgt", 6).orderBy("dsir_rank").collect()
+    # all 6 pool docs ranked; the 3 science-like ones must lead
+    assert [r.doc_id for r in out[:3]] == [10, 11, 12]
+    assert all(r.doc_id >= 20 for r in out[3:])
+    # target rows are never selected
+    assert all(r.doc_id >= 10 for r in out)
+    # deterministic: identical on re-run
+    again = sampling.importance_sample(df, "is_tgt", 6).orderBy("dsir_rank").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_importance_sample_k_cap_and_validation(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "a b", False), (3, "c d", False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    out = sampling.importance_sample(df, "is_tgt", 1).collect()
+    assert len(out) == 1 and out[0].dsir_rank == 1
+    with pytest.raises(ValueError):
+        sampling.importance_sample(df, "is_tgt", 0)
+    with pytest.raises(ValueError):
+        sampling.importance_sample(df, "is_tgt", 5, n_buckets=1)

@@ -346,3 +346,29 @@ def test_bm25_filters_postings_before_shuffle(spark, tmp_path):
         "Filter" in p and "IN (join" in p.replace("'", "")
     )
     assert "CartesianProduct" not in p
+
+
+def test_prefix_jaccard_has_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(dedup.prefix_jaccard_pairs(docs, threshold=0.5, cache=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_importance_sample_broadcasts_model_sides(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"word{i % 7} common tokens here", i % 3 == 0) for i in range(60)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    plan = plan_of(sampling.importance_sample(df, "is_tgt", 5))
+    # the B-bucket ratio table and the 1-row totals both arrive broadcast;
+    # the corpus side must never shuffle for them
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    # deterministic top-k compiles to a partial top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
