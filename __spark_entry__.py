@@ -172,8 +172,9 @@ PRIORITY_QUERIES = [
 # Never-officially-verified queries that did not fit this round's window;
 # they are emitted immediately after PRIORITY_QUERIES so round 5's window
 # picks them up first. The round-4 operator additions (prefix-filtered
-# exact Jaccard join, DSIR importance selection, BPE tokenizer training)
-# queue behind the three deferred TPC-H mirrors.
+# exact Jaccard join, DSIR importance selection, BPE tokenizer training
+# + encode, reciprocal-rank retrieval fusion) queue behind the three
+# deferred TPC-H mirrors.
 NEXT_ROTATION = [
     "tpch_q11",
     "tpch_q12",
@@ -182,6 +183,7 @@ NEXT_ROTATION = [
     "sample_importance",
     "text_bpe_merges",
     "text_bpe_tokens",
+    "retrieval_rrf",
 ]
 
 
@@ -716,6 +718,22 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_tokens"] = lambda s, d: bpe.bpe_token_counts(
         _t(s, d, "documents"), 6
     )
+
+    # hybrid retrieval: reciprocal-rank fusion of the BM25 (sparse) and
+    # embedding-cosine (dense, query vector 0) rankings — doc_id and
+    # vec_id share the id space by testdata construction
+    def _retrieval_rrf(s: SparkSession, d: str) -> DataFrame:
+        sparse = textstats.bm25_topk(_t(s, d, "documents"), _BM25_TERMS, 20).select(
+            "doc_id", "rank"
+        )
+        dense = similarity.brute_topk(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings").filter(F.col("vec_id") == 0),
+            20,
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        return similarity.rrf_fuse([sparse, dense], k0=60, k=10)
+
+    q["retrieval_rrf"] = _retrieval_rrf
     return q
 
 
@@ -3374,4 +3392,28 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_bpe_merges"] = bpe.bpe_merges_sql("SELECT * FROM documents", 6)
     o["text_bpe_tokens"] = bpe.bpe_token_counts_sql("SELECT * FROM documents", 6)
+    # reciprocal-rank fusion of the BM25 oracle (embedded verbatim) and a
+    # dense cosine ranking for query vector 0; integer 10^6 div (60+rank)
+    o["retrieval_rrf"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+        ds AS (SELECT e.vec_id AS doc_id, round({_cos_sql('qv.q', 'e.v')}, 6) AS cos6
+               FROM e, qv WHERE e.vec_id <> 0),
+        dr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY cos6 DESC, doc_id ASC) AS rank
+               FROM ds),
+        dense AS (SELECT doc_id, rank FROM dr WHERE rank <= 20),
+        sparse AS (SELECT doc_id, rank FROM ({o["text_bm25_topk"]})),
+        u AS (SELECT doc_id, CAST(rank AS BIGINT) AS rk FROM sparse
+              UNION ALL
+              SELECT doc_id, CAST(rank AS BIGINT) AS rk FROM dense),
+        f AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lists,
+                     CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf_score_fp
+              FROM u GROUP BY doc_id),
+        r AS (SELECT *, row_number() OVER (ORDER BY rrf_score_fp DESC,
+                                           doc_id ASC) AS fr
+              FROM f)
+        SELECT doc_id, n_lists, rrf_score_fp, CAST(fr AS INT) AS fused_rank
+        FROM r WHERE fr <= 10
+    """
     return o

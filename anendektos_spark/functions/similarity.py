@@ -638,3 +638,51 @@ def pq_topk(
             ),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) of
+    any number of ranked lists — the hybrid-retrieval merge step that
+    combines a sparse (BM25) and a dense (embedding-cosine) ranking
+    without score calibration:
+
+        rrf_fp(d) = Σ over lists  scale div (k0 + rank_list(d))
+
+    Integer division keeps the fused score engine-exact (house no-libm
+    rule); k0=60 is the paper's constant. Output (id, n_lists,
+    rrf_score_fp, fused_rank) with deterministic (score desc, id asc)
+    top-k.
+
+    100 TB shape: each input list is already top-k-sized (retrieval
+    outputs, not corpora), so the union is small; contributions are a
+    narrow map, the fuse is ONE id-keyed aggregation, and the final
+    top-k compiles to TakeOrderedAndProject with the rank window running
+    over k rows only."""
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 < 0 or k < 1:
+        raise ValueError(f"need k0 >= 0 and k >= 1, got k0={k0}, k={k}")
+    tagged = [
+        r.select(F.col(id_col), F.col(rank_col).cast("long").alias("_rk"))
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    contrib = u.select(
+        F.col(id_col), F.expr(f"{scale}L div ({k0}L + _rk)").alias("_c")
+    )
+    agg = contrib.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_lists"),
+        F.sum("_c").cast("long").alias("rrf_score_fp"),
+    )
+    top = agg.orderBy(F.desc("rrf_score_fp"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_score_fp"), F.asc(id_col))
+    return top.withColumn("fused_rank", F.row_number().over(w).cast("int"))

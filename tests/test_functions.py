@@ -1809,3 +1809,27 @@ def test_importance_sample_k_cap_and_validation(spark):
         sampling.importance_sample(df, "is_tgt", 0)
     with pytest.raises(ValueError):
         sampling.importance_sample(df, "is_tgt", 5, n_buckets=1)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    # two lists; doc 5 is rank 1 in both -> max fused score; doc 7 only
+    # in one list at rank 2
+    a = spark.createDataFrame([(5, 1), (7, 2), (9, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(5, 1), (9, 2), (11, 3)], "doc_id long, rank int")
+    out = {r.doc_id: (r.n_lists, r.rrf_score_fp, r.fused_rank)
+           for r in similarity.rrf_fuse([a, b], k0=60, k=10).collect()}
+    s = 10**6
+    assert out[5] == (2, 2 * (s // 61), 1)
+    assert out[9] == (2, s // 63 + s // 62, 2)
+    assert out[7] == (1, s // 62, 3)
+    assert out[11] == (1, s // 63, 4)
+
+
+def test_rrf_fuse_topk_and_validation(spark):
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)], "doc_id long, rank int")
+    out = similarity.rrf_fuse([a], k=3).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.fused_rank)] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse([], k=3)
+    with pytest.raises(ValueError):
+        similarity.rrf_fuse([a], k=0)
