@@ -184,6 +184,7 @@ NEXT_ROTATION = [
     "text_bpe_merges",
     "text_bpe_tokens",
     "retrieval_rrf",
+    "dedup_lsh_recall",
 ]
 
 
@@ -734,6 +735,12 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.rrf_fuse([sparse, dense], k0=60, k=10)
 
     q["retrieval_rrf"] = _retrieval_rrf
+
+    # recall audit of the LSH path against prefix-join exact ground
+    # truth at the same threshold (the sampled-block drift monitor)
+    q["dedup_lsh_recall"] = lambda s, d: dedup.lsh_recall_report(
+        _t(s, d, "documents"), threshold=0.5
+    )
     return q
 
 
@@ -3415,5 +3422,23 @@ def oracle_sql() -> dict[str, str]:
               FROM f)
         SELECT doc_id, n_lists, rrf_score_fp, CAST(fr AS INT) AS fused_rank
         FROM r WHERE fr <= 10
+    """
+    # LSH-vs-exact recall audit: both legs embedded verbatim from their
+    # own oracles at the same threshold
+    o["dedup_lsh_recall"] = f"""
+        WITH lshp AS (SELECT id_a, id_b
+                      FROM ({o["dedup_lsh_jaccard"]}) WHERE jaccard >= 0.5),
+        exact AS (SELECT id_a, id_b FROM ({o["dedup_prefix_jaccard"]})),
+        miss AS (SELECT e.id_a, e.id_b FROM exact e
+                 LEFT JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
+                 WHERE l.id_a IS NULL)
+        SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_true_pairs,
+               CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh_pairs,
+               CAST((SELECT count(*) FROM miss) AS BIGINT) AS n_missed,
+               CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+                    ELSE CAST(((SELECT count(*) FROM exact)
+                               - (SELECT count(*) FROM miss)) * 1000000
+                              // (SELECT count(*) FROM exact) AS BIGINT)
+               END AS recall_fp
     """
     return o

@@ -1236,3 +1236,56 @@ def prefix_jaccard_pairs_sql(
           JOIN sets sb ON c.id_b = sb.doc_id)
         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
     """
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """Recall audit of the probabilistic dedup path against exact ground
+    truth — the production drift monitor a 100 TB pipeline runs on a
+    sampled block before trusting MinHash/LSH parameters corpus-wide.
+
+    Ground truth comes from ``prefix_jaccard_pairs`` (complete by the
+    AllPairs lemma); the audited path is ``lsh_jaccard`` at the SAME
+    threshold. Post-refine LSH pairs are a SUBSET of the exact set
+    (refine removes every false positive, banding can only lose pairs),
+    so precision is 1 by construction and the quantity under audit is
+    recall — returned one-row as
+
+        (n_true_pairs, n_lsh_pairs, n_missed, recall_fp)
+
+    with ``recall_fp = (n_true - n_missed)·10^6 div n_true`` (NULL when
+    no true pairs exist) and ``n_lsh_pairs = n_true - n_missed`` as the
+    subset invariant's cross-check. Both paths read the ONE persisted
+    shingle relation (`_cached_sets`), so the corpus is shingled once;
+    the anti-join runs at pair grain (duplicate-density-sized, not
+    corpus-sized); only three 1-row aggregates cross-join at the end."""
+    exact = prefix_jaccard_pairs(df, id_col, text_col, n, threshold, cache).select(
+        "id_a", "id_b"
+    )
+    approx = lsh_jaccard(
+        df, id_col, text_col, num_hashes, rows_per_band, n, threshold,
+        use_cache=cache,
+    ).select("id_a", "id_b")
+    missed = exact.join(approx, ["id_a", "id_b"], "left_anti")
+    ex_n = exact.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    ap_n = approx.agg(F.count("*").cast("long").alias("n_lsh_pairs"))
+    ms_n = missed.agg(F.count("*").cast("long").alias("n_missed"))
+    return (
+        ex_n.crossJoin(ap_n)
+        .crossJoin(ms_n)
+        .withColumn(
+            "recall_fp",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.expr("(n_true_pairs - n_missed) * 1000000L div n_true_pairs"),
+            ).cast("long"),
+        )
+    )

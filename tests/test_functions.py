@@ -1833,3 +1833,34 @@ def test_rrf_fuse_topk_and_validation(spark):
         similarity.rrf_fuse([], k=3)
     with pytest.raises(ValueError):
         similarity.rrf_fuse([a], k=0)
+
+
+def test_lsh_recall_report_shape_and_invariants(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(10):
+        words = base.split()
+        words[i % len(words)] = f"mut{i}"
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, f"different corner of vocabulary item {i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.lsh_recall_report(docs, threshold=0.5, cache=False).collect()[0]
+    # subset invariant: refined LSH pairs ⊆ exact pairs
+    assert r.n_lsh_pairs == r.n_true_pairs - r.n_missed
+    assert 0 <= r.n_missed <= r.n_true_pairs
+    assert r.n_true_pairs > 0 and r.recall_fp is not None
+    assert 0 <= r.recall_fp <= 10**6
+    # 16 hashes / 2 rows-per-band on heavy near-dups: recall should be high
+    assert r.recall_fp >= 800_000
+
+
+def test_lsh_recall_report_no_true_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "first entirely unique document text"),
+         (2, "second wholly distinct content body"),
+         (3, "third completely unrelated word salad")],
+        "doc_id long, text string",
+    )
+    r = dedup.lsh_recall_report(docs, threshold=0.9, cache=False).collect()[0]
+    assert (r.n_true_pairs, r.n_lsh_pairs, r.n_missed) == (0, 0, 0)
+    assert r.recall_fp is None
