@@ -89,3 +89,39 @@ def validate_addr_passthrough(col: Column) -> Column:
     Selected via ParseOptions.addr_mode == "passthrough".
     """
     return F.when(col.rlike(ADDR_REGEX), col)
+
+
+# Strict already-canonical IPv4: four 0-255 octets, no leading zeros.
+# For any string this matches, ``ipaddress.ip_address(s).compressed == s``
+# (dotted-quad IS the canonical v4 text form, and the no-leading-zero /
+# range constraints make the match unambiguous), so the value can skip
+# Python entirely.
+_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+CANONICAL_V4_RE = rf"^{_OCTET}(\.{_OCTET}){{3}}$"
+
+
+def normalize_addr_hybrid(col: Column) -> Column:
+    """Reference-faithful normalization with a JVM fast path.
+
+    Log traffic is overwhelmingly already-canonical IPv4; those values
+    resolve inside whole-stage codegen (one rlike) and the Arrow UDF's
+    input is MASKED TO NULL for them — Arrow ships a null bitmap instead
+    of string buffers both ways, and the per-batch unique set the UDF
+    memoizes over shrinks to the rare values (IPv6, malformed, leading-
+    zero v4). Spark evaluates extracted Python UDFs unconditionally
+    regardless of CASE branches, so masking the *argument* is the only
+    way to make the fast path cheap; the result CASE then re-selects.
+    Bit-identical to ``normalize_addr`` for every input (pinned in
+    tests/test_golden_sinks.py::test_hybrid_addr_equivalence)."""
+    fast = col.rlike(CANONICAL_V4_RE)
+    masked = F.when(~fast, col)
+    return F.when(fast, col).otherwise(normalize_addr(masked))
+
+
+def normalize_addr_array_hybrid(col: Column) -> Column:
+    """Array variant of the hybrid fast path: a whole array skips Python
+    iff every element is already-canonical IPv4 (empty arrays trivially
+    qualify and pass through unchanged, as the UDF would return them)."""
+    fast = F.forall(col, lambda x: x.rlike(CANONICAL_V4_RE))
+    masked = F.when(~fast, col)
+    return F.when(fast, col).otherwise(normalize_addr_array(masked))

@@ -33,7 +33,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .addrs import normalize_addr, normalize_addr_array, validate_addr_passthrough
+from .addrs import (
+    normalize_addr_array_hybrid,
+    normalize_addr_hybrid,
+    validate_addr_passthrough,
+)
 from .dialect import Dialect
 from .schemas import SINKS, Col, Kind
 
@@ -95,12 +99,16 @@ def _compile_column(
     def norm(col: Column) -> Column:
         if opts.addr_mode == "passthrough":
             return validate_addr_passthrough(col)
-        return normalize_addr(col)
+        # hybrid: already-canonical IPv4 resolves JVM-side, the Arrow
+        # UDF sees a null-masked column (addrs.normalize_addr_hybrid) —
+        # bit-identical output, Python/Arrow work only for the rare
+        # IPv6/malformed values
+        return normalize_addr_hybrid(col)
 
     def norm_arr(col: Column) -> Column:
         if opts.addr_mode == "passthrough":
             return F.transform(col, validate_addr_passthrough)
-        return normalize_addr_array(col)
+        return normalize_addr_array_hybrid(col)
 
     k = c.kind
     if k == Kind.STR:

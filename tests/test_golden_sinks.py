@@ -182,3 +182,48 @@ def test_unknown_tool_goes_to_rejects(routed):
     unk = [r for r in rejects if r["reject_reason"] == "unimplemented_tool"]
     assert {r["tool"] for r in unk} == {"weird", "telemetry"}
     assert len(unk) == 2
+
+
+def test_hybrid_addr_equivalence(spark):
+    """The JVM-fast-path hybrid normalizer must be BIT-IDENTICAL to the
+    pure Arrow-UDF normalizer on every input class: canonical v4,
+    leading-zero v4 (invalid per modern ipaddress), out-of-range v4,
+    short v4, uppercase/expandable/compressed v6, v4-mapped v6, garbage,
+    empty, null."""
+    from anendektos_spark.addrs import (
+        normalize_addr,
+        normalize_addr_array,
+        normalize_addr_array_hybrid,
+        normalize_addr_hybrid,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [
+        "1.2.3.4", "0.0.0.0", "255.255.255.255", "192.168.0.1",
+        "01.2.3.4", "1.2.3.04", "999.1.1.1", "256.0.0.1", "1.2.3",
+        "1.2.3.4.5", "FE80::1", "fe80:0000:0000:0000:0250:f1ff:fe80:0000",
+        "fe80::250:f1ff:fe80:0", "::ffff:1.2.3.4", "::1", "not-an-ip",
+        "", " 1.2.3.4", "1.2.3.4 ", None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "a string")
+    out = df.select(
+        normalize_addr(F.col("a")).alias("pure"),
+        normalize_addr_hybrid(F.col("a")).alias("hyb"),
+    ).collect()
+    for v, r in zip(vals, out):
+        assert r.pure == r.hyb, f"{v!r}: pure={r.pure!r} hybrid={r.hyb!r}"
+
+    arrs = [
+        ["1.2.3.4", "10.0.0.1"],          # all-canonical: JVM path
+        ["1.2.3.4", "FE80::1"],           # mixed: UDF path
+        ["01.2.3.4"],                      # invalid: null element
+        [],                                # empty: unchanged
+        None,
+    ]
+    df2 = spark.createDataFrame([(v,) for v in arrs], "a array<string>")
+    out2 = df2.select(
+        normalize_addr_array(F.col("a")).alias("pure"),
+        normalize_addr_array_hybrid(F.col("a")).alias("hyb"),
+    ).collect()
+    for v, r in zip(arrs, out2):
+        assert r.pure == r.hyb, f"{v!r}: pure={r.pure!r} hybrid={r.hyb!r}"
