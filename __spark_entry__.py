@@ -185,6 +185,7 @@ NEXT_ROTATION = [
     "text_bpe_tokens",
     "retrieval_rrf",
     "dedup_lsh_recall",
+    "sample_curriculum",
 ]
 
 
@@ -740,6 +741,15 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # truth at the same threshold (the sampled-block drift monitor)
     q["dedup_lsh_recall"] = lambda s, d: dedup.lsh_recall_report(
         _t(s, d, "documents"), threshold=0.5
+    )
+
+    # curriculum scheduling: quality-quantile phases (integer histogram
+    # quantiles, no interpolation) + reproducible within-phase order
+    q["sample_curriculum"] = lambda s, d: sampling.curriculum_order(
+        textstats.quality_score(_t(s, d, "documents")).select("doc_id", "quality"),
+        "quality",
+        n_phases=4,
+        salt="cur",
     )
     return q
 
@@ -3440,5 +3450,22 @@ def oracle_sql() -> dict[str, str]:
                                - (SELECT count(*) FROM miss)) * 1000000
                               // (SELECT count(*) FROM exact) AS BIGINT)
                END AS recall_fp
+    """
+    # curriculum phases: integer histogram-quantile assignment over the
+    # rounded quality value relation (no interpolated percentiles), with
+    # the deterministic md5 within-phase order key
+    o["sample_curriculum"] = f"""
+        WITH q AS (SELECT doc_id, quality FROM ({o["text_quality"]})),
+        hist AS (SELECT quality AS v, count(*) AS n FROM q GROUP BY 1),
+        cum AS (SELECT v,
+                       coalesce(sum(n) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cum_lt,
+                       sum(n) OVER () AS total
+                FROM hist)
+        SELECT q.doc_id, q.quality,
+               CAST(least(3, 4 * cum.cum_lt // cum.total) AS INT) AS phase,
+               md5('cur:' || CAST(q.doc_id AS VARCHAR)) AS order_key
+        FROM q JOIN cum ON q.quality = cum.v
     """
     return o

@@ -494,3 +494,64 @@ def importance_sample_sql(
         FROM scored
         QUALIFY dsir_rank <= {k}
     """
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_phases: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum phase assignment + reproducible training read order —
+    the "easy-to-hard" scheduling step of a training-data pipeline
+    (phase 0 = lowest-score quartile … phase n-1 = highest), with a
+    deterministic within-phase shuffle so two runs (or two engines)
+    materialize the identical training sequence.
+
+    Phases come from exact score quantiles WITHOUT interpolated
+    percentiles (floats diverge across engines) and WITHOUT a global
+    sort/rank (which would funnel the corpus through one partition):
+    the (rounded) score VALUE histogram is aggregated — its size is
+    bounded by the score's value grain (≤10^4+1 distinct for a 4-digit
+    [0,1] score), not the corpus — a running count-below is windowed
+    over that tiny relation, and each row's phase is
+
+        phase(v) = min(n_phases-1, n_phases·cum_lt(v) div N)
+
+    joined back by score value (broadcast — histogram-sized). All ties
+    share a phase; integer arithmetic end to end. ``order_key`` =
+    md5(salt:id) gives the reproducible shuffle; training ingestion
+    reads ORDER BY (phase, order_key) — at scale that is a write-time
+    sort-within-partitions after repartitioning on phase, never a
+    driver-side sort. A different salt reshuffles without touching the
+    curriculum."""
+    if n_phases < 2:
+        raise ValueError(f"n_phases must be >= 2, got {n_phases}")
+    _check_reserved(df.columns, ("phase", "order_key", "_v"), "output columns")
+    v = F.round(F.col(score_col), 4)
+    base = df.withColumn("_v", v)
+    hist = base.groupBy("_v").agg(F.count("*").alias("_n"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "_v",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_cum_lt"),
+        F.sum("_n").over(
+            Window.orderBy("_v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    phase = F.least(
+        F.lit(n_phases - 1),
+        F.expr(f"{n_phases}L * _cum_lt div _total"),
+    ).cast("int")
+    return (
+        base.join(F.broadcast(cum), "_v")
+        .select(
+            F.col(id_col),
+            F.col("_v").alias(score_col),
+            phase.alias("phase"),
+            sample_hash_col(F.col(id_col), salt).alias("order_key"),
+        )
+    )

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs", "ann_pq_topk", "conv_prefix_groups",
     "graph_triangles", "source_overlap",
     "dedup_prefix_jaccard", "sample_importance", "text_bpe_merges",
+    "retrieval_rrf", "dedup_lsh_recall", "sample_curriculum",
 ]
 
 

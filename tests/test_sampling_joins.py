@@ -643,3 +643,45 @@ def test_temperature_rates_mixture(spark):
     assert got["s_small"] == 10  # rate 1.0 keeps all
     # expected masses: 10, sqrt(10*100)≈31.6, sqrt(10*1000)=100 (±md5 noise)
     assert 15 <= got.get("s_mid", 0) <= 50 and 70 <= got.get("s_big", 0) <= 135
+
+
+def test_curriculum_order_hand_computed(spark):
+    from anendektos_spark.functions import sampling
+
+    # 8 docs, scores with a tie straddling the quartile boundary
+    rows = [(1, 0.1), (2, 0.2), (3, 0.2), (4, 0.4), (5, 0.5), (6, 0.6),
+            (7, 0.7), (8, 0.8)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = {r.doc_id: r.phase for r in
+           sampling.curriculum_order(df, "s", n_phases=4).collect()}
+    # cum_lt: 0.1->0, 0.2->1 (both ties), 0.4->3, 0.5->4, 0.6->5, 0.7->6, 0.8->7
+    # phase = min(3, 4*cum_lt div 8)
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+
+def test_curriculum_order_determinism_and_salt(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10) / 10) for i in range(100)], "doc_id long, s double"
+    )
+    a = sampling.curriculum_order(df, "s", salt="x").collect()
+    b = sampling.curriculum_order(df.repartition(7), "s", salt="x").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-independent
+    c = sampling.curriculum_order(df, "s", salt="y").collect()
+    keys_x = {r.doc_id: r.order_key for r in a}
+    keys_y = {r.doc_id: r.order_key for r in c}
+    assert keys_x != keys_y  # salt reshuffles
+    ph_x = {r.doc_id: r.phase for r in a}
+    ph_y = {r.doc_id: r.phase for r in c}
+    assert ph_x == ph_y  # ...without touching the curriculum
+
+
+def test_curriculum_order_validation(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, s double")
+    with pytest.raises(ValueError):
+        sampling.curriculum_order(df, "s", n_phases=1)
+    with pytest.raises(ValueError):
+        sampling.curriculum_order(df.withColumn("phase", F.lit(1)), "s")
