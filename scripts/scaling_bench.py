@@ -56,7 +56,7 @@ if job == "grok":
     # the north_star grok pipeline's input: marker-bearing conversation
     # transcripts (~25 turns per zeek-replica keeps row counts comparable)
     tx = transcript.synth_transcript(spark, replicas * 25, partitions=128).persist()
-elif job in ("convdedup", "winnow"):
+elif job in ("convdedup", "winnow", "prefixjoin"):
     # the curation legs' input: duplication-injecting conversation
     # generator (~12 turns/replica ≈ the suite's 500k-turn leg at the
     # default 40k replicas). Materialized to DISK, not cache: these jobs'
@@ -101,6 +101,12 @@ def build():
         return dedup.winnow_overlap_pairs(
             convops.conv_reconstruct(tx), id_col="conv_id",
             text_col="transcript")
+    if job == "prefixjoin":
+        # exact-threshold similarity self-join (AllPairs prefix filter)
+        # over the reassembled conversations, high-threshold regime
+        return dedup.prefix_jaccard_pairs(
+            convops.conv_reconstruct(tx), id_col="conv_id",
+            text_col="transcript", threshold=0.8)
     opts = ParseOptions(addr_mode=mode)
     if job == "validate":
         # one-pass CASE-gated validation across all six sinks: one scan,
