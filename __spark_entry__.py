@@ -173,8 +173,10 @@ PRIORITY_QUERIES = [
 # they are emitted immediately after PRIORITY_QUERIES so round 5's window
 # picks them up first. The round-4 operator additions (prefix-filtered
 # exact Jaccard join, DSIR importance selection, BPE tokenizer training
-# + encode, reciprocal-rank retrieval fusion) queue behind the three
-# deferred TPC-H mirrors.
+# + encode, reciprocal-rank retrieval fusion, curriculum scheduling,
+# dedup-aware cluster reweighting, leakage-safe splitting, JL random
+# projection, histogram drift) queue behind the three deferred TPC-H
+# mirrors.
 NEXT_ROTATION = [
     "tpch_q11",
     "tpch_q12",
@@ -186,6 +188,10 @@ NEXT_ROTATION = [
     "retrieval_rrf",
     "dedup_lsh_recall",
     "sample_curriculum",
+    "dedup_cluster_weights",
+    "sample_split_leakage_safe",
+    "embed_random_projection",
+    "profile_drift",
 ]
 
 
@@ -750,6 +756,46 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality",
         n_phases=4,
         salt="cur",
+    )
+
+    # dedup-aware loss reweighting: inverse-cluster-size ppm weights over
+    # the resolved near-dup clusters (soft dedup — all copies kept, a
+    # cluster's total training weight ≈ one document)
+    q["dedup_cluster_weights"] = lambda s, d: dedup.cluster_weights(
+        dedup.dup_clusters(
+            _t(s, d, "documents").select("doc_id"),
+            dedup.lsh_candidates(_t(s, d, "documents")),
+        )
+    )
+    # leakage-safe train/test split: hash key = dup-CLUSTER id, so near
+    # duplicates can never straddle the eval boundary
+    q["sample_split_leakage_safe"] = lambda s, d: sampling.leakage_safe_split(
+        dedup.dup_clusters(
+            _t(s, d, "documents").select("doc_id"),
+            dedup.lsh_candidates(_t(s, d, "documents")),
+        ),
+        {"train": 0.9, "test": 0.1},
+        salt="leak",
+    )
+    # deterministic JL sign-projection over the shared int8 quantization
+    # (64 → 16 dims, pure integer, the shuffle-bandwidth lever for
+    # candidate generation); vectors serialized like embed_quantize_int8
+    q["embed_random_projection"] = lambda s, d: similarity.random_projection(
+        _t(s, d, "embeddings"), out_dim=16, in_dim=64
+    ).select(
+        "vec_id",
+        F.round("scale", 6).alias("rp_scale"),
+        F.concat_ws(",", F.col("rp").cast("array<string>")).alias("rp_vec"),
+    )
+    # integer-exact PSI-style distribution drift between the two halves
+    # of the events time range (corpus-snapshot drift check)
+    q["profile_drift"] = lambda s, d: logops.histogram_drift(
+        _t(s, d, "events"),
+        "value",
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        0.0,
+        100.0,
+        10,
     )
     return q
 
@@ -3467,5 +3513,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(3, 4 * cum.cum_lt // cum.total) AS INT) AS phase,
                md5('cur:' || CAST(q.doc_id AS VARCHAR)) AS order_key
         FROM q JOIN cum ON q.quality = cum.v
+    """
+    # inverse-cluster-size ppm weights over the exact-CC cluster oracle
+    o["dedup_cluster_weights"] = f"""
+        WITH base AS ({o["dedup_clusters"]}),
+        sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+               FROM base GROUP BY cluster_id)
+        SELECT b.doc_id, b.cluster_id, s.cluster_size,
+               CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+        FROM base b JOIN sz s USING (cluster_id)
+    """
+    # split CASE generated by the operator's own SQL builder, keyed on
+    # the cluster id from the exact-CC oracle
+    _leak_case = sampling.split_dataset_sql(
+        {"train": 0.9, "test": 0.1}, "cluster_id", salt="leak"
+    )
+    o["sample_split_leakage_safe"] = f"""
+        WITH base AS ({o["dedup_clusters"]})
+        SELECT doc_id, cluster_id, {_leak_case} AS split FROM base
+    """
+    # JL sign projection over the shared _Q8 quantization: the SAME
+    # driver-side md5 sign matrix (rp_sign_matrix) folded into both
+    # engines' plans; Σ s·q expressed as list_select(+1) - list_select(-1)
+    _rp_signs = similarity.rp_sign_matrix(16, 64, "rp")
+    _rp_exprs = []
+    for _sj in _rp_signs:
+        _plus = [i + 1 for i, s in enumerate(_sj) if s == 1]
+        _minus = [i + 1 for i, s in enumerate(_sj) if s == -1]
+        _rp_exprs.append(
+            f"CAST(coalesce(list_sum(list_select(q, {_plus})), 0)"
+            f" - coalesce(list_sum(list_select(q, {_minus})), 0) AS BIGINT)"
+        )
+    o["embed_random_projection"] = f"""
+        {_Q8}
+        SELECT vec_id, round(scale, 6) AS rp_scale,
+               array_to_string([{", ".join(_rp_exprs)}], ',') AS rp_vec
+        FROM nn
+    """
+    # PSI-style drift between the two halves of the events range; same
+    # DECIMAL-scaled binning as hist_event_values (lo=0 hi=100 bins=10 →
+    # width_i = 10^7 in the 10^6-scaled integer domain)
+    o["profile_drift"] = """
+        WITH b AS (SELECT CAST(round(CAST(value AS DECIMAL(26,6)) * 1000000, 0)
+                        AS BIGINT) AS vi,
+                        (ts >= TIMESTAMP '2024-01-16 00:00:00') AS isb
+                   FROM events WHERE value IS NOT NULL),
+        bb AS (SELECT greatest(-1, least(10, CAST(
+                 CASE WHEN vi >= 0 THEN vi // 10000000
+                      ELSE -((-vi) // 10000000)
+                           - CASE WHEN (-vi) % 10000000 = 0 THEN 0 ELSE 1 END
+                 END AS INT))) AS bin, isb
+               FROM b),
+        c AS (SELECT bin,
+                     CAST(sum(CASE WHEN isb THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+                     CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM bb GROUP BY bin),
+        t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+        p AS (SELECT bin, n_a, n_b,
+                     CAST(CASE WHEN ta > 0 THEN (n_a * 1000000) // ta
+                               ELSE 0 END AS BIGINT) AS ppm_a,
+                     CAST(CASE WHEN tb > 0 THEN (n_b * 1000000) // tb
+                               ELSE 0 END AS BIGINT) AS ppm_b
+              FROM c, t)
+        SELECT bin, 0.0 + bin * 10.0 AS lo_edge, 0.0 + (bin + 1) * 10.0 AS hi_edge,
+               n_a, n_b, ppm_a, ppm_b,
+               CAST(abs(ppm_a - ppm_b) AS BIGINT) AS drift_ppm
+        FROM p
     """
     return o

@@ -15,7 +15,7 @@ only shuffles are the LSH bucket join and final distinct.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import iterutils
@@ -1288,4 +1288,34 @@ def lsh_recall_report(
                 F.expr("(n_true_pairs - n_missed) * 1000000L div n_true_pairs"),
             ).cast("long"),
         )
+    )
+
+
+def cluster_weights(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dedup-aware loss reweighting: weight every document by the inverse
+    of its near-dup cluster size (weight_ppm = floor(scale / |cluster|)),
+    the soft alternative to keep-one-drop-rest dedup — all copies stay in
+    the corpus but a cluster's total training weight is ~one document
+    regardless of how often it was crawled.
+
+    Input is a (id, cluster) assignment (``dup_clusters`` /
+    ``dup_clusters_bigstar`` output). The size is a count window over
+    ``cluster_col`` — ONE hash exchange, no join, no second scan; the
+    weight is integer fixed-point (ppm) so results are bit-identical in
+    any engine. At 100 TB the exchange carries two id-sized columns and
+    cluster skew is bounded by the largest dup cluster, which the LSH
+    band structure already caps in practice."""
+    w = Window.partitionBy(cluster_col)
+    return clusters.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).withColumn(
+        "weight_ppm",
+        F.expr(f"{scale}L div cluster_size").cast("long"),
     )

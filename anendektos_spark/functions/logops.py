@@ -839,3 +839,90 @@ def value_histogram(
             "n",
         )
     )
+
+
+def histogram_drift(
+    df: DataFrame,
+    value_col: str,
+    period_b: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift between two data periods as an integer-exact
+    PSI-style report: bin the value column with :func:`value_histogram`'s
+    fixed-width DECIMAL-scaled binning (identical bin boundaries in any
+    engine), count each bin separately for period A (``period_b`` false)
+    and period B (true), normalize to parts-per-million with integer
+    floor division, and report the per-bin absolute share shift. The L1
+    drift distance is ``Σ drift_ppm / 2e6`` — derivable from the output,
+    so the whole report stays float-free.
+
+    This is the corpus-snapshot drift check of a training pipeline (did
+    the value distribution move between crawls?). ONE scan with a
+    conditional-sum hash aggregate onto ≤ n_bins+2 keys, then the period
+    totals as an unpartitioned window over that bin-count relation (a
+    single-partition exchange of ≤ n_bins+2 rows): mergeable across
+    shards exactly like the histogram it extends, and nothing data-sized
+    ever leaves the executors. NULL values are dropped (profile_columns
+    reports null counts); rows land in clamp bins -1/n_bins when outside
+    [lo, hi) so overflow drift is visible rather than silently excluded.
+
+    Returns (bin int, lo_edge double, hi_edge double, n_a long, n_b long,
+    ppm_a long, ppm_b long, drift_ppm long) — empty when BOTH periods are
+    empty; raises neither (a bin missing from a period counts 0)."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    scale = 10**6
+    lo_i, hi_i = round(lo * scale), round(hi * scale)
+    width_i = (hi_i - lo_i + n_bins - 1) // n_bins
+    v_i = F.round(F.col(value_col).cast("decimal(26,6)") * scale, 0).cast("long")
+    raw_bin = F.expr(
+        f"CASE WHEN _vi >= 0 THEN _vi div {width_i} "
+        f"ELSE -((-_vi) div {width_i}) - CASE WHEN (-_vi) % {width_i} = 0 "
+        f"THEN 0 ELSE 1 END END"
+    )
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            (v_i - F.lit(lo_i)).alias("_vi"),
+            period_b.cast("boolean").alias("_b"),
+        )
+        .select(
+            F.greatest(F.lit(-1), F.least(F.lit(n_bins), raw_bin.cast("int"))).alias("bin"),
+            F.col("_b"),
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    # totals as an unpartitioned window over the ≤ n_bins+2-row bin
+    # relation — NOT a separate aggregate joined back, which Catalyst
+    # plans as a SECOND full scan+aggregate of the raw data (no subtree
+    # reuse without persisting). The single-partition window moves only
+    # the bin counts, never data-sized rows.
+    wall = Window.partitionBy(F.lit(1))
+    counts = counts.select(
+        "bin", "n_a", "n_b",
+        F.sum("n_a").over(wall).cast("long").alias("_tot_a"),
+        F.sum("n_b").over(wall).cast("long").alias("_tot_b"),
+    )
+    ppm = lambda n, tot: F.when(  # noqa: E731 — local formula, named for the two uses
+        F.col(tot) > 0, F.expr(f"{n} * {scale}L div {tot}")
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        counts
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width_i / scale)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width_i / scale)).alias("hi_edge"),
+            "n_a",
+            "n_b",
+            ppm("n_a", "_tot_a").alias("ppm_a"),
+            ppm("n_b", "_tot_b").alias("ppm_b"),
+        )
+        .withColumn("drift_ppm", F.abs(F.col("ppm_a") - F.col("ppm_b")))
+    )

@@ -555,3 +555,30 @@ def curriculum_order(
             sample_hash_col(F.col(id_col), salt).alias("order_key"),
         )
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: the split hash key is the dup-CLUSTER id (``dup_clusters``
+    output), not the document id, so every member of a near-dup cluster
+    lands on the same side — the eval set never contains a paraphrase of
+    a training document. A plain per-document split leaks: at 10%
+    duplication a 1% test split is mostly contaminated.
+
+    Same determinism and boundary-stability contract as
+    :func:`split_dataset` (one md5, contiguous cumulative ranges);
+    applied on top of the cluster assignment it is a narrow map — the
+    only shuffles in the composed pipeline are the CC resolution's own.
+
+    Returns (id, cluster, split)."""
+    out = split_dataset(
+        clusters, weights, key_col=cluster_col, salt=salt, split_col=split_col
+    )
+    return out.select(F.col(id_col), F.col(cluster_col), F.col(split_col))

@@ -686,3 +686,70 @@ def rrf_fuse(
     top = agg.orderBy(F.desc("rrf_score_fp"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("rrf_score_fp"), F.asc(id_col))
     return top.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def rp_sign_matrix(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[int]]:
+    """The deterministic ±1 sign matrix for :func:`random_projection`:
+    sign(i, j) from the parity of md5's first hex digit of
+    ``"{salt}:{i}:{j}"``. Driver-side constants (out_dim × in_dim ints —
+    model-sized), shared by the Spark operator and the DuckDB oracle so
+    both engines fold the SAME matrix into their plans."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss compression with a deterministic ±1 sign
+    matrix (Achlioptas 2003, signs from md5 — see :func:`rp_sign_matrix`):
+    ``rp_j = Σ_i sign(i,j) · q_i`` over the shared int8 quantization of
+    :func:`quantize_int8`, so the projection is pure integer arithmetic —
+    bit-identical in any engine — and inherits the 4× bandwidth saving.
+
+    This is the shuffle-volume lever for downstream candidate generation:
+    a 64-dim float vector is 256 bytes through every exchange/broadcast;
+    the 16-dim integer projection plus scale is ~36 (pre-delta-encoding),
+    and JL preserves relative distances well enough for the LSH/IVF
+    candidate stages that re-rank against full vectors anyway. The sign
+    matrix is folded into the plan as literals: a narrow map — zero
+    shuffle, zero Python at runtime. Vectors shorter than ``in_dim``
+    yield NULL components (zip_with pads) rather than silently projecting
+    a truncated basis; longer vectors are truncated to ``in_dim``.
+
+    Returns (id, scale double, rp array<long> of out_dim)."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"need out_dim/in_dim >= 1, got {out_dim}/{in_dim}")
+    signs = rp_sign_matrix(out_dim, in_dim, salt)
+    q = quantize_int8(emb, id_col=id_col, vec_col=vec_col).select(
+        id_col, "scale", F.slice("q", 1, in_dim).alias("q")
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, s: (x * s).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"rp{j}")
+        for j in range(out_dim)
+    ]
+    proj = q.select(F.col(id_col), F.col("scale"), *comps)
+    return proj.select(
+        id_col, "scale", F.array(*[F.col(f"rp{j}") for j in range(out_dim)]).alias("rp")
+    )

@@ -1864,3 +1864,88 @@ def test_lsh_recall_report_no_true_pairs(spark):
     r = dedup.lsh_recall_report(docs, threshold=0.9, cache=False).collect()[0]
     assert (r.n_true_pairs, r.n_lsh_pairs, r.n_missed) == (0, 0, 0)
     assert r.recall_fp is None
+
+
+def test_cluster_weights_inverse_size(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 3), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r.doc_id: r for r in dedup.cluster_weights(clusters).collect()}
+    assert len(out) == 6
+    assert out[1].cluster_size == 2 and out[1].weight_ppm == 500_000
+    assert out[5].cluster_size == 3 and out[5].weight_ppm == 333_333
+    assert out[6].cluster_size == 1 and out[6].weight_ppm == 1_000_000
+    # a cluster's total training weight stays ~1e6 regardless of copies
+    for cid, size in ((1, 2), (3, 3), (6, 1)):
+        total = sum(r.weight_ppm for r in out.values() if r.cluster_id == cid)
+        assert 10**6 - size < total <= 10**6
+
+
+def test_random_projection_matches_pure_python(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5, 4.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+         (2, [-3.0, 3.0, -3.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in
+           similarity.random_projection(emb, out_dim=3, in_dim=4).collect()}
+    signs = similarity.rp_sign_matrix(3, 4)
+
+    import math
+    def quant(v):
+        m = max(abs(x) for x in v)
+        return [0] * len(v) if m == 0 else [math.floor(x * 127.0 / m + 0.5) for x in v]
+
+    for vid, vec in ((0, [1.0, -2.0, 0.5, 4.0]), (1, [0.0] * 4),
+                     (2, [-3.0, 3.0, -3.0, 3.0])):
+        q = quant(vec)
+        expect = [sum(s * x for s, x in zip(sj, q)) for sj in signs]
+        assert list(out[vid].rp) == expect
+    # sign matrix is deterministic and ±1
+    assert signs == similarity.rp_sign_matrix(3, 4)
+    assert all(s in (-1, 1) for row in signs for s in row)
+
+
+def test_random_projection_short_vector_yields_null(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    row = similarity.random_projection(emb, out_dim=2, in_dim=4).collect()[0]
+    # zip_with pads the missing basis dims with NULL → NULL component,
+    # never a silent truncated projection
+    assert all(c is None for c in row.rp)
+    with pytest.raises(ValueError):
+        similarity.random_projection(emb, out_dim=0)
+
+
+def test_histogram_drift_integer_exact(spark):
+    rows = [(float(v), False) for v in (1, 1, 5, 9)] + [
+        (float(v), True) for v in (1, 9, 9, 9, 11, -2)
+    ]
+    df = spark.createDataFrame(rows, "value double, isb boolean")
+    out = {r.bin: r for r in
+           logops.histogram_drift(df, "value", F.col("isb"), 0.0, 10.0, 5).collect()}
+    # period A: bins 0(x2), 2, 4; period B: 0, 4(x3), clamp 5 (11), clamp -1 (-2)
+    assert (out[0].n_a, out[0].n_b) == (2, 1)
+    assert (out[4].n_a, out[4].n_b) == (1, 3)
+    assert (out[-1].n_a, out[-1].n_b) == (0, 1)
+    assert (out[5].n_a, out[5].n_b) == (0, 1)
+    # integer ppm: floor(n * 1e6 / total)
+    assert out[0].ppm_a == 2 * 10**6 // 4 and out[0].ppm_b == 10**6 // 6
+    assert out[0].drift_ppm == abs(out[0].ppm_a - out[0].ppm_b)
+    assert out[2].n_b == 0 and out[2].ppm_b == 0
+    assert out[0].lo_edge == 0.0 and out[0].hi_edge == 2.0
+    with pytest.raises(ValueError):
+        logops.histogram_drift(df, "value", F.col("isb"), 5.0, 5.0, 5)
+    with pytest.raises(ValueError):
+        logops.histogram_drift(df, "value", F.col("isb"), 0.0, 10.0, 0)
+
+
+def test_histogram_drift_empty_period_all_zero_ppm(spark):
+    df = spark.createDataFrame(
+        [(1.0, False), (3.0, False)], "value double, isb boolean"
+    )
+    out = logops.histogram_drift(df, "value", F.col("isb"), 0.0, 10.0, 5).collect()
+    assert all(r.n_b == 0 and r.ppm_b == 0 for r in out)
+    assert sum(r.n_a for r in out) == 2

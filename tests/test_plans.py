@@ -372,3 +372,37 @@ def test_importance_sample_broadcasts_model_sides(spark):
     assert "CartesianProduct" not in plan
     # deterministic top-k compiles to a partial top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_random_projection_zero_shuffle_narrow_map(spark, tmp_path):
+    spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(str(tmp_path / "emb"))
+    emb = spark.read.parquet(str(tmp_path / "emb"))
+    plan = plan_of(similarity.random_projection(emb, out_dim=4, in_dim=8))
+    # sign matrix folds into the projection as literals: no exchange of
+    # any kind, no Python boundary
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_histogram_drift_single_data_exchange_broadcast_totals(spark, tmp_path):
+    from anendektos_spark.functions import logops
+
+    spark.createDataFrame(
+        [(float(i % 13), i % 2 == 0) for i in range(200)],
+        "value double, isb boolean",
+    ).write.parquet(str(tmp_path / "drift"))
+    df = spark.read.parquet(str(tmp_path / "drift"))
+    out = logops.histogram_drift(df, "value", F.col("isb"), 0.0, 10.0, 5)
+    plan = plan_of(out)
+    # the raw data is scanned ONCE and crosses exactly ONE hash exchange
+    # (the bin aggregate); the period totals are a window over the
+    # ≤ n_bins+2-row bin relation (Exchange SinglePartition of bin
+    # counts), never a second scan+aggregate of the input
+    # one Location: line per scan node in formatted mode
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan

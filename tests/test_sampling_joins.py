@@ -685,3 +685,31 @@ def test_curriculum_order_validation(spark):
         sampling.curriculum_order(df, "s", n_phases=1)
     with pytest.raises(ValueError):
         sampling.curriculum_order(df.withColumn("phase", F.lit(1)), "s")
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # 40 clusters of varying size; every member of a cluster must land on
+    # the same side of the split, and the split must match the document-
+    # independent cluster-key hash exactly
+    rows = []
+    for c in range(40):
+        for m in range(1 + c % 4):
+            rows.append((c * 10 + m, c))
+    clusters = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = sampling.leakage_safe_split(
+        clusters, {"train": 0.7, "test": 0.3}, salt="leak"
+    ).collect()
+    assert len(out) == len(rows)
+    by_cluster: dict[int, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert set().union(*by_cluster.values()) == {"train", "test"}
+    # determinism: same salt ⇒ same assignment, per-document
+    again = sampling.leakage_safe_split(
+        clusters, {"train": 0.7, "test": 0.3}, salt="leak"
+    ).collect()
+    assert {(r.doc_id, r.split) for r in again} == {(r.doc_id, r.split) for r in out}
+    # invalid weights propagate split_dataset's validation
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(clusters, {"train": 1.0}, salt="x")
