@@ -871,6 +871,12 @@ def histogram_drift(
     Returns (bin int, lo_edge double, hi_edge double, n_a long, n_b long,
     ppm_a long, ppm_b long, drift_ppm long) — empty when BOTH periods are
     empty; raises neither (a bin missing from a period counts 0)."""
+    return drift_report(
+        drift_bin_counts(df, value_col, period_b, lo, hi, n_bins), lo, hi, n_bins
+    )
+
+
+def _drift_params(lo: float, hi: float, n_bins: int) -> tuple[int, int, int]:
     if not (hi > lo):
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     if n_bins < 1:
@@ -878,6 +884,23 @@ def histogram_drift(
     scale = 10**6
     lo_i, hi_i = round(lo * scale), round(hi * scale)
     width_i = (hi_i - lo_i + n_bins - 1) // n_bins
+    return scale, lo_i, width_i
+
+
+def drift_bin_counts(
+    df: DataFrame,
+    value_col: str,
+    period_b: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """The mergeable half of :func:`histogram_drift`: per-bin (n_a, n_b)
+    period counts with the DECIMAL-exact fixed-width binning. Counts of
+    shards/micro-batches merge by per-bin addition (used as the streamed
+    epoch partial — see streaming.stream_drift_partials); ONE scan, ONE
+    hash exchange onto ≤ n_bins+2 keys with map-side partial sums."""
+    scale, lo_i, width_i = _drift_params(lo, hi, n_bins)
     v_i = F.round(F.col(value_col).cast("decimal(26,6)") * scale, 0).cast("long")
     raw_bin = F.expr(
         f"CASE WHEN _vi >= 0 THEN _vi div {width_i} "
@@ -895,9 +918,22 @@ def histogram_drift(
             F.col("_b"),
         )
     )
-    counts = binned.groupBy("bin").agg(
+    return binned.groupBy("bin").agg(
         F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+
+
+def drift_report(
+    counts: DataFrame, lo: float, hi: float, n_bins: int = 10
+) -> DataFrame:
+    """Finish :func:`histogram_drift` from (bin, n_a, n_b) counts —
+    possibly the merged union of shard/epoch partials. Everything here
+    operates on the ≤ n_bins+2-row bin relation."""
+    scale, _lo_i, width_i = _drift_params(lo, hi, n_bins)
+    counts = counts.groupBy("bin").agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
     )
     # totals as an unpartitioned window over the ≤ n_bins+2-row bin
     # relation — NOT a separate aggregate joined back, which Catalyst

@@ -393,6 +393,61 @@ def read_cms(spark: SparkSession, partials_dir: str) -> DataFrame:
     return cms_merge(spark.read.parquet(partials_dir).select("row", "bucket", "cnt"))
 
 
+def stream_drift_partials(
+    stream: DataFrame,
+    value_col: str,
+    period_b_col: str,
+    lo: float,
+    hi: float,
+    checkpoint_dir: str,
+    output_dir: str,
+    n_bins: int = 10,
+    available_now: bool = False,
+):
+    """Continuously maintained distribution-drift monitor: each
+    micro-batch bins its values (logops.drift_bin_counts — the mergeable
+    half of histogram_drift) and commits the ≤ n_bins+2-row per-bin
+    period counts to an epoch-keyed partition with the same exactly-once
+    overwrite-per-epoch protocol as the other partial streams. State per
+    epoch is O(n_bins) integers; ``read_drift`` merges by per-bin
+    addition and finishes the integer ppm report — bit-identical to a
+    batch histogram_drift over the union of all streamed rows.
+
+    ``period_b_col`` names a column in the stream (foreachBatch closures
+    must not capture unresolved Column objects from another plan)."""
+    from pyspark.sql import functions as SF
+
+    from .functions.logops import drift_bin_counts
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        drift_bin_counts(
+            batch, value_col, SF.col(period_b_col), lo, hi, n_bins
+        ).write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_drift(
+    spark: SparkSession, partials_dir: str, lo: float, hi: float, n_bins: int = 10
+) -> DataFrame:
+    """Merge the streamed per-epoch bin partials and emit the full
+    integer drift report (identical to batch histogram_drift over the
+    union of all streamed rows — drift_report's leading per-bin sum IS
+    the merge)."""
+    from .functions.logops import drift_report
+
+    return drift_report(
+        spark.read.parquet(partials_dir).select("bin", "n_a", "n_b"), lo, hi, n_bins
+    )
+
+
 def run_streaming_counts(
     stream: DataFrame,
     output_dir: str,

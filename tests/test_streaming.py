@@ -576,3 +576,41 @@ def test_stream_retry_loops_matches_batch_across_splits(spark, tmp_path):
         for r in transcript.category_retry_loops(parsed, dim, 2).collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_stream_drift_partials_match_batch_report(spark, tmp_path):
+    """Multi-epoch drift maintenance: the merged streamed bin partials
+    must reproduce the batch histogram_drift report bit-for-bit over the
+    union of all streamed rows."""
+    from anendektos_spark import streaming
+    from anendektos_spark.functions import logops
+
+    df = spark.range(400).select(
+        (F.col("id") % 17).cast("double").alias("value"),
+        (F.col("id") % 3 == 0).alias("isb"),
+    )
+    d = str(tmp_path / "in")
+    df.filter(F.col("id") < 200).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("id") >= 200).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("value double, isb boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming.stream_drift_partials(
+        stream, "value", "isb", 0.0, 10.0, ckpt, out, n_bins=5, available_now=True
+    )
+    q.awaitTermination(180)
+    assert len(list(__import__("pathlib").Path(out).glob("epoch=*"))) >= 2
+    streamed = {
+        r.bin: (r.n_a, r.n_b, r.ppm_a, r.ppm_b, r.drift_ppm)
+        for r in streaming.read_drift(spark, out, 0.0, 10.0, n_bins=5).collect()
+    }
+    batch = {
+        r.bin: (r.n_a, r.n_b, r.ppm_a, r.ppm_b, r.drift_ppm)
+        for r in logops.histogram_drift(
+            df, "value", F.col("isb"), 0.0, 10.0, 5
+        ).collect()
+    }
+    assert streamed == batch
