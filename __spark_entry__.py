@@ -192,6 +192,9 @@ NEXT_ROTATION = [
     "sample_split_leakage_safe",
     "embed_random_projection",
     "profile_drift",
+    "embed_knn_classify",
+    "embed_centroid_outliers",
+    "embed_decontaminate",
 ]
 
 
@@ -796,6 +799,30 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         0.0,
         100.0,
         10,
+    )
+    # k-NN label propagation: every 10th vector re-classified by the
+    # majority label of its 5 nearest corpus neighbors (broadcast query
+    # side, WindowGroupLimit top-k below the query_id exchange)
+    q["embed_knn_classify"] = lambda s, d: similarity.knn_classify(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").filter(F.col("vec_id") % 10 == 0),
+        k=5,
+    )
+    # per-label OOD sweep: top-5 vectors farthest (exact fixed-point
+    # squared L2) from their own label's centroid
+    q["embed_centroid_outliers"] = lambda s, d: similarity.centroid_outliers(
+        _t(s, d, "embeddings"), top_n=5, dims=64
+    )
+    # semantic eval decontamination: every 17th vector plays the eval
+    # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
+    # flagged with their strongest eval match (6 planes: the synthetic
+    # embeddings are near-orthogonal, so a 12-plane bucketing yields no
+    # collisions at this SF — recall/precision here is a contract knob)
+    q["embed_decontaminate"] = lambda s, d: similarity.decontaminate_embeddings(
+        _t(s, d, "embeddings").filter(F.col("vec_id") % 17 != 0),
+        _t(s, d, "embeddings").filter(F.col("vec_id") % 17 == 0),
+        threshold=0.15,
+        n_planes=6,
     )
     return q
 
@@ -3579,5 +3606,78 @@ def oracle_sql() -> dict[str, str]:
                n_a, n_b, ppm_a, ppm_b,
                CAST(abs(ppm_a - ppm_b) AS BIGINT) AS drift_ppm
         FROM p
+    """
+    # k-NN majority-vote label propagation: identical cosine fold, ranks
+    # on round(cos,6) desc / neighbor id asc; vote tie-break = votes
+    # desc, best (nearest) rank asc, smaller label
+    o["embed_knn_classify"] = f"""
+        WITH e AS (SELECT vec_id, label, {_V64} AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+        s AS (SELECT q.query_id, e.vec_id AS nid, e.label AS nlabel,
+                     round({_cos_sql('q.qv', 'e.v')}, 6) AS c6
+              FROM q JOIN e ON q.query_id <> e.vec_id),
+        r AS (SELECT query_id, nlabel,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c6 DESC, nid ASC) AS rk
+              FROM s),
+        t AS (SELECT query_id, nlabel, CAST(count(*) AS INT) AS votes,
+                     min(rk) AS best_rank
+              FROM r WHERE rk <= 5 GROUP BY query_id, nlabel),
+        b AS (SELECT query_id, nlabel, votes,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY votes DESC, best_rank ASC,
+                                                 nlabel ASC) AS brk
+              FROM t)
+        SELECT query_id, nlabel AS predicted_label, votes FROM b WHERE brk = 1
+    """
+    # Per-label centroid outliers: centroid from EXACT integer component
+    # sums (scale 10^4), distance re-derived as the same double fold
+    _co_diff = (
+        "CAST(fq[i+1] AS DOUBLE) / 10000.0"
+        " - CAST(s[i+1] AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)"
+    )
+    _co_sums = ", ".join(f"sum(fq[{i + 1}])" for i in range(64))
+    o["embed_centroid_outliers"] = f"""
+        WITH e AS (SELECT vec_id, label, {_V64} AS v FROM embeddings),
+        q AS (SELECT label, vec_id,
+                     list_transform(v, x -> CAST(floor(x * 10000 + 0.5)
+                                                 AS BIGINT)) AS fq
+              FROM e),
+        m AS (SELECT label, CAST(count(*) AS BIGINT) AS n, [{_co_sums}] AS s
+              FROM q GROUP BY label),
+        d AS (SELECT q.label, q.vec_id,
+                     round(list_reduce(list_transform(range(64),
+                           i -> ({_co_diff}) * ({_co_diff})),
+                           (acc, x) -> acc + x), 6) AS d2,
+                     m.n
+              FROM q JOIN m ON q.label = m.label),
+        r AS (SELECT label, vec_id, d2, n,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY d2 DESC, vec_id ASC) AS rk
+              FROM d)
+        SELECT label, vec_id, d2, CAST(rk AS INT) AS outlier_rank, n
+        FROM r WHERE rk <= 5
+    """
+    # Embedding-level decontamination: same hyperplane bucket literal
+    # construction as embed_lsh_buckets but 6 planes (see queries());
+    # keep each corpus row's strongest eval match
+    _bucket6 = " || ".join(
+        _plane_bit(w) for w in similarity.hyperplane_weights(6, 64)
+    )
+    o["embed_decontaminate"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        c AS (SELECT vec_id, v, {_bucket6} AS bucket FROM e
+              WHERE vec_id % 17 <> 0),
+        ev AS (SELECT vec_id AS eval_id, v, {_bucket6} AS bucket FROM e
+               WHERE vec_id % 17 = 0),
+        h AS (SELECT c.vec_id, ev.eval_id,
+                     round({_cos_sql('c.v', 'ev.v')}, 4) AS cos_sim
+              FROM c JOIN ev ON c.bucket = ev.bucket),
+        f AS (SELECT vec_id, eval_id, cos_sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos_sim DESC,
+                                                 eval_id ASC) AS rk
+              FROM h WHERE cos_sim >= 0.15)
+        SELECT vec_id, eval_id, cos_sim FROM f WHERE rk = 1
     """
     return o

@@ -753,3 +753,192 @@ def random_projection(
     return proj.select(
         id_col, "scale", F.array(*[F.col(f"rp{j}") for j in range(out_dim)]).alias("rp")
     )
+
+
+def knn_classify(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus — the
+    label-propagation step of a curation pipeline (e.g. spreading a
+    small set of human quality labels to the whole corpus). Each query
+    vector takes the majority label of its k nearest corpus neighbors
+    by cosine; ties break to the label holding the NEAREST neighbor,
+    then to the smaller label — fully deterministic.
+
+    Output (query_id, predicted_label, votes).
+
+    Scale shape: the query side is broadcast (label propagation fans a
+    bounded labeled seed across the corpus, never corpus × corpus), the
+    corpus is scanned ONCE carrying its label, the per-query top-k runs
+    as a WindowGroupLimit partial below the query_id exchange, and the
+    vote is a second tiny aggregation over ≤ q·k rows. Norms pre-fold
+    per side before the candidate join (interpreted HOF folds get no
+    CSE — see brute_topk)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qv = as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"), l2_norm(qv).alias("qn")
+    )
+    nv = as_double(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+        nv.alias("nv"),
+        l2_norm(nv).alias("nn"),
+    )
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    sims = (
+        base.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "nlabel", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id").asc()
+    )
+    topk = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    per_label = topk.groupBy("query_id", "nlabel").agg(
+        F.count("*").cast("int").alias("votes"), F.min("rank").alias("best_rank")
+    )
+    best = F.max(
+        F.struct(
+            F.col("votes").alias("votes"),
+            (-F.col("best_rank")).alias("neg_rank"),
+            (-F.col("nlabel")).alias("neg_label"),
+            F.col("nlabel").alias("lab"),
+        )
+    )
+    return (
+        per_label.groupBy("query_id")
+        .agg(best.alias("b"))
+        .select(
+            "query_id",
+            F.col("b.lab").alias("predicted_label"),
+            F.col("b.votes").alias("votes"),
+        )
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    top_n: int = 5,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Per-label embedding outlier detection: the ``top_n`` vectors
+    farthest (squared L2) from their OWN label's centroid — the
+    out-of-distribution / mislabeled-example sweep of an embedding-based
+    curation pass.
+
+    Determinism: aggregation must not depend on execution order, so the
+    centroid is built from EXACT integer component sums (each component
+    fixed-pointed to ``scale`` first); the per-vector distance is then
+    one scalar double fold over (x_i − s_i/(n·scale))² — a fixed
+    left-to-right fold identical in any engine given the same sums —
+    rounded to 6dp before ranking (the brute_topk cos6 pattern). Ties
+    break on vec_id asc.
+
+    Output (label, vec_id, d2, outlier_rank, n) — ``d2`` is the rounded
+    squared distance in original units.
+
+    Scale shape: ONE label-keyed exchange builds the (labels × dims)
+    sums relation (map-side partial combine does the heavy lifting);
+    that model-sized relation is broadcast back; the re-scan computes
+    distances as a narrow map and the top-n runs as a WindowGroupLimit
+    partial below the label exchange. No driver collect, no cartesian."""
+    if top_n < 1 or dims < 1:
+        raise ValueError(f"need top_n/dims >= 1, got {top_n}/{dims}")
+    v = as_double(F.col(vec_col))
+    fp = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    q = emb.select(F.col(label_col).alias("label"), F.col(id_col), fp.alias("q"))
+    sums = q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dims)],
+    )
+    model = sums.select(
+        "label", "n", F.array(*[F.col(f"s{i}") for i in range(dims)]).alias("s")
+    )
+    joined = q.join(F.broadcast(model), "label")
+    denom = F.col("n").cast("double") * F.lit(float(scale))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("s"),
+            lambda x, s: (x.cast("double") / scale - s.cast("double") / denom)
+            * (x.cast("double") / scale - s.cast("double") / denom),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "label", id_col, F.round(d2, 6).alias("d2"), "n"
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.col(id_col).asc())
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= top_n)
+        .select("label", id_col, "d2", "outlier_rank", "n")
+    )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.25,
+    n_planes: int = 12,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level eval decontamination: flag every corpus vector
+    whose cosine to ANY eval-set vector reaches ``threshold`` — the
+    semantic complement of textstats.ngram_contamination (which catches
+    verbatim leakage; this catches paraphrase leakage). Candidates come
+    from the shared hyperplane-LSH buckets, so recall follows the same
+    (1 − θ/π)^n_planes collision bound as lsh_dup_pairs.
+
+    Output (vec_id, eval_id, cos_sim): one row per flagged corpus
+    vector, keeping only its STRONGEST eval match (ties → lower
+    eval_id). Anti-join the corpus against this to drop contaminated
+    rows.
+
+    Scale shape: the eval side is small by nature (a benchmark) — its
+    bucketed form is BROADCAST, so the corpus is scanned once with a
+    narrow bucket map and never shuffles; the per-vector argmax is a
+    map-side-combinable aggregation on vec_id. No O(corpus²) anywhere."""
+    v = as_double(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col), v.alias("v"), l2_norm(v).alias("nrm"),
+        hyperplane_bucket(v, n_planes, dims).alias("bucket"),
+    )
+    ev = as_double(F.col(vec_col))
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"), ev.alias("ev"), l2_norm(ev).alias("en"),
+        hyperplane_bucket(ev, n_planes, dims).alias("bucket"),
+    )
+    cos = dot(F.col("v"), F.col("ev")) / (F.col("nrm") * F.col("en"))
+    hits = (
+        c.join(F.broadcast(e), "bucket")
+        .select(F.col(id_col), "eval_id", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    best = F.max(
+        F.struct(
+            F.col("cos_sim").alias("cos_sim"),
+            (-F.col("eval_id")).alias("neg_eid"),
+            F.col("eval_id").alias("eid"),
+        )
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(id_col, F.col("b.eid").alias("eval_id"), F.col("b.cos_sim").alias("cos_sim"))
+    )

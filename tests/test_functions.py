@@ -1949,3 +1949,120 @@ def test_histogram_drift_empty_period_all_zero_ppm(spark):
     out = logops.histogram_drift(df, "value", F.col("isb"), 0.0, 10.0, 5).collect()
     assert all(r.n_b == 0 and r.ppm_b == 0 for r in out)
     assert sum(r.n_a for r in out) == 2
+
+
+@pytest.fixture(scope="module")
+def labeled_embeddings(spark):
+    # two well-separated label clusters in 4-d plus one mislabeled point
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.8, 0.2, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.1, 0.9, 0.0], 1),
+        (5, [0.0, 0.2, 0.8, 0.0], 1),
+        (6, [1.0, 0.1, 0.0, 0.0], 1),  # sits in cluster 0 but labeled 1
+    ]
+    return spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_classify_majority_and_tiebreak(labeled_embeddings):
+    q = labeled_embeddings.filter(F.col("vec_id").isin(0, 3, 6))
+    got = {r.query_id: r for r in
+           similarity.knn_classify(labeled_embeddings, q, k=3).collect()}
+    # query 0: neighbors 6,1,2 → labels 1,0,0 → majority 0
+    assert got[0].predicted_label == 0 and got[0].votes == 2
+    # query 3: neighbors 4,5 then a cluster-0 point → majority 1
+    assert got[3].predicted_label == 1 and got[3].votes == 2
+    # mislabeled point 6: nearest are 0,1,2 (all label 0) → corrected
+    assert got[6].predicted_label == 0 and got[6].votes == 3
+
+
+def test_knn_classify_tie_goes_to_nearest(spark):
+    # k=2, one neighbor of each label → 1-1 tie; nearest neighbor wins
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], 0),   # closer to 0
+            (2, [0.7, 0.3], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    got = similarity.knn_classify(df, q, k=2).collect()
+    assert len(got) == 1
+    assert got[0].predicted_label == 0 and got[0].votes == 1
+    with pytest.raises(ValueError):
+        similarity.knn_classify(df, q, k=0)
+
+
+def test_centroid_outliers_flags_far_point(labeled_embeddings):
+    got = similarity.centroid_outliers(
+        labeled_embeddings, top_n=1, dims=4
+    ).collect()
+    by_label = {r.label: r for r in got}
+    # label 1's centroid is pulled toward the 3 true cluster-1 points;
+    # vec 6 ([1,.1,0,0]) is far from it → its top outlier
+    assert by_label[1].vec_id == 6 and by_label[1].outlier_rank == 1
+    assert by_label[1].n == 4 and by_label[0].n == 3
+    # label 0 outlier is the farthest of 0/1/2 from their centroid (0.9,.1,..)
+    assert by_label[0].vec_id in (0, 2)
+    assert by_label[0].d2 > 0
+    with pytest.raises(ValueError):
+        similarity.centroid_outliers(labeled_embeddings, top_n=0, dims=4)
+
+
+def test_centroid_outliers_exact_fixed_point(spark):
+    # 1-label, 2 vectors: centroid = (0.5, 0), d2 = 0.25 exactly each
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], 7), (1, [1.0, 0.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = sorted(
+        similarity.centroid_outliers(df, top_n=2, dims=2).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert [r.d2 for r in got] == [0.25, 0.25]
+    assert [r.outlier_rank for r in got] == [1, 2]  # tie → vec_id asc
+
+
+def test_decontaminate_embeddings_flags_paraphrase(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # eval 100 is a scaled copy of corpus 0 (identical LSH signs, cos=1);
+    # eval 101 matches corpus 1 the same way
+    ev = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]), (101, [0.0, 3.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in similarity.decontaminate_embeddings(
+        corpus, ev, threshold=0.9, n_planes=8, dims=4
+    ).collect()}
+    assert got[0].eval_id == 100 and got[0].cos_sim == 1.0
+    assert got[1].eval_id == 101 and got[1].cos_sim == 1.0
+    assert 2 not in got  # orthogonal to both eval vectors
+
+
+def test_decontaminate_embeddings_keeps_strongest_match(spark):
+    # corpus 0 collides with BOTH eval vectors (same all-positive quadrant
+    # direction scaled) — keep only the strongest cosine
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    ev = spark.createDataFrame(
+        [(100, [2.0, 2.0, 2.0, 2.0]), (101, [1.0, 1.0, 1.0, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.decontaminate_embeddings(
+        corpus, ev, threshold=0.5, n_planes=8, dims=4
+    ).collect()
+    assert len(got) == 1
+    assert got[0].eval_id == 100 and got[0].cos_sim == 1.0
