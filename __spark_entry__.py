@@ -195,6 +195,9 @@ NEXT_ROTATION = [
     "embed_knn_classify",
     "embed_centroid_outliers",
     "embed_decontaminate",
+    "transcript_latency_mad",
+    "conv_degenerate_runs",
+    "conv_pack_masks",
 ]
 
 
@@ -812,6 +815,21 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # squared L2) from their own label's centroid
     q["embed_centroid_outliers"] = lambda s, d: similarity.centroid_outliers(
         _t(s, d, "embeddings"), top_n=5, dims=64
+    )
+    # robust per-tool latency anomalies over a deterministically spiked
+    # parse (every 97th epoch ×40 — the stuck-call tail a mean misses)
+    q["transcript_latency_mad"] = lambda s, d: transcript.latency_mad_outliers(
+        transcript.spike_latency(
+            transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+        )
+    )
+    # generation-loop sweep over conversations with injected echo loops
+    q["conv_degenerate_runs"] = lambda s, d: convops.degenerate_runs(
+        convops.synth_conv_degen(s, _CONV_N)
+    )
+    # conversation packing into token-budget bins with SFT loss masks
+    q["conv_pack_masks"] = lambda s, d: convops.pack_with_masks(
+        convops.synth_conv(s, _CONV_N), budget_tokens=256, n_buckets=16
     )
     # semantic eval decontamination: every 17th vector plays the eval
     # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
@@ -3658,6 +3676,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, vec_id, d2, CAST(rk AS INT) AS outlier_rank, n
         FROM r WHERE rk <= 5
     """
+    o["transcript_latency_mad"] = transcript.latency_mad_outliers_sql(
+        _tx_rel, spike=(97, 40)
+    )
+    o["conv_degenerate_runs"] = convops.degenerate_runs_sql(
+        convops.synth_conv_degen_sql(_CONV_N)
+    )
+    o["conv_pack_masks"] = convops.pack_with_masks_sql(
+        _conv_rel, budget_tokens=256, n_buckets=16
+    )
     # Embedding-level decontamination: same hyperplane bucket literal
     # construction as embed_lsh_buckets but 6 planes (see queries());
     # keep each corpus row's strongest eval match

@@ -767,3 +767,213 @@ def prefix_groups_sql(
         FROM probed GROUP BY depth, prefix_fp
         HAVING count(*) >= {min_convs}
     """
+
+
+def synth_conv_degen(spark: SparkSession, n: int = 20_000) -> DataFrame:
+    """:func:`synth_conv` with deterministic generation loops injected
+    (the synth_conv_dup fixture tradition): in the quarter of
+    conversations whose conv_id md5 starts with hex 0-3, turns 4..9
+    collapse to one stuck text — a 6-turn echo loop."""
+    base = synth_conv(spark, n)
+    stuck = F.substring(F.md5("conv_id"), 1, 1).isin("0", "1", "2", "3") & (
+        F.col("turn_idx").between(4, 9)
+    )
+    return base.withColumn(
+        "text", F.when(stuck, F.lit("stuck loop detected")).otherwise(F.col("text"))
+    )
+
+
+def synth_conv_degen_sql(n: int = 20_000) -> str:
+    return f"""
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN substr(md5(conv_id), 1, 1) IN ('0','1','2','3')
+                     AND turn_idx BETWEEN 4 AND 9
+                    THEN 'stuck loop detected' ELSE text END AS text,
+               tool, ts_epoch
+        FROM ({synth_conv_sql(n)})
+    """
+
+
+def degenerate_runs(df: DataFrame, min_run: int = 3) -> DataFrame:
+    """Generation-loop detection: maximal runs of ``min_run``-or-more
+    CONSECUTIVE turns in a conversation with byte-identical text — the
+    stuck-model / echo-loop sweep of a transcript curation pass (a
+    per-conversation sequential analogue of boilerplate_turns, which
+    screens across conversations).
+
+    Output (conv_id, text_fp, start_turn, end_turn, run_len), text
+    carried as its md5 fingerprint.
+
+    Scale shape: ONE hash exchange on conv_id — run boundaries come
+    from a lag window and run ids from a running sum over the SAME
+    (conv_id, turn_idx) sort, and the closing groupBy keys on
+    (conv_id, run_id, …), a superset of conv_id, so Catalyst's
+    ClusteredDistribution check reuses the window's exchange. Linear in
+    turns; no joins; no driver collect."""
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = df.select("conv_id", "turn_idx", F.md5("text").alias("text_fp"))
+    prev = F.lag("text_fp").over(w)
+    new_run = F.when(prev.isNull() | (prev != F.col("text_fp")), 1).otherwise(0)
+    stamped = per.select("*", new_run.alias("_nr")).select(
+        "*",
+        F.sum("_nr")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_run"),
+    )
+    return (
+        stamped.groupBy("conv_id", "_run", "text_fp")
+        .agg(
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "text_fp", "start_turn", "end_turn", "run_len")
+    )
+
+
+def degenerate_runs_sql(rel: str, min_run: int = 3) -> str:
+    return f"""
+        WITH c AS ({rel}),
+        f AS (SELECT conv_id, turn_idx, md5(text) AS text_fp FROM c),
+        l AS (SELECT *,
+                     CASE WHEN lag(text_fp) OVER w IS NULL
+                            OR lag(text_fp) OVER w <> text_fp
+                          THEN 1 ELSE 0 END AS nr
+              FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        r AS (SELECT *, sum(nr) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM l)
+        SELECT conv_id, text_fp,
+               min(turn_idx) AS start_turn, max(turn_idx) AS end_turn,
+               count(*) AS run_len
+        FROM r GROUP BY conv_id, run_id, text_fp
+        HAVING count(*) >= {min_run}
+    """
+
+
+def pack_with_masks(
+    df: DataFrame, budget_tokens: int = 256, n_buckets: int = 16
+) -> DataFrame:
+    """Conversation packing with SFT loss masks: lay WHOLE conversations
+    into fixed token-budget training bins and emit every turn's token
+    span inside its bin with a loss mask (assistant tokens train, 1;
+    user/system tokens are context, 0) — the batch-construction step
+    between curation and the trainer.
+
+    Bin layout follows sampling.pack_sequences semantics at
+    conversation grain: within a shard bucket (md5(conv_id) % n_buckets)
+    conversations are laid out in conv_id order and a conversation
+    belongs to ``bin = floor(start_offset / budget)`` — fixed cumulative
+    boundaries (deterministic, O(1) state), so a conversation may
+    straddle its bin's end rather than split mid-conversation.
+
+    Output (bucket, bin_id, conv_id, turn_idx, role, seq_start,
+    seq_end, loss_mask); spans are token offsets inside the bin,
+    whitespace-token counts as in conv_reconstruct.
+
+    Scale shape: the per-turn cumulative window takes one conv_id
+    exchange; conversation totals are a separate partial-combining
+    aggregate whose exchange carries conv-grain sums only (see inline
+    note); the packing window then shuffles just that conv-grain
+    relation on its bucket key — parallelism = n_buckets, so size
+    buckets to the cluster; the assignment joins back to turns as a
+    keyed hash join on conv_id (broadcast when conv count allows). No
+    driver collect, no floats."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    toks = textstats.tokens(F.col("text"))
+    per = df.select("conv_id", "turn_idx", "role", F.size(toks).alias("_nt"))
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    turns = per.select(
+        "*", (F.sum("_nt").over(wc) - F.col("_nt")).cast("long").alias("_turn_off")
+    )
+    # conversation totals as a plain aggregate, NOT a window off the
+    # turns subtree: map-side partial combine means this branch's
+    # exchange carries conv-grain partial sums only, where a shared
+    # window would re-shuffle every turn (the source is scanned twice,
+    # but the second scan is pruned to (conv_id, text) — cheap columnar
+    # read vs. a full-relation shuffle)
+    convs = per.groupBy("conv_id").agg(F.sum("_nt").cast("long").alias("_conv_len"))
+    bucket = (
+        F.conv(F.substring(F.md5("conv_id"), 1, 2), 16, 10).cast("int")
+        % n_buckets
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        convs.withColumn("bucket", bucket)
+        .select(
+            "*",
+            (F.sum("_conv_len").over(wb) - F.col("_conv_len")).alias("_start"),
+        )
+        .select(
+            "conv_id",
+            "bucket",
+            F.floor(F.col("_start") / budget_tokens).cast("int").alias("bin_id"),
+            (F.col("_start") % budget_tokens).cast("long").alias("_bin_off"),
+        )
+    )
+    return turns.join(assigned, "conv_id").select(
+        "bucket",
+        "bin_id",
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.col("_bin_off") + F.col("_turn_off")).alias("seq_start"),
+        (F.col("_bin_off") + F.col("_turn_off") + F.col("_nt")).alias("seq_end"),
+        F.when(F.col("role") == "assistant", 1).otherwise(0).cast("int")
+        .alias("loss_mask"),
+    )
+
+
+def pack_with_masks_sql(
+    rel: str, budget_tokens: int = 256, n_buckets: int = 16
+) -> str:
+    hx = lambda p: (  # noqa: E731 — hex digit p of md5(conv_id) → int
+        f"(strpos('0123456789abcdef', substr(md5(conv_id), {p}, 1)) - 1)"
+    )
+    return f"""
+        WITH c AS ({rel}),
+        per AS (SELECT conv_id, turn_idx, role,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+                FROM c),
+        t AS (SELECT conv_id, turn_idx, role, nt,
+                     CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                        ROWS UNBOUNDED PRECEDING) - nt
+                          AS BIGINT) AS turn_off
+              FROM per),
+        cl AS (SELECT conv_id, CAST(sum(nt) AS BIGINT) AS conv_len
+               FROM per GROUP BY conv_id),
+        b AS (SELECT conv_id, conv_len,
+                     CAST(({hx(1)} * 16 + {hx(2)}) % {n_buckets} AS INT)
+                       AS bucket
+              FROM cl),
+        p AS (SELECT conv_id, bucket,
+                     CAST(sum(conv_len) OVER (PARTITION BY bucket
+                                              ORDER BY conv_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          - conv_len AS BIGINT) AS start
+              FROM b),
+        a AS (SELECT conv_id, bucket,
+                     CAST(start // {budget_tokens} AS INT) AS bin_id,
+                     CAST(start % {budget_tokens} AS BIGINT) AS bin_off
+              FROM p)
+        SELECT a.bucket, a.bin_id, t.conv_id, t.turn_idx, t.role,
+               CAST(a.bin_off + t.turn_off AS BIGINT) AS seq_start,
+               CAST(a.bin_off + t.turn_off + t.nt AS BIGINT) AS seq_end,
+               CAST(CASE WHEN t.role = 'assistant' THEN 1 ELSE 0 END AS INT)
+                 AS loss_mask
+        FROM t JOIN a ON t.conv_id = a.conv_id
+    """

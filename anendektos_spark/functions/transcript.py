@@ -693,3 +693,120 @@ def category_retry_loops_sql(rel: str, min_run: int = 2) -> str:
         HAVING count(*) >= {min_run}
         """
     )
+
+
+def spike_latency(parsed: DataFrame, every: int = 97, mult: int = 40) -> DataFrame:
+    """Deterministic heavy-tail injection for exercising robust screens
+    (the synthetic analog of a stuck tool call, in the synth_conv_dup
+    fixture tradition): every parsed turn whose epoch ≡ 0 (mod
+    ``every``) has its latency multiplied by ``mult``."""
+    return parsed.withColumn(
+        "latency_ms",
+        F.when(F.col("epoch") % every == 0, F.col("latency_ms") * mult)
+        .otherwise(F.col("latency_ms"))
+        .cast("int"),
+    )
+
+
+def latency_mad_outliers(parsed: DataFrame, k: int = 3) -> DataFrame:
+    """Robust per-tool latency anomalies: turns whose latency deviates
+    from their tool's median by more than ``k`` MADs (median absolute
+    deviation) — the tail-latency sweep a mean/stddev screen gets wrong
+    under the heavy-tailed latencies agent tool calls actually have
+    (one stuck call drags a mean, never a median).
+
+    Median and MAD use the same nearest-rank definition as
+    :func:`latency_percentiles` (value at rank ``(n+1) DIV 2``), so the
+    whole operator is integer end-to-end and any engine agrees
+    bit-for-bit; the outlier test is ``|x − med| > k · mad`` on exact
+    ints. Ties at either rank are broken (value, conv_id, turn_idx).
+
+    Output (tool, conv_id, turn_idx, latency_ms, med_ms, mad_ms),
+    deviation-desc information carried by the values themselves.
+
+    Scale shape: ONE hash exchange on tool_called serves every pass —
+    both rank windows and both unbounded-frame median extractions are
+    partitioned by the same key, so Catalyst plans a single Exchange
+    with in-partition re-sorts (latency order, then deviation order);
+    the outlier filter is a narrow codegen map. No joins, no driver
+    collect, no floats."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tool_called")
+    lat_o = w.orderBy("latency_ms", "conv_id", "turn_idx")
+    n = F.count("*").over(w)
+    rn1 = F.row_number().over(lat_o)
+    med_rank = F.expr("(n + 1) DIV 2")
+    step1 = parsed.select(
+        "tool_called", "conv_id", "turn_idx", "latency_ms",
+        n.alias("n"), rn1.alias("rn1"),
+    )
+    med = F.max(F.when(F.col("rn1") == med_rank, F.col("latency_ms"))).over(w)
+    step2 = step1.withColumn("med_ms", med).withColumn(
+        "dev", F.abs(F.col("latency_ms") - F.col("med_ms"))
+    )
+    dev_o = w.orderBy("dev", "conv_id", "turn_idx")
+    step3 = step2.withColumn("rn2", F.row_number().over(dev_o))
+    mad = F.max(F.when(F.col("rn2") == med_rank, F.col("dev"))).over(w)
+    return (
+        step3.withColumn("mad_ms", mad)
+        .filter(F.col("dev") > k * F.col("mad_ms"))
+        .select(
+            F.col("tool_called").alias("tool"),
+            "conv_id", "turn_idx", "latency_ms", "med_ms", "mad_ms",
+        )
+    )
+
+
+def latency_mad_outliers_sql(
+    rel: str, k: int = 3, spike: tuple[int, int] | None = None
+) -> str:
+    src = "parsed"
+    spike_cte = ""
+    if spike is not None:
+        every, mult = spike
+        src = "sp"
+        spike_cte = f"""
+        , sp AS (
+          SELECT conv_id, turn_idx, tool_called, status, epoch,
+                 CAST(CASE WHEN epoch % {every} = 0 THEN latency_ms * {mult}
+                      ELSE latency_ms END AS INT) AS latency_ms
+          FROM parsed
+        )"""
+    return (
+        _parsed_cte(rel)
+        + spike_cte
+        + f"""
+        , s1 AS (
+          SELECT tool_called, conv_id, turn_idx, latency_ms,
+                 count(*) OVER (PARTITION BY tool_called) AS n,
+                 row_number() OVER (PARTITION BY tool_called
+                                    ORDER BY latency_ms, conv_id, turn_idx)
+                   AS rn1
+          FROM {src}
+        ),
+        s2 AS (
+          SELECT *, max(CASE WHEN rn1 = (n + 1) // 2 THEN latency_ms END)
+                      OVER (PARTITION BY tool_called) AS med_ms
+          FROM s1
+        ),
+        s3 AS (
+          SELECT *, abs(latency_ms - med_ms) AS dev FROM s2
+        ),
+        s4 AS (
+          SELECT *, row_number() OVER (PARTITION BY tool_called
+                                       ORDER BY dev, conv_id, turn_idx) AS rn2
+          FROM s3
+        ),
+        s5 AS (
+          SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                      OVER (PARTITION BY tool_called) AS mad_ms
+          FROM s4
+        )
+        SELECT tool_called AS tool, conv_id, turn_idx, latency_ms,
+               med_ms, mad_ms
+        FROM s5 WHERE dev > {k} * mad_ms
+        """
+    )

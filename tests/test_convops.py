@@ -306,3 +306,77 @@ def test_prefix_groups_no_turn_boundary_aliasing(spark):
     rows = [("x", 0, "a b"), ("x", 1, "c"), ("y", 0, "a"), ("y", 1, "b c")]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     assert convops.prefix_groups(df, depths=(2,)).count() == 0
+
+
+def test_degenerate_runs_golden(spark):
+    import hashlib
+    rows = [("c0", i, "user", t, None, dt.datetime(2026, 1, 1, 0, 0, i))
+            for i, t in enumerate(["a", "a", "a", "b", "a", "a"])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    three = convops.degenerate_runs(df, min_run=3).collect()
+    assert [(r.start_turn, r.end_turn, r.run_len) for r in three] == [(0, 2, 3)]
+    assert three[0].text_fp == hashlib.md5(b"a").hexdigest()
+    two = sorted((r.start_turn, r.end_turn, r.run_len)
+                 for r in convops.degenerate_runs(df, min_run=2).collect())
+    assert two == [(0, 2, 3), (4, 5, 2)]
+    with pytest.raises(ValueError):
+        convops.degenerate_runs(df, min_run=1)
+
+
+def test_degenerate_runs_synth_injection(spark):
+    out = convops.degenerate_runs(convops.synth_conv_degen(spark, 1600))
+    rows = out.collect()
+    assert rows, "injection must produce runs"
+    # every injected run spans exactly turns 4..9 of a degenerate conv
+    assert all((r.start_turn, r.end_turn, r.run_len) == (4, 9, 6) for r in rows)
+    # only conversations whose md5 starts with hex 0-3
+    import hashlib
+    assert all(hashlib.md5(r.conv_id.encode()).hexdigest()[0] in "0123"
+               for r in rows)
+
+
+def test_pack_with_masks_golden(spark):
+    rows = [
+        ("c0", 0, "user", "one two three", None, dt.datetime(2026, 1, 1)),
+        ("c0", 1, "assistant", "four five", None, dt.datetime(2026, 1, 1)),
+        ("c1", 0, "user", "a b c d", None, dt.datetime(2026, 1, 1)),
+        ("c1", 1, "assistant", "e", None, dt.datetime(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {(r.conv_id, r.turn_idx): r for r in
+           convops.pack_with_masks(df, budget_tokens=4, n_buckets=1).collect()}
+    # conv lens: c0=5, c1=5; laid out in conv_id order in one bucket:
+    # c0 starts at 0 → bin 0 offset 0; c1 starts at 5 → bin 1 offset 1
+    r = out[("c0", 0)]
+    assert (r.bucket, r.bin_id, r.seq_start, r.seq_end, r.loss_mask) == (0, 0, 0, 3, 0)
+    r = out[("c0", 1)]
+    assert (r.bin_id, r.seq_start, r.seq_end, r.loss_mask) == (0, 3, 5, 1)
+    r = out[("c1", 0)]
+    assert (r.bin_id, r.seq_start, r.seq_end, r.loss_mask) == (1, 1, 5, 0)
+    r = out[("c1", 1)]
+    assert (r.bin_id, r.seq_start, r.seq_end, r.loss_mask) == (1, 5, 6, 1)
+    with pytest.raises(ValueError):
+        convops.pack_with_masks(df, budget_tokens=0)
+    with pytest.raises(ValueError):
+        convops.pack_with_masks(df, n_buckets=0)
+
+
+def test_pack_with_masks_spans_partition_bins(spark):
+    # spans within a (bucket, bin) never overlap and masks follow roles
+    df = convops.synth_conv(spark, 3200)
+    out = convops.pack_with_masks(df, budget_tokens=128, n_buckets=4)
+    rows = out.collect()
+    assert all((r.loss_mask == 1) == (r.role == "assistant") for r in rows)
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r.bucket, r.bin_id), []).append((r.seq_start, r.seq_end))
+    # the layout is contiguous per bucket: spans within a (bucket, bin)
+    # never overlap
+    for spans in by_bin.values():
+        spans.sort()
+        for (_, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1, spans

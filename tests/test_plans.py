@@ -406,3 +406,42 @@ def test_histogram_drift_single_data_exchange_broadcast_totals(spark, tmp_path):
     assert plan.count("hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_mad_outliers_single_exchange(spark):
+    from anendektos_spark.functions import transcript
+
+    parsed = transcript.parse_turns(transcript.synth_transcript(spark, 2000))
+    plan = plan_of(transcript.latency_mad_outliers(parsed))
+    # every window pass (both rank sorts, both median extractions) is
+    # partitioned by tool_called → ONE hash exchange, re-sorts only
+    assert plan.count("hashpartitioning") == 1
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_degenerate_runs_single_exchange(spark):
+    from anendektos_spark.functions import convops
+
+    df = convops.synth_conv_degen(spark, 2000)
+    plan = plan_of(convops.degenerate_runs(df))
+    # lag + running-sum windows and the closing groupBy all cluster on
+    # conv_id (superset-key reuse) → ONE hash exchange
+    assert plan.count("hashpartitioning") == 1
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_with_masks_conv_grain_shuffles_only(spark):
+    from anendektos_spark.functions import convops
+
+    out = convops.pack_with_masks(convops.synth_conv(spark, 2000))
+    plan = plan_of(out)
+    # three hash exchanges: the turn window (conv_id), the conv-total
+    # partial aggregate (conv-grain sums only), the bucket packing
+    # window (conv-grain); the turns↔assignment join must never go
+    # cartesian, and the whole operator is JVM-only
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan

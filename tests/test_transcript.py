@@ -291,3 +291,43 @@ def test_new_ops_plan_shapes(spark, parsed):
         transcript.category_retry_loops(parsed, transcript.tool_dim(spark), 2)
     )
     assert "BroadcastHashJoin" in cat
+
+
+def test_latency_mad_outliers_golden(spark):
+    # tool A: four 10ms calls + one 1000ms spike → med 10, MAD 0, spike
+    # flagged (990 > 3·0); the flat rows are not (0 > 0 is false).
+    # tool B: uniform ladder → MAD covers every deviation, nothing flagged.
+    rows = [("c0", i, "a", "OK", 100 + i, lat)
+            for i, lat in enumerate([10, 10, 10, 10, 1000])]
+    rows += [("c1", i, "b", "OK", 200 + i, lat)
+             for i, lat in enumerate([100, 200, 300, 400, 500])]
+    parsed = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool_called string, "
+              "status string, epoch long, latency_ms int")
+    out = transcript.latency_mad_outliers(parsed, k=3).collect()
+    assert [(r.tool, r.turn_idx, r.latency_ms, r.med_ms, r.mad_ms)
+            for r in out] == [("a", 4, 1000, 10, 0)]
+    with pytest.raises(ValueError):
+        transcript.latency_mad_outliers(parsed, k=0)
+
+
+def test_spike_latency_multiplies_on_epoch_modulus(spark):
+    parsed = spark.createDataFrame(
+        [("c", 0, "a", "OK", 97, 5), ("c", 1, "a", "OK", 98, 5)],
+        "conv_id string, turn_idx int, tool_called string, "
+        "status string, epoch long, latency_ms int")
+    got = {r.turn_idx: r.latency_ms
+           for r in transcript.spike_latency(parsed, 97, 40).collect()}
+    assert got == {0: 200, 1: 5}
+
+
+def test_latency_mad_outliers_sql_matches(spark):
+    import duckdb
+    df = transcript.latency_mad_outliers(
+        transcript.spike_latency(
+            transcript.parse_turns(transcript.synth_transcript(spark, 4000))))
+    rows = sorted(tuple(r) for r in df.collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        transcript.latency_mad_outliers_sql(
+            transcript.synth_transcript_sql(4000), spike=(97, 40))).fetchall())
+    assert rows and rows == orows
