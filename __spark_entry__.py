@@ -175,8 +175,10 @@ PRIORITY_QUERIES = [
 # exact Jaccard join, DSIR importance selection, BPE tokenizer training
 # + encode, reciprocal-rank retrieval fusion, curriculum scheduling,
 # dedup-aware cluster reweighting, leakage-safe splitting, JL random
-# projection, histogram drift) queue behind the three deferred TPC-H
-# mirrors.
+# projection, histogram drift, k-NN label propagation, centroid
+# outliers, embedding decontamination, MAD latency outliers,
+# generation-loop detection, loss-mask packing) queue behind the three
+# deferred TPC-H mirrors.
 NEXT_ROTATION = [
     "tpch_q11",
     "tpch_q12",

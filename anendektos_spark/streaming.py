@@ -794,6 +794,138 @@ def read_retry_loops(
     )
 
 
+def stream_degenerate_runs(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_run: int = 3,
+    idle_timeout_min: int = 60,
+    available_now: bool = False,
+):
+    """Streaming twin of functions/convops.degenerate_runs: a
+    per-conversation state machine tracking the CURRENT run of
+    consecutive byte-identical turns across micro-batch boundaries
+    (state = the open run's fingerprint + span), via
+    applyInPandasWithState. Fingerprints are computed JVM-side (F.md5)
+    before the stateful op — the Python boundary carries 32-char
+    digests, never turn text.
+
+    Emission protocol (read_degenerate_runs reconciles):
+    - a run that CLOSES in this batch (a different text arrives) is
+      emitted once with ``open = false`` iff run_len >= min_run;
+    - a run still OPEN at batch end is emitted as an ``open = true``
+      snapshot iff it has ALREADY reached min_run (unlike
+      stream_retry_loops' any-length snapshots: here EVERY conversation
+      always has an open run — its latest turn — so any-length
+      snapshots would emit one row per conversation per batch; the
+      >= min_run gate keeps output proportional to loops found, and the
+      fold stays exact because a cross-batch run is re-snapshotted with
+      its full span in whichever batch it reaches the gate).
+    Folding by (conv_id, text_fp, start_turn) with max(run_len/end_turn)
+    reconciles snapshots with the final closed row bit-exactly.
+
+    Ordering contract as stream_retry_loops: rows sorted by turn_idx
+    within a batch; the source delivers a conversation's turns in
+    nondecreasing turn order across batches.
+
+    State is one open run per conversation — O(1) per key — but unlike
+    retry loops there is no "no open run" point at which state can be
+    dropped, so idle conversations are expired via
+    ProcessingTimeTimeout after ``idle_timeout_min`` minutes with no new
+    turns (the bounded-state answer on an unbounded conv_id space; a
+    conversation resuming AFTER expiry starts a fresh run, so set the
+    timeout long relative to conversation lifetimes — an expired-then-
+    resumed identical run would surface as two shorter runs where batch
+    mode sees one). Timeout expiry emits nothing: any >= min_run open
+    run was already snapshotted at the batch end that reached the gate.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, text_fp string, start_turn long, end_turn long, "
+        "run_len long, open boolean"
+    )
+    state_schema = "cur_fp string, cur_len long, first_turn long, last_turn long"
+    need = int(min_run)
+    timeout_ms = int(idle_timeout_min) * 60 * 1000
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        cols = ("conv_id", "text_fp", "start_turn", "end_turn", "run_len", "open")
+        out = {c: [] for c in cols}
+        if state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame(out)
+            return
+        cur_fp, cur_len, first, last = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+
+        def emit(is_open):
+            out["conv_id"].append(key[0])
+            out["text_fp"].append(cur_fp)
+            out["start_turn"].append(first)
+            out["end_turn"].append(last)
+            out["run_len"].append(cur_len)
+            out["open"].append(is_open)
+
+        rows = _pd.concat(list(pdfs)).sort_values("turn_idx")
+        for fp, turn in zip(rows["text_fp"], rows["turn_idx"]):
+            turn = int(turn)
+            if cur_len > 0 and fp == cur_fp:
+                cur_len += 1
+                last = turn
+            else:
+                if cur_len >= need:
+                    emit(False)
+                cur_fp, cur_len, first, last = fp, 1, turn, turn
+        if cur_len > 0:
+            if cur_len >= need:
+                emit(True)
+            state.update((cur_fp, cur_len, first, last))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        yield _pd.DataFrame(out)
+
+    keyed = stream.select(
+        "conv_id", "turn_idx", F.md5("text").alias("text_fp")
+    )
+    runs = keyed.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        runs.writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(output_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_degenerate_runs(
+    spark: SparkSession, output_dir: str, min_run: int = 3
+) -> DataFrame:
+    """Fold stream_degenerate_runs emissions into current run rows,
+    schema- and value-compatible with the batch op (conv_id, text_fp,
+    start_turn, end_turn, run_len). One shuffle on the run key."""
+    return (
+        spark.read.parquet(output_dir)
+        .groupBy("conv_id", "text_fp", "start_turn")
+        .agg(
+            F.max("end_turn").alias("end_turn"),
+            F.max("run_len").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "text_fp", "start_turn", "end_turn", "run_len")
+    )
+
+
 def stream_incremental_dedup(
     stream: DataFrame,
     index_dir: str,

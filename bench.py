@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "graph_triangles", "source_overlap",
     "dedup_prefix_jaccard", "sample_importance", "text_bpe_merges",
     "retrieval_rrf", "dedup_lsh_recall", "sample_curriculum",
+    "embed_knn_classify", "embed_centroid_outliers", "embed_decontaminate",
+    "transcript_latency_mad", "conv_degenerate_runs", "conv_pack_masks",
 ]
 
 

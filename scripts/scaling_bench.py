@@ -56,7 +56,7 @@ if job == "grok":
     # the north_star grok pipeline's input: marker-bearing conversation
     # transcripts (~25 turns per zeek-replica keeps row counts comparable)
     tx = transcript.synth_transcript(spark, replicas * 25, partitions=128).persist()
-elif job in ("convdedup", "winnow", "prefixjoin"):
+elif job in ("convdedup", "winnow", "prefixjoin", "pack"):
     # the curation legs' input: duplication-injecting conversation
     # generator (~12 turns/replica ≈ the suite's 500k-turn leg at the
     # default 40k replicas). Materialized to DISK, not cache: these jobs'
@@ -101,6 +101,15 @@ def build():
         return dedup.winnow_overlap_pairs(
             convops.conv_reconstruct(tx), id_col="conv_id",
             text_col="transcript")
+    if job == "pack":
+        # loss-mask packing over the conversation relation, reduced to a
+        # per-bucket digest (256 rows) so the measurement is the
+        # operator's shuffles, not driver row serialization
+        return (
+            convops.pack_with_masks(tx, budget_tokens=1024, n_buckets=256)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"), F.max("seq_end").alias("max_end"))
+        )
     if job == "prefixjoin":
         # exact-threshold similarity self-join (AllPairs prefix filter)
         # over the reassembled conversations, high-threshold regime
@@ -168,6 +177,11 @@ JOB_TITLES = {
         "Job 3 — north_star grok pipeline (functions/transcript.py: "
         "codegen-regexp parse of tool/status/latency markers → broadcast "
         "enrich → category aggregate; zero Python boundaries)"
+    ),
+    "pack": (
+        "Job — loss-mask packing (convops.pack_with_masks: per-turn "
+        "cumulative window + conv-grain partial aggregate + bucket "
+        "packing window, reduced to a 256-row per-bucket digest)"
     ),
 }
 

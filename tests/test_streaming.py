@@ -614,3 +614,46 @@ def test_stream_drift_partials_match_batch_report(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_degenerate_runs_matches_batch_across_splits(spark, tmp_path):
+    """Stateful generation-loop detection: the injected 6-turn echo runs
+    (turns 4..9) straddle the 0-5 / 6-11 / 12-15 micro-batch boundaries
+    and must reconcile to EXACTLY the batch op's output."""
+    from anendektos_spark.functions import convops
+
+    tx = convops.synth_conv_degen(spark, 16 * 40).select(
+        "conv_id", "turn_idx", "text"
+    ).cache()
+
+    d = str(tmp_path / "degen_in")
+    for lo, hi in ((0, 6), (6, 12), (12, 16)):
+        (
+            tx.filter((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    out, ckpt = str(tmp_path / "degen_out"), str(tmp_path / "degen_ck")
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    streaming.stream_degenerate_runs(
+        stream, out, ckpt, min_run=3, available_now=True
+    ).awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in streaming.read_degenerate_runs(spark, out, 3).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.text_fp, r.start_turn, r.end_turn, r.run_len)
+        for r in convops.degenerate_runs(tx, min_run=3).collect()
+    )
+    assert got and got == want
+    # straddling runs really were split: some run crosses turn 5/6
+    assert any(s <= 5 and e >= 6 for (_, _, s, e, _) in got)
