@@ -200,6 +200,7 @@ NEXT_ROTATION = [
     "transcript_latency_mad",
     "conv_degenerate_runs",
     "conv_pack_masks",
+    "conv_integrity",
 ]
 
 
@@ -832,6 +833,12 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # conversation packing into token-budget bins with SFT loss masks
     q["conv_pack_masks"] = lambda s, d: convops.pack_with_masks(
         convops.synth_conv(s, _CONV_N), budget_tokens=256, n_buckets=16
+    )
+    # sequence-integrity audit over deterministically corrupted
+    # conversations (dropped turn 3 / duplicated turn 7 / 2h ts
+    # regression at turn 11, keyed on conv_id md5)
+    q["conv_integrity"] = lambda s, d: convops.conv_integrity(
+        convops.synth_conv_corrupt(s, _CONV_N)
     )
     # semantic eval decontamination: every 17th vector plays the eval
     # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
@@ -3686,6 +3693,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["conv_pack_masks"] = convops.pack_with_masks_sql(
         _conv_rel, budget_tokens=256, n_buckets=16
+    )
+    o["conv_integrity"] = convops.conv_integrity_sql(
+        convops.synth_conv_corrupt_sql(_CONV_N)
     )
     # Embedding-level decontamination: same hyperplane bucket literal
     # construction as embed_lsh_buckets but 6 planes (see queries());

@@ -977,3 +977,114 @@ def pack_with_masks_sql(
                  AS loss_mask
         FROM t JOIN a ON t.conv_id = a.conv_id
     """
+
+
+def synth_conv_corrupt(spark: SparkSession, n: int = 20_000) -> DataFrame:
+    """:func:`synth_conv` with deterministic sequence corruption injected
+    (synth_conv_dup tradition), keyed on the conv_id md5's first hex:
+
+    - 0-3 → turn 3 DROPPED (a gap in the turn index sequence);
+    - 4-7 → turn 7 DUPLICATED (same turn_idx, ts +1s);
+    - 8-9 → turn 11's ts pulled 2h EARLIER (a timestamp regression).
+    """
+    base = synth_conv(spark, n)
+    h = F.substring(F.md5("conv_id"), 1, 1)
+    with_reg = base.withColumn(
+        "ts",
+        F.when(
+            h.isin("8", "9") & (F.col("turn_idx") == 11),
+            F.col("ts") - F.expr("INTERVAL 2 HOURS"),
+        ).otherwise(F.col("ts")),
+    )
+    dropped = with_reg.filter(
+        ~(h.isin("0", "1", "2", "3") & (F.col("turn_idx") == 3))
+    )
+    dups = base.filter(
+        h.isin("4", "5", "6", "7") & (F.col("turn_idx") == 7)
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    return dropped.unionByName(dups)
+
+
+def synth_conv_corrupt_sql(n: int = 20_000) -> str:
+    return f"""
+        WITH base AS ({synth_conv_sql(n)}),
+        h AS (SELECT *, substr(md5(conv_id), 1, 1) AS hx FROM base),
+        reg AS (SELECT conv_id, turn_idx, role, text, tool,
+                       CASE WHEN hx IN ('8','9') AND turn_idx = 11
+                            THEN ts_epoch - 7200 ELSE ts_epoch END AS ts_epoch,
+                       hx
+                FROM h),
+        dropped AS (SELECT conv_id, turn_idx, role, text, tool, ts_epoch
+                    FROM reg
+                    WHERE NOT (hx IN ('0','1','2','3') AND turn_idx = 3)),
+        dups AS (SELECT conv_id, turn_idx, role, text, tool, ts_epoch + 1
+                 FROM h WHERE hx IN ('4','5','6','7') AND turn_idx = 7)
+        SELECT * FROM dropped UNION ALL SELECT * FROM dups
+    """
+
+
+def conv_integrity(df: DataFrame) -> DataFrame:
+    """Sequence-integrity audit at conversation grain — the log
+    pipeline's answer to "can I trust turn ordering before I window on
+    it?" (the north_rule stable-order invariant, made checkable).
+    Flags every conversation with a gap in its 0-based turn-index
+    sequence, a duplicated turn index, or a timestamp that moves
+    backwards in turn order.
+
+    Output (conv_id, n_turns, max_turn, n_missing, n_dup_idx,
+    n_ts_regressions) for VIOLATING conversations only:
+    n_missing = max_turn + 1 − distinct indexes; n_dup_idx = rows −
+    distinct indexes; a regression is a strict ts decrease between
+    consecutive rows ordered by (turn_idx, ts) — integer seconds, so
+    every engine counts the same pairs.
+
+    Scale shape: ONE conv_id exchange — the lag window sorts on
+    (conv_id, turn_idx, ts) and the closing groupBy clusters on
+    conv_id, reusing the exchange. Pure Column arithmetic, no joins."""
+    ts_s = F.col("ts").cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", ts_s)
+    per = df.select(
+        "conv_id",
+        "turn_idx",
+        ts_s.alias("_ts"),
+        F.when(F.lag(ts_s).over(w) > ts_s, 1).otherwise(0).alias("_reg"),
+    )
+    return (
+        per.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.max("turn_idx").alias("max_turn"),
+            (F.max("turn_idx") + 1 - F.countDistinct("turn_idx")).alias(
+                "n_missing"
+            ),
+            (F.count("*") - F.countDistinct("turn_idx")).alias("n_dup_idx"),
+            F.sum("_reg").alias("n_ts_regressions"),
+        )
+        .filter(
+            (F.col("n_missing") > 0)
+            | (F.col("n_dup_idx") > 0)
+            | (F.col("n_ts_regressions") > 0)
+        )
+    )
+
+
+def conv_integrity_sql(rel: str) -> str:
+    return f"""
+        WITH c AS ({rel}),
+        p AS (SELECT conv_id, turn_idx, ts_epoch,
+                     CASE WHEN lag(ts_epoch) OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx, ts_epoch) > ts_epoch
+                          THEN 1 ELSE 0 END AS reg
+              FROM c),
+        g AS (SELECT conv_id,
+                     count(*) AS n_turns,
+                     max(turn_idx) AS max_turn,
+                     max(turn_idx) + 1 - count(DISTINCT turn_idx) AS n_missing,
+                     count(*) - count(DISTINCT turn_idx) AS n_dup_idx,
+                     CAST(sum(reg) AS BIGINT) AS n_ts_regressions
+              FROM p GROUP BY conv_id)
+        SELECT conv_id, n_turns, max_turn, n_missing, n_dup_idx,
+               n_ts_regressions
+        FROM g
+        WHERE n_missing > 0 OR n_dup_idx > 0 OR n_ts_regressions > 0
+    """

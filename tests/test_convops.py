@@ -380,3 +380,49 @@ def test_pack_with_masks_spans_partition_bins(spark):
         spans.sort()
         for (_, e1), (s2, _) in zip(spans, spans[1:]):
             assert s2 >= e1, spans
+
+
+def test_conv_integrity_golden(spark):
+    rows = [
+        # c0 healthy: 0,1,2 increasing ts
+        ("c0", 0, 100), ("c0", 1, 130), ("c0", 2, 160),
+        # c1 gap: 0,2 (missing 1)
+        ("c1", 0, 100), ("c1", 2, 160),
+        # c2 dup idx 1 + ts regression between turn 1 and 2
+        ("c2", 0, 100), ("c2", 1, 130), ("c2", 1, 131), ("c2", 2, 90),
+    ]
+    df = spark.createDataFrame(
+        [(c, t, None, None, None, dt.datetime.fromtimestamp(e, dt.timezone.utc))
+         for c, t, e in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in convops.conv_integrity(df).collect()}
+    assert "c0" not in got  # healthy conversations are not emitted
+    assert (got["c1"].n_missing, got["c1"].n_dup_idx,
+            got["c1"].n_ts_regressions) == (1, 0, 0)
+    assert (got["c2"].n_missing, got["c2"].n_dup_idx,
+            got["c2"].n_ts_regressions) == (0, 1, 1)
+    assert got["c2"].n_turns == 4 and got["c2"].max_turn == 2
+
+
+def test_conv_integrity_corrupt_injection_matches_sql(spark):
+    import duckdb
+    df = convops.conv_integrity(convops.synth_conv_corrupt(spark, 8000))
+    rows = sorted(tuple(r) for r in df.collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        convops.conv_integrity_sql(convops.synth_conv_corrupt_sql(8000))
+    ).fetchall())
+    assert rows and rows == orows
+    # each injected class present
+    by = {r[0]: r for r in rows}
+    import hashlib
+    hx = lambda c: hashlib.md5(c.encode()).hexdigest()[0]  # noqa: E731
+    for conv_id, _, _, miss, dup, reg in rows:
+        h = hx(conv_id)
+        if h in "0123":
+            assert (miss, dup, reg) == (1, 0, 0), (conv_id, miss, dup, reg)
+        elif h in "4567":
+            assert (miss, dup, reg) == (0, 1, 0)
+        else:
+            assert h in "89" and (miss, dup, reg) == (0, 0, 1)
