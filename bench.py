@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "retrieval_rrf", "dedup_lsh_recall", "sample_curriculum",
     "embed_knn_classify", "embed_centroid_outliers", "embed_decontaminate",
     "transcript_latency_mad", "conv_degenerate_runs", "conv_pack_masks",
+    "conv_integrity",
 ]
 
 

@@ -426,3 +426,22 @@ def test_conv_integrity_corrupt_injection_matches_sql(spark):
             assert (miss, dup, reg) == (0, 1, 0)
         else:
             assert h in "89" and (miss, dup, reg) == (0, 0, 1)
+
+
+def test_pack_with_masks_tiles_exactly(spark):
+    """Mass conservation: within every (bucket), spans tile the layout
+    with no holes — total span length == total whitespace tokens, and
+    each conversation's turns are contiguous from its start offset."""
+    df = convops.synth_conv(spark, 1600)
+    rows = convops.pack_with_masks(df, budget_tokens=64, n_buckets=2).collect()
+    total_span = sum(r.seq_end - r.seq_start for r in rows)
+    total_tokens = sum(len(t.text.split()) for t in df.collect())
+    assert total_span == total_tokens
+    # per conversation: spans are contiguous in turn order
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append((r.turn_idx, r.seq_start, r.seq_end))
+    for spans in by_conv.values():
+        spans.sort()
+        for (_, _, e1), (_, s2, _) in zip(spans, spans[1:]):
+            assert s2 == e1
