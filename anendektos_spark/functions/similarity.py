@@ -853,7 +853,12 @@ def centroid_outliers(
     sums relation (map-side partial combine does the heavy lifting);
     that model-sized relation is broadcast back; the re-scan computes
     distances as a narrow map and the top-n runs as a WindowGroupLimit
-    partial below the label exchange. No driver collect, no cartesian."""
+    partial below the label exchange. No driver collect, no cartesian.
+
+    Input contract: vectors are expected at exactly ``dims`` components
+    (the random_projection contract); a shorter vector contributes only
+    its present components to the sums — identically in both engines
+    (element_at/list index past the end → NULL, excluded from sum)."""
     if top_n < 1 or dims < 1:
         raise ValueError(f"need top_n/dims >= 1, got {top_n}/{dims}")
     v = as_double(F.col(vec_col))

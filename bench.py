@@ -18,9 +18,13 @@ late in a long-lived process):
 
 The emitted JSON carries ``queries`` (suite block, comparable to
 BENCH_r03), ``core`` (fresh-JVM frozen block, the basis from round 4
-on), and a ``host`` sentinel (loadavg + concurrent java/duckdb process
-count at start) so a co-tenant-poisoned run is visible in the record
-instead of silently wrong.
+on), and ``host`` sentinels (loadavg + concurrent java/duckdb process
+count) so a co-tenant-poisoned run is visible in the record instead of
+silently wrong: one sentinel at bench start, plus a start/end bracket
+around EACH block (``core_host``/``suite_host``) — this box has
+co-tenants outside the container's /proc view whose load arrives
+mid-run (observed: the identical fresh-JVM pipeline leg at 4.4s vs
+15.4s), and only the bracket shows which block they poisoned.
 
 The headline metric is the transcript pipeline's parse→route→aggregate
 throughput (turns/sec) on a synthesized ~1M-turn input (BASELINE.json
@@ -314,6 +318,7 @@ def run_block_core() -> dict:
     """The frozen comparison block, meant for a FRESH JVM: pipeline legs
     first (they own the headline), then the round-1 query set, then the
     conversation legs. Nothing here may grow between rounds."""
+    h0 = host_sentinel()
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
@@ -328,6 +333,13 @@ def run_block_core() -> dict:
         "turns_per_sec": round(n_turns / pipe_legs["normalize"], 1),
         "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
         "pipeline_turns": n_turns,
+        # per-block sentinels: the start-only sentinel in main() cannot
+        # see a co-tenant that ARRIVES mid-run (observed: the same
+        # fresh-JVM pipeline leg measured 4.4s vs 15.4s purely from
+        # external host load) — bracketing each block makes a poisoned
+        # block identifiable in the record
+        "host_start": h0,
+        "host_end": host_sentinel(),
     }
     spark.stop()
     return out
@@ -335,6 +347,7 @@ def run_block_core() -> dict:
 
 def run_block_suite() -> dict:
     """The full growing operator suite (round-3 flow, pipeline first)."""
+    h0 = host_sentinel()
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -369,6 +382,8 @@ def run_block_suite() -> dict:
         "turns_per_sec": round(n_turns / pipe_legs["normalize"], 1),
         "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
         "pipeline_turns": n_turns,
+        "host_start": h0,
+        "host_end": host_sentinel(),
     }
     spark.stop()
     return out
@@ -432,6 +447,8 @@ def main() -> None:
         "pipeline_turns": core["pipeline_turns"],
         "cpus": CPUS,
         "host": sentinel,
+        "core_host": {"start": core.get("host_start"), "end": core.get("host_end")},
+        "suite_host": {"start": suite.get("host_start"), "end": suite.get("host_end")},
     }))
 
 
