@@ -464,3 +464,147 @@ def sample_video_frames(media: DataFrame, every_n: int = 3) -> DataFrame:
 
     vid = media.filter(F.col("mime") == "video/x-ppm-stream")
     return vid.select("media_id", "payload").mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+PATCH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("patch_row", IntegerType()),
+    StructField("patch_col", IntegerType()),
+    StructField("n_rows", IntegerType()),
+    StructField("n_cols", IntegerType()),
+    StructField("mean_rgb", ArrayType(DoubleType())),
+    StructField("payload", BinaryType()),
+])
+
+
+def patch_ppm(media: DataFrame, patch: int = 8) -> DataFrame:
+    """REAL ViT-style patch extraction over PPM payloads: tile each image
+    into a grid of ``patch``×``patch`` tiles (full tiles only — partial
+    edge strips are dropped, the standard exact-divisibility convention;
+    ``n_rows``/``n_cols`` record the emitted grid so downstream sequence
+    builders know each image's patch count). Every patch is emitted as a
+    VALID P6 payload plus its mean RGB, so patch relations compose with
+    resize_ppm/extract_ppm_features unchanged.
+
+    Scale shape: one mapInPandas stage, output ~(w·h/patch²) rows per
+    image with payload bytes sliced from the decoded array — no shuffle;
+    the JVM-side mime filter keeps non-PPM payloads out of the Arrow
+    transfer. Patch grids feed position-aware training (patch_row/col
+    are the 2-D positional indices)."""
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "patch_row": [], "patch_col": [],
+                "n_rows": [], "n_cols": [], "mean_rgb": [], "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                parts = raw.split(b"\n", 3)
+                if parts[0] != b"P6" or len(parts) < 4:
+                    raise ValueError("not a P6 PPM payload")
+                w, h = (int(x) for x in parts[1].split())
+                img = _np.frombuffer(
+                    parts[3], dtype=_np.uint8, count=w * h * 3
+                ).reshape(h, w, 3)
+                n_rows, n_cols = h // patch, w // patch
+                for pr in range(n_rows):
+                    for pc in range(n_cols):
+                        tile = img[
+                            pr * patch:(pr + 1) * patch,
+                            pc * patch:(pc + 1) * patch,
+                        ]
+                        tile_payload = (
+                            b"P6\n%d %d\n255\n" % (patch, patch)
+                            + tile.tobytes()
+                        )
+                        means = tile.reshape(-1, 3).mean(axis=0) / 255.0
+                        out["media_id"].append(mid)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["n_rows"].append(n_rows)
+                        out["n_cols"].append(n_cols)
+                        out["mean_rgb"].append(
+                            [round(float(v), 6) for v in means]
+                        )
+                        out["payload"].append(tile_payload)
+            yield _pd.DataFrame(out)
+
+    ppm = media.filter(F.col("mime") == "image/x-portable-pixmap")
+    return ppm.select("media_id", "payload").mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("start_ms", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("zcr", DoubleType()),
+])
+
+
+def frame_wav(media: DataFrame, frame_ms: int = 5, hop_ms: int = 5) -> DataFrame:
+    """REAL audio frame windowing over PCM16 WAV payloads: slice each
+    clip into ``frame_ms`` windows advancing by ``hop_ms`` (hop <
+    frame = overlapping analysis windows) and emit per-frame rms +
+    zero-crossing rate — the feature-extraction front end of an audio
+    training pipeline (frames, not whole clips, are the model's time
+    steps). Full frames only; the trailing partial window is dropped.
+
+    Scale shape: one mapInPandas stage, no shuffle; output rows ≈
+    duration/hop per clip with fixed-width features (payload bytes do
+    NOT ride along — frame features are the training input; use the
+    start_ms offsets to slice raw audio later if needed)."""
+    if frame_ms < 1 or hop_ms < 1:
+        raise ValueError(f"need frame_ms/hop_ms >= 1, got {frame_ms}/{hop_ms}")
+
+    def run(batches):
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "start_ms": [],
+                "rms": [], "zcr": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as wv:
+                    rate = wv.getframerate()
+                    n = wv.getnframes()
+                    sig = _np.frombuffer(
+                        wv.readframes(n), dtype=_np.int16
+                    ).astype(_np.float64) / 32768.0
+                flen = rate * frame_ms // 1000
+                hop = rate * hop_ms // 1000
+                idx = 0
+                start = 0
+                while start + flen <= n:
+                    fr = sig[start:start + flen]
+                    signs = _np.signbit(fr).astype(_np.int8)
+                    zc = (
+                        float(_np.mean(_np.abs(_np.diff(signs))))
+                        if flen > 1 else 0.0
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["start_ms"].append(round(start * 1000.0 / rate, 6))
+                    out["rms"].append(
+                        round(float(_np.sqrt(_np.mean(fr**2))), 6)
+                    )
+                    out["zcr"].append(round(zc, 6))
+                    idx += 1
+                    start += hop
+            yield _pd.DataFrame(out)
+
+    wav = media.filter(F.col("mime") == "audio/wav")
+    return wav.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FRAME_SCHEMA
+    )

@@ -2066,3 +2066,54 @@ def test_decontaminate_embeddings_keeps_strongest_match(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].eval_id == 100 and got[0].cos_sim == 1.0
+
+
+def test_multimodal_patch_ppm_grid_and_bytes(spark):
+    import numpy as np
+    media = multimodal.synth_ppm_media(spark, 6)
+    got = multimodal.patch_ppm(media, patch=4).collect()
+    # media 0: 8x8 → 2x2 grid; media 3: 11x11 → 2x2 (edges dropped)
+    m0 = [r for r in got if r.media_id == 0]
+    assert len(m0) == 4 and all((r.n_rows, r.n_cols) == (2, 2) for r in m0)
+    # reconstruct patch (1,1) of media 0 from the original payload
+    raw = bytes(next(r.payload for r in media.collect() if r.media_id == 0))
+    parts = raw.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    img = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    want = img[4:8, 4:8].tobytes()
+    p11 = next(r for r in m0 if (r.patch_row, r.patch_col) == (1, 1))
+    assert bytes(p11.payload).endswith(want)
+    assert bytes(p11.payload).startswith(b"P6\n4 4\n255\n")
+    # patch payloads are themselves valid inputs to the feature kernel
+    patches = multimodal.patch_ppm(media, patch=4).select(
+        "media_id", F.lit("image/x-portable-pixmap").alias("mime"), "payload"
+    )
+    feats = multimodal.extract_ppm_features(patches).collect()
+    assert len(feats) == len(got)
+    assert all(r.width == 4 and r.height == 4 for r in feats)
+    with __import__("pytest").raises(ValueError):
+        multimodal.patch_ppm(media, patch=0)
+
+
+def test_multimodal_frame_wav_windows(spark):
+    media = multimodal.synth_wav_media(spark, 3)
+    # 160 samples @8kHz = 20ms; 5ms frames, 5ms hop → 4 frames/clip
+    got = multimodal.frame_wav(media, frame_ms=5, hop_ms=5).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.media_id, []).append(r)
+    assert all(len(v) == 4 for v in per.values())
+    for v in per.values():
+        v.sort(key=lambda r: r.frame_idx)
+        assert [r.start_ms for r in v] == [0.0, 5.0, 10.0, 15.0]
+        assert all(0.0 <= r.rms <= 1.0 for r in v)
+    # overlapping hop: 5ms frames, 2ms hop → floor((160-40)/16)+1 = 8
+    over = multimodal.frame_wav(media, frame_ms=5, hop_ms=2).collect()
+    assert sum(1 for r in over if r.media_id == 0) == 8
+    # whole-clip frame equals the clip-level rms feature
+    whole = multimodal.frame_wav(media, frame_ms=20, hop_ms=20).collect()
+    clip = {r.media_id: r.rms for r in
+            multimodal.extract_wav_features(media).collect()}
+    assert all(abs(r.rms - clip[r.media_id]) < 1e-6 for r in whole)
+    with __import__("pytest").raises(ValueError):
+        multimodal.frame_wav(media, frame_ms=0)
