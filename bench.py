@@ -103,6 +103,57 @@ def host_sentinel() -> dict:
     }
 
 
+def _proc_stat_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _own_cpu_jiffies() -> int:
+    """CPU jiffies of every process VISIBLE in /proc — inside this
+    container that is exactly our own tree (bench python + the Spark JVM
+    + Arrow workers). Includes each process's reaped-children time
+    (cutime/cstime), so short-lived workers aren't lost."""
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            tail = open(f"/proc/{pid}/stat").read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        # post-comm fields: state=0 … utime=11 stime=12 cutime=13 cstime=14
+        total += int(tail[11]) + int(tail[12]) + int(tail[13]) + int(tail[14])
+    return total
+
+
+class ExternalLoad:
+    """Co-tenant CPU metering: this box runs co-tenants whose PROCESSES
+    are invisible inside the container but whose CPU time shows in the
+    host-wide /proc/stat. external = (host busy delta) − (own visible
+    delta); unlike loadavg sentinels this is self-load-free, so a block
+    can be judged poisoned/clean regardless of its own 32-core burn.
+    Snap BEFORE spark.stop() so the JVM's jiffies still count as own."""
+
+    def __init__(self) -> None:
+        self.t0 = time.time()
+        self.busy0 = _proc_stat_busy_jiffies()
+        self.own0 = _own_cpu_jiffies()
+
+    def snap(self) -> dict:
+        wall = time.time() - self.t0
+        hz = os.sysconf("SC_CLK_TCK")
+        ext = (_proc_stat_busy_jiffies() - self.busy0) - (
+            _own_cpu_jiffies() - self.own0
+        )
+        ext_s = max(0.0, ext / hz)
+        return {
+            "wall_s": round(wall, 1),
+            "external_core_s": round(ext_s, 1),
+            "external_cores_avg": round(ext_s / max(wall, 1e-9), 2),
+        }
+
+
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -319,6 +370,7 @@ def run_block_core() -> dict:
     first (they own the headline), then the round-1 query set, then the
     conversation legs. Nothing here may grow between rounds."""
     h0 = host_sentinel()
+    mon = ExternalLoad()
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
@@ -339,6 +391,7 @@ def run_block_core() -> dict:
         # external host load) — bracketing each block makes a poisoned
         # block identifiable in the record
         "host_start": h0,
+        "external_load": mon.snap(),
         "host_end": host_sentinel(),
     }
     spark.stop()
@@ -348,6 +401,7 @@ def run_block_core() -> dict:
 def run_block_suite() -> dict:
     """The full growing operator suite (round-3 flow, pipeline first)."""
     h0 = host_sentinel()
+    mon = ExternalLoad()
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -383,6 +437,7 @@ def run_block_suite() -> dict:
         "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
         "pipeline_turns": n_turns,
         "host_start": h0,
+        "external_load": mon.snap(),
         "host_end": host_sentinel(),
     }
     spark.stop()
@@ -447,8 +502,10 @@ def main() -> None:
         "pipeline_turns": core["pipeline_turns"],
         "cpus": CPUS,
         "host": sentinel,
-        "core_host": {"start": core.get("host_start"), "end": core.get("host_end")},
-        "suite_host": {"start": suite.get("host_start"), "end": suite.get("host_end")},
+        "core_host": {"start": core.get("host_start"), "end": core.get("host_end"),
+                      "external": core.get("external_load")},
+        "suite_host": {"start": suite.get("host_start"), "end": suite.get("host_end"),
+                       "external": suite.get("external_load")},
     }))
 
 
