@@ -201,6 +201,7 @@ NEXT_ROTATION = [
     "conv_degenerate_runs",
     "conv_pack_masks",
     "conv_integrity",
+    "dedup_pairs_editdist",
 ]
 
 
@@ -775,6 +776,15 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents").select("doc_id"),
             dedup.lsh_candidates(_t(s, d, "documents")),
         )
+    )
+    # character-grain verification of the LSH candidates: exact
+    # Levenshtein (banded DP via the threshold arg) + fixed-point
+    # normalized similarity — the precision stage after recall-oriented
+    # banding
+    q["dedup_pairs_editdist"] = lambda s, d: dedup.editdist_refine(
+        _t(s, d, "documents"),
+        dedup.lsh_candidates(_t(s, d, "documents")),
+        max_dist=100,
     )
     # leakage-safe train/test split: hash key = dup-CLUSTER id, so near
     # duplicates can never straddle the eval boundary
@@ -3550,6 +3560,30 @@ def oracle_sql() -> dict[str, str]:
                                - (SELECT count(*) FROM miss)) * 1000000
                               // (SELECT count(*) FROM exact) AS BIGINT)
                END AS recall_fp
+    """
+    # edit-distance refine of the LSH candidates: DuckDB's levenshtein
+    # is the same unit-cost character edit distance as Spark's, and the
+    # ppm similarity is pure integer division — bit-exact survivors
+    o["dedup_pairs_editdist"] = f"""
+        {_bands_cte},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+                 greatest(length(da.text), length(db.text)) AS maxlen
+          FROM cand c
+          JOIN documents da ON c.id_a = da.doc_id
+          JOIN documents db ON c.id_b = db.doc_id
+        )
+        SELECT id_a, id_b, dist,
+               CASE WHEN maxlen = 0 THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST((1000000 * (maxlen - dist)) // maxlen AS BIGINT)
+               END AS sim_ppm
+        FROM scored WHERE dist <= 100
     """
     # curriculum phases: integer histogram-quantile assignment over the
     # rounded quality value relation (no interpolated percentiles), with

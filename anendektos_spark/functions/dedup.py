@@ -1319,3 +1319,62 @@ def cluster_weights(
         "weight_ppm",
         F.expr(f"{scale}L div cluster_size").cast("long"),
     )
+
+
+def editdist_refine(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int | None = None,
+    min_sim_ppm: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Character-level verification of candidate duplicate pairs: exact
+    Levenshtein distance plus a normalized fixed-point similarity
+    sim_ppm = floor(scale * (maxlen - dist) / maxlen), maxlen =
+    max(len_a, len_b) — 1.0 for identical text, 0 for totally disjoint.
+
+    This is the refine stage fuzzy dedup runs AFTER banding: LSH/winnow
+    candidates are recall-oriented and shingle-grain; edit distance is
+    the precision check at character grain (catches the one-word-edit
+    and whitespace-jitter near-dups n-gram Jaccard scores low). Never
+    run it corpus²: ``pairs`` must come from a banded generator
+    (lsh_candidates / winnow_overlap_pairs), so the only joins here are
+    two id-keyed hash joins attaching the text sides to the bounded
+    candidate relation — no self-join, no cartesian.
+
+    When ``max_dist`` is given the JVM uses the banded DP
+    (levenshtein(l, r, threshold): O(max_dist·min(m,n)) per pair,
+    early-exit -1 when exceeded) — at corpus scale this is the
+    difference between O(len²) on every candidate and O(k·len) on
+    most. Distances and sim_ppm are pure integers, so every surviving
+    row is bit-identical to the DuckDB oracle's unbanded levenshtein().
+    """
+    cols = set(pairs.columns)
+    if not {"id_a", "id_b"} <= cols:
+        raise ValueError(f"pairs needs id_a/id_b, got {sorted(cols)}")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    if max_dist is not None:
+        dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    else:
+        dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
+    out = (
+        j.withColumn("dist", dist.cast("long"))
+        .withColumn(
+            "sim_ppm",
+            F.when(maxlen == 0, F.lit(scale).cast("long")).otherwise(
+                F.expr(f"({scale}L * (greatest(length(_ta), length(_tb)) - dist))"
+                       " div greatest(length(_ta), length(_tb))")
+            ),
+        )
+        .select("id_a", "id_b", "dist", "sim_ppm")
+    )
+    if max_dist is not None:
+        out = out.filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    if min_sim_ppm is not None:
+        out = out.filter(F.col("sim_ppm") >= min_sim_ppm)
+    return out

@@ -170,7 +170,9 @@ def build_session(cpus: int):
     )
 
 
-def run_pipeline_bench(spark, replicas: int) -> tuple[dict[str, float], int]:
+def run_pipeline_bench(
+    spark, replicas: int
+) -> tuple[dict[str, float], int, dict[str, float]]:
     """parse→route→aggregate over synthesized transcripts; returns
     ({addr_mode: elapsed_sec}, n_turns) — BOTH addr legs, `normalize`
     (reference-faithful Arrow-UDF IP canonicalization) and `passthrough`
@@ -206,6 +208,7 @@ def run_pipeline_bench(spark, replicas: int) -> tuple[dict[str, float], int]:
         )
 
     out: dict[str, float] = {}
+    ext: dict[str, float] = {}
     for mode in ("normalize", "passthrough"):
         # warmups: C2 JIT of the six-sink generated classes needs ~3
         # executions to reach steady state (measured 32s/32s/12s/5.4s on the
@@ -214,14 +217,29 @@ def run_pipeline_bench(spark, replicas: int) -> tuple[dict[str, float], int]:
         for _ in range(3):
             run(mode)
         elapsed = float("inf")
-        for _ in range(3):  # best-of-3: one GC/host hiccup must not set the headline
+        # best-of-5 (was 3): back-to-back identical core blocks measured
+        # the normalize leg at 5.07-6.78s (153k-205k turns/s) with ≤1.2
+        # external cores in the winning window — co-tenant DRAM-bandwidth
+        # pressure is invisible to CPU jiffies, so the only defense is
+        # more draws for the min estimator. Input is unchanged, so the
+        # statistic stays round-over-round comparable.
+        for _ in range(5):
+            # co-tenant CPU metered over THIS rep's exact window, so the
+            # winning rep carries its own contamination reading (the
+            # whole-block meter smears idle gaps and other sections in;
+            # measured headline swings 168k-205k turns/s tracking 1.9-3.7
+            # external cores — attribution must be per-window)
+            mon = ExternalLoad()
             t0 = time.time()
             rows = run(mode)
-            elapsed = min(elapsed, time.time() - t0)
+            dt = time.time() - t0
+            if dt < elapsed:
+                elapsed = dt
+                ext[mode] = mon.snap()["external_cores_avg"]
         assert sum(r.n_good + r.n_rej for r in rows) > 0
         out[mode] = elapsed
     tx.unpersist()
-    return out, n_turns
+    return out, n_turns, ext
 
 
 def run_conv_bench(spark, n_turns: int) -> dict[str, float]:
@@ -373,7 +391,7 @@ def run_block_core() -> dict:
     mon = ExternalLoad()
     spark = build_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
+    pipe_legs, n_turns, pipe_ext = run_pipeline_bench(spark, PIPELINE_REPLICAS)
     timings = _run_query_list(spark, CORE_QUERIES)
     spark.catalog.clearCache()
     spark._jvm.System.gc()
@@ -385,6 +403,9 @@ def run_block_core() -> dict:
         "turns_per_sec": round(n_turns / pipe_legs["normalize"], 1),
         "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
         "pipeline_turns": n_turns,
+        # co-tenant cores during the WINNING rep's exact window, per leg —
+        # the contamination reading that belongs to the headline number
+        "pipeline_ext_cores": pipe_ext,
         # per-block sentinels: the start-only sentinel in main() cannot
         # see a co-tenant that ARRIVES mid-run (observed: the same
         # fresh-JVM pipeline leg measured 4.4s vs 15.4s purely from
@@ -408,7 +429,7 @@ def run_block_suite() -> dict:
     # pipeline leg FIRST, on the fresh JVM: measured 3x degradation (5.9s
     # -> 18.5s) when it runs after the 18-query suite has filled the old
     # gen with codegen/broadcast remnants
-    pipe_legs, n_turns = run_pipeline_bench(spark, PIPELINE_REPLICAS)
+    pipe_legs, n_turns, pipe_ext = run_pipeline_bench(spark, PIPELINE_REPLICAS)
 
     timings = _run_query_list(spark, BENCH_QUERIES)
 
@@ -436,6 +457,9 @@ def run_block_suite() -> dict:
         "turns_per_sec": round(n_turns / pipe_legs["normalize"], 1),
         "turns_per_sec_passthrough": round(n_turns / pipe_legs["passthrough"], 1),
         "pipeline_turns": n_turns,
+        # co-tenant cores during the WINNING rep's exact window, per leg —
+        # the contamination reading that belongs to the headline number
+        "pipeline_ext_cores": pipe_ext,
         "host_start": h0,
         "external_load": mon.snap(),
         "host_end": host_sentinel(),
@@ -500,6 +524,8 @@ def main() -> None:
         "turns_per_sec_passthrough": core["turns_per_sec_passthrough"],
         "turns_per_sec_suite": suite["turns_per_sec"],
         "pipeline_turns": core["pipeline_turns"],
+        # co-tenant cores during the headline legs' winning reps
+        "pipeline_ext_cores": core.get("pipeline_ext_cores"),
         "cpus": CPUS,
         "host": sentinel,
         "core_host": {"start": core.get("host_start"), "end": core.get("host_end"),

@@ -2117,3 +2117,65 @@ def test_multimodal_frame_wav_windows(spark):
     assert all(abs(r.rms - clip[r.media_id]) < 1e-6 for r in whole)
     with __import__("pytest").raises(ValueError):
         multimodal.frame_wav(media, frame_ms=0)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_refine_matches_python_oracle(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the quick brown fox"),
+         (2, "the quick brawn fix"), (3, "wholly unrelated content body"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "id_a long, id_b long"
+    )
+    texts = {0: "the quick brown fox", 1: "the quick brown fox",
+             2: "the quick brawn fix", 3: "wholly unrelated content body",
+             4: ""}
+    out = {(r.id_a, r.id_b): r
+           for r in dedup.editdist_refine(docs, pairs).collect()}
+    assert len(out) == 4
+    for (a, b), r in out.items():
+        d = _lev(texts[a], texts[b])
+        m = max(len(texts[a]), len(texts[b]))
+        assert r.dist == d
+        assert r.sim_ppm == (10**6 if m == 0 else (10**6 * (m - d)) // m)
+    assert out[(0, 1)].dist == 0 and out[(0, 1)].sim_ppm == 10**6
+    assert out[(0, 4)].sim_ppm == 0  # vs empty text: zero similarity
+
+
+def test_editdist_refine_threshold_and_sim_filters(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaaa bbbb cccc"), (1, "aaaa bbbb cccx"),
+         (2, "zzzz yyyy xxxx qqqq")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    # banded DP path: dist(0,2) > 3 → levenshtein(..., 3) = -1 → dropped
+    kept = dedup.editdist_refine(docs, pairs, max_dist=3).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in kept] == [(0, 1, 1)]
+    # same surviving set as the unbanded distance with the same cut
+    full = {(r.id_a, r.id_b): r.dist
+            for r in dedup.editdist_refine(docs, pairs).collect()}
+    assert {k for k, v in full.items() if v <= 3} == {(0, 1)}
+    # normalized filter: only the near-identical pair clears 900000 ppm
+    sim = dedup.editdist_refine(docs, pairs, min_sim_ppm=900_000).collect()
+    assert [(r.id_a, r.id_b) for r in sim] == [(0, 1)]
+
+
+def test_editdist_refine_rejects_bad_pairs(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    bad = spark.createDataFrame([(0, 1)], "left long, right long")
+    with pytest.raises(ValueError, match="id_a/id_b"):
+        dedup.editdist_refine(docs, bad)

@@ -445,3 +445,17 @@ def test_pack_with_masks_conv_grain_shuffles_only(spark):
     assert "partial_sum" in plan or "partial sum" in plan.lower()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_editdist_refine_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(
+        dedup.editdist_refine(docs, dedup.lsh_candidates(docs), max_dist=10)
+    )
+    # both text sides attach to the banded candidate relation through
+    # id-keyed equi-joins; the pair set is never formed by a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
