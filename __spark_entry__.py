@@ -202,6 +202,9 @@ NEXT_ROTATION = [
     "conv_pack_masks",
     "conv_integrity",
     "dedup_pairs_editdist",
+    "conv_truncate_context",
+    "sample_calibrated",
+    "sample_length_buckets",
 ]
 
 
@@ -849,6 +852,22 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regression at turn 11, keyed on conv_id md5)
     q["conv_integrity"] = lambda s, d: convops.conv_integrity(
         convops.synth_conv_corrupt(s, _CONV_N)
+    )
+    # context-budget truncation: maximal turn suffix fitting the budget,
+    # final turn force-kept (the actionable twin of conv_context_growth)
+    q["conv_truncate_context"] = lambda s, d: convops.truncate_context(
+        convops.synth_conv(s, _CONV_N), budget_chars=200
+    )
+    # per-source quality calibration: integer within-source percentile,
+    # the normalization run before any cross-source quota/mixture cut
+    q["sample_calibrated"] = lambda s, d: sampling.calibrate_scores(
+        textstats.quality_score(_t(s, d, "documents"), keep_cols=("source",)),
+        "quality",
+    )
+    # power-of-two length-bucket batching report over reassembled
+    # conversation token counts (padding-waste diagnostic)
+    q["sample_length_buckets"] = lambda s, d: sampling.length_buckets(
+        convops.conv_reconstruct(convops.synth_conv(s, _CONV_N)), "n_tokens"
     )
     # semantic eval decontamination: every 17th vector plays the eval
     # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
@@ -3727,6 +3746,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["conv_pack_masks"] = convops.pack_with_masks_sql(
         _conv_rel, budget_tokens=256, n_buckets=16
+    )
+    o["conv_truncate_context"] = convops.truncate_context_sql(
+        convops.synth_conv_sql(_CONV_N), budget_chars=200
+    )
+    o["sample_calibrated"] = sampling.calibrate_scores_sql(
+        f"""SELECT q.doc_id, d.source, q.quality
+            FROM ({o["text_quality"]}) q JOIN documents d USING (doc_id)""",
+        "quality",
+    )
+    o["sample_length_buckets"] = sampling.length_buckets_sql(
+        convops.conv_reconstruct_sql(convops.synth_conv_sql(_CONV_N)), "n_tokens"
     )
     o["conv_integrity"] = convops.conv_integrity_sql(
         convops.synth_conv_corrupt_sql(_CONV_N)

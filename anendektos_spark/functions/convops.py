@@ -379,6 +379,54 @@ def context_growth_sql(rel: str, budget_chars: int = 400) -> str:
     """
 
 
+def truncate_context(df: DataFrame, budget_chars: int = 400) -> DataFrame:
+    """Context-budget truncation — the actionable counterpart of
+    :func:`context_growth`: mark the maximal turn SUFFIX of each
+    conversation whose cumulative character count fits ``budget_chars``
+    (training keeps the most recent context; history is what gets cut),
+    force-keeping the final turn so truncation never empties a
+    conversation even when that turn alone exceeds the budget.
+
+    Output is the per-turn relation (conv_id, turn_idx, turn_chars,
+    suffix_chars, kept): ``suffix_chars`` is the cumulative size from the
+    conversation END back to this turn, ``kept`` the truncation verdict.
+    Both windows share one (conv_id, turn_idx DESC) partition+sort, so
+    the plan is a single hash exchange and a single sort — no joins, no
+    second scan; pure integers, so the DuckDB mirror is bit-exact."""
+    wdesc = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    wsum = wdesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = F.length("text").cast("long")
+    suffix = F.sum(n).over(wsum)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        n.alias("turn_chars"),
+        suffix.alias("suffix_chars"),
+        (
+            (suffix <= budget_chars) | (F.row_number().over(wdesc) == 1)
+        ).alias("kept"),
+    )
+
+
+def truncate_context_sql(rel: str, budget_chars: int = 400) -> str:
+    """DuckDB mirror of :func:`truncate_context`."""
+    return f"""
+        SELECT conv_id, turn_idx,
+               CAST(length(text) AS BIGINT) AS turn_chars,
+               CAST(sum(length(text)) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS suffix_chars,
+               (sum(length(text)) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) <= {budget_chars}
+                OR row_number() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx DESC) = 1) AS kept
+        FROM ({rel})
+    """
+
+
 # --- conversation-grain duplication / curation operators -------------------
 
 DUP_TEMPLATES = 40

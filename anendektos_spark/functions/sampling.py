@@ -582,3 +582,140 @@ def leakage_safe_split(
         clusters, weights, key_col=cluster_col, salt=salt, split_col=split_col
     )
     return out.select(F.col(id_col), F.col(cluster_col), F.col(split_col))
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-source score calibration: replace each document's raw quality
+    score with its integer percentile WITHIN its source,
+    pctl_ppm = cnt_le · scale div n_group (cnt_le = documents in the
+    group scoring ≤ this one, ties share a percentile; top of every
+    group = scale). Raw heuristic scores are not comparable across
+    sources (a boilerplate-heavy crawl saturates low, curated text
+    high), so a single global threshold starves or floods sources;
+    calibrating to within-source rank makes one cut fair across the
+    mixture — the normalization step run before quality_quota /
+    mixture_sample.
+
+    cnt_le is derived from rank() DESC (rows strictly above = rank−1),
+    so no RANGE frame over floats is needed; both windows share the one
+    ``group_col`` hash exchange. Count arithmetic end to end — engine
+    bit-exact even though the underlying score is a float."""
+    _check_reserved(df.columns, ("pctl_ppm", "_num", "_n_g"), "output columns")
+    wg = Window.partitionBy(group_col)
+    wr = wg.orderBy(F.col(score_col).desc())
+    n_g = F.count(F.lit(1)).over(wg)
+    cnt_le = n_g - F.rank().over(wr) + 1
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        (cnt_le.cast("long") * scale).cast("long").alias("_num"),
+        n_g.cast("long").alias("_n_g"),
+    ).select(
+        id_col,
+        group_col,
+        score_col,
+        F.expr("_num div _n_g").alias("pctl_ppm"),
+    )
+
+
+def calibrate_scores_sql(
+    rel: str,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`calibrate_scores`."""
+    return f"""
+        SELECT {id_col}, {group_col}, {score_col},
+               ((count(*) OVER (PARTITION BY {group_col})
+                 - rank() OVER (PARTITION BY {group_col}
+                                ORDER BY {score_col} DESC) + 1)
+                * {scale})
+               // count(*) OVER (PARTITION BY {group_col}) AS pctl_ppm
+        FROM ({rel})
+    """
+
+
+def length_buckets(
+    df: DataFrame,
+    size_col: str,
+    min_bucket: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Power-of-two length-bucket batching report — the padding-waste
+    diagnostic run before choosing a batching strategy: every sequence
+    is assigned to the smallest power-of-two bucket ≥ its length
+    (floored at ``min_bucket``), and each bucket reports how much of a
+    naive pad-to-bucket batch would be padding
+    (waste_ppm = (Σ(bucket − len)) · scale div (n · bucket)).
+
+    ceil_log2 comes from the binary-string length of (len − 1) — pure
+    integer arithmetic, no float log2 whose ulp at exact powers of two
+    flips buckets between engines. One narrow map + one map-side-combined
+    aggregate on ≤ ~40 distinct buckets; nothing else shuffles."""
+    if min_bucket < 1 or (min_bucket & (min_bucket - 1)) != 0:
+        raise ValueError(f"min_bucket must be a power of two, got {min_bucket}")
+    n = F.col(size_col).cast("long")
+    # smallest power of two >= n: 1 << len(bin(n-1)) for n > 1, else 1
+    binned = (
+        df.select(n.alias("_len"))
+        .filter(F.col("_len") > 0)
+        .withColumn(
+            "bucket_len",
+            F.greatest(
+                F.expr("CASE WHEN _len <= 1 THEN 1L"
+                       " ELSE shiftleft(1L, length(bin(_len - 1))) END"),
+                F.lit(min_bucket).cast("long"),
+            ),
+        )
+    )
+    return (
+        binned.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("_len").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_len") - F.col("_len")).cast("long").alias("total_pad"),
+        )
+        .select(
+            "bucket_len",
+            "n_seqs",
+            "total_tokens",
+            "total_pad",
+            F.expr(f"(total_pad * {scale}L) div (n_seqs * bucket_len)").alias(
+                "waste_ppm"
+            ),
+        )
+    )
+
+
+def length_buckets_sql(
+    rel: str, size_col: str, min_bucket: int = 16, scale: int = 1_000_000
+) -> str:
+    """DuckDB mirror of :func:`length_buckets` (same binary-string-length
+    ceil_log2, so bucket boundaries agree bit-exactly)."""
+    return f"""
+        WITH b AS (
+          SELECT CAST({size_col} AS BIGINT) AS len,
+                 greatest(
+                   CASE WHEN {size_col} <= 1 THEN 1
+                        ELSE (CAST(1 AS BIGINT) << length(bin(CAST({size_col} AS BIGINT) - 1)))
+                   END,
+                   {min_bucket}) AS bucket_len
+          FROM ({rel}) WHERE {size_col} > 0
+        )
+        SELECT bucket_len,
+               CAST(count(*) AS BIGINT) AS n_seqs,
+               CAST(sum(len) AS BIGINT) AS total_tokens,
+               CAST(sum(bucket_len - len) AS BIGINT) AS total_pad,
+               (CAST(sum(bucket_len - len) AS BIGINT) * {scale})
+                 // (count(*) * bucket_len) AS waste_ppm
+        FROM b GROUP BY bucket_len
+    """

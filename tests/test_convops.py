@@ -445,3 +445,32 @@ def test_pack_with_masks_tiles_exactly(spark):
         spans.sort()
         for (_, _, e1), (_, s2, _) in zip(spans, spans[1:]):
             assert s2 == e1
+
+
+def test_truncate_context_suffix_budget(tiny):
+    # conv a texts: "hello there"(11) "run scan now"(12) "ok"(2)
+    # "lookup done"(11) "fetch page"(10); suffixes from the end:
+    # t4=10, t3=21, t2=23, t1=35, t0=46
+    out = {(r.conv_id, r.turn_idx): r
+           for r in convops.truncate_context(tiny, budget_chars=22).collect()}
+    assert len(out) == 7
+    a = {t: out[("a", t)] for t in range(5)}
+    assert [a[t].suffix_chars for t in range(5)] == [46, 35, 23, 21, 10]
+    assert [a[t].kept for t in range(5)] == [False, False, False, True, True]
+    assert a[4].turn_chars == 10
+    # conv b fits entirely
+    assert out[("b", 0)].kept and out[("b", 1)].kept
+
+
+def test_truncate_context_final_turn_force_kept(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "user", "x" * 50, None, _ts(0)),
+         ("c", 1, "assistant", "y" * 500, "conn", _ts(5))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r.turn_idx: r for r in
+           convops.truncate_context(df, budget_chars=100).collect()}
+    # the final turn alone exceeds the budget but must stay
+    assert out[1].kept and out[1].suffix_chars == 500
+    assert not out[0].kept

@@ -713,3 +713,49 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # invalid weights propagate split_dataset's validation
     with pytest.raises(ValueError):
         sampling.leakage_safe_split(clusters, {"train": 1.0}, salt="x")
+
+
+def test_calibrate_scores_within_source_percentiles(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(0, "web", 0.1), (1, "web", 0.5), (2, "web", 0.9), (3, "web", 0.5),
+         (4, "books", 0.2), (5, "books", 0.95)],
+        "doc_id long, source string, quality double",
+    )
+    out = {r.doc_id: r.pctl_ppm
+           for r in sampling.calibrate_scores(df, "quality").collect()}
+    # web: 0.1 -> 1/4, ties at 0.5 -> 3/4 each, 0.9 -> 4/4
+    assert out[0] == 250_000
+    assert out[1] == out[3] == 750_000
+    assert out[2] == 1_000_000
+    # books: calibrated independently — 0.2 is its group's bottom half
+    assert out[4] == 500_000 and out[5] == 1_000_000
+
+
+def test_calibrate_scores_reserved_columns(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(0, "s", 0.5, 7)], "doc_id long, source string, quality double, pctl_ppm int"
+    )
+    with pytest.raises(ValueError, match="pctl_ppm"):
+        sampling.calibrate_scores(df, "quality")
+
+
+def test_length_buckets_pow2_and_waste(spark):
+    from anendektos_spark.functions import sampling
+
+    df = spark.createDataFrame(
+        [(1,), (16,), (17,), (30,), (33,), (64,), (0,)], "n long"
+    )
+    out = {r.bucket_len: r for r in
+           sampling.length_buckets(df, "n", min_bucket=16).collect()}
+    # 1 and 16 -> 16; 17 and 30 -> 32; 33 and 64 -> 64; 0 dropped
+    assert set(out) == {16, 32, 64}
+    assert out[16].n_seqs == 2 and out[16].total_pad == (16 - 1) + 0
+    assert out[32].n_seqs == 2 and out[32].total_pad == (32 - 17) + (32 - 30)
+    assert out[64].n_seqs == 2 and out[64].total_pad == (64 - 33) + 0
+    assert out[32].waste_ppm == (17 * 10**6) // (2 * 32)
+    with pytest.raises(ValueError, match="power of two"):
+        sampling.length_buckets(df, "n", min_bucket=24)
