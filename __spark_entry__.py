@@ -205,6 +205,8 @@ NEXT_ROTATION = [
     "conv_truncate_context",
     "sample_calibrated",
     "sample_length_buckets",
+    "text_ngram_diversity",
+    "dedup_rate_by_source",
 ]
 
 
@@ -868,6 +870,16 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # conversation token counts (padding-waste diagnostic)
     q["sample_length_buckets"] = lambda s, d: sampling.length_buckets(
         convops.conv_reconstruct(convops.synth_conv(s, _CONV_N)), "n_tokens"
+    )
+    # per-source bigram diversity + dominant-gram share (the synthetic
+    # data mode-collapse audit)
+    q["text_ngram_diversity"] = lambda s, d: textstats.ngram_diversity(
+        _t(s, d, "documents")
+    )
+    # per-source duplication rate over the LSH candidate pairs
+    q["dedup_rate_by_source"] = lambda s, d: dedup.dup_rate_by_source(
+        _t(s, d, "documents"),
+        dedup.lsh_candidates(_t(s, d, "documents")),
     )
     # semantic eval decontamination: every 17th vector plays the eval
     # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
@@ -3603,6 +3615,27 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST((1000000 * (maxlen - dist)) // maxlen AS BIGINT)
                END AS sim_ppm
         FROM scored WHERE dist <= 100
+    """
+    o["text_ngram_diversity"] = textstats.ngram_diversity_sql(
+        "SELECT source, text FROM documents"
+    )
+    o["dedup_rate_by_source"] = f"""
+        {_bands_cte},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        ids AS (SELECT DISTINCT id FROM (
+                  SELECT id_a AS id FROM cand
+                  UNION ALL SELECT id_b AS id FROM cand))
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(i.id) AS BIGINT) AS n_dup_docs,
+               (CAST(count(i.id) AS BIGINT) * 1000000)
+                 // CAST(count(*) AS BIGINT) AS dup_ppm
+        FROM documents d LEFT JOIN ids i ON d.doc_id = i.id
+        GROUP BY 1
     """
     # curriculum phases: integer histogram-quantile assignment over the
     # rounded quality value relation (no interpolated percentiles), with

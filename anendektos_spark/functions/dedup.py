@@ -1378,3 +1378,51 @@ def editdist_refine(
     if min_sim_ppm is not None:
         out = out.filter(F.col("sim_ppm") >= min_sim_ppm)
     return out
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-source duplication-rate report — the operational view run
+    after candidate detection: for each source, how many documents and
+    what fraction of them participate in at least one duplicate pair
+    (dup_ppm = n_dup_docs·scale div n_docs). Tells you WHICH crawl to
+    re-fetch or down-weight, where the pair list alone only says which
+    documents collide.
+
+    ``pairs`` is any (id_a, id_b) relation (lsh_candidates /
+    winnow_overlap_pairs / a refined survivor set). Shape: the pair list
+    folds to a distinct id set (pairs-sized, ≪ corpus), left-joins the
+    corpus on id — AQE broadcasts the dup-id side at scale — and one
+    map-side-combined aggregate per source closes it. The corpus text is
+    never touched; only (id, source) flows."""
+    cols = set(pairs.columns)
+    if not {"id_a", "id_b"} <= cols:
+        raise ValueError(f"pairs needs id_a/id_b, got {sorted(cols)}")
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(group_col))
+        .join(dup_ids, "_id", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias(
+                "n_dup_docs"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_dup_docs",
+            F.expr(f"(n_dup_docs * {scale}L) div n_docs").alias("dup_ppm"),
+        )
+    )

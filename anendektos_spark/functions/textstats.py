@@ -1082,3 +1082,90 @@ def compression_quality(
         ratio_fp.cast("long").alias("ratio_fp"),
         F.round(F.col("n_compressed") / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double"), 4).alias("ratio"),
     ).withColumn("keep", F.col("ratio_fp") <= max_ratio_fp)
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-source n-gram diversity report — the mode-collapse audit run
+    on synthetic / model-generated corpora before mixing them in:
+    distinct-to-total gram ratio (low ⇒ the generator repeats itself)
+    and the single most frequent gram with its corpus share (high ⇒ one
+    template dominates). diversity_ppm = distinct·scale div total,
+    top_share_ppm = top_count·scale div total; the top gram tie-breaks
+    to the lexicographically smallest so the row is deterministic.
+
+    Shape: explode grams → ONE map-side-combined count aggregate at
+    (group, gram) grain; everything downstream (group rollup + top-1
+    window) runs on that aggregated relation, whose size is bounded by
+    distinct grams, never the corpus. The top-1 is a row_number window
+    — WindowGroupLimit pushes the rank-1 filter map-side."""
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(gram_arr(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    gc = grams.groupBy("grp", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = gc.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("total_grams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("gram"))
+    top = (
+        gc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("grp", F.col("gram").alias("top_gram"),
+                F.col("cnt").cast("long").alias("top_count"))
+    )
+    return (
+        totals.join(top, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "total_grams",
+            "distinct_grams",
+            F.expr(f"(distinct_grams * {scale}L) div total_grams").alias(
+                "diversity_ppm"
+            ),
+            "top_gram",
+            "top_count",
+            F.expr(f"(top_count * {scale}L) div total_grams").alias(
+                "top_share_ppm"
+            ),
+        )
+    )
+
+
+def ngram_diversity_sql(
+    rel: str,
+    n: int = 2,
+    group_col: str = "source",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`ngram_diversity`."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (SELECT {group_col} AS grp, {toks} AS toks FROM ({rel})),
+        g AS (
+          SELECT grp, unnest(list_transform(
+                   range(len(toks) - {n} + 1),
+                   i -> array_to_string(toks[i + 1 : i + {n}], ' '))) AS gram
+          FROM t WHERE len(toks) >= {n}
+        ),
+        gc AS (SELECT grp, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS total_grams,
+                       CAST(count(*) AS BIGINT) AS distinct_grams
+                FROM gc GROUP BY 1),
+        top AS (SELECT grp, gram AS top_gram, CAST(cnt AS BIGINT) AS top_count
+                FROM (SELECT grp, gram, cnt,
+                             row_number() OVER (PARTITION BY grp
+                               ORDER BY cnt DESC, gram) AS rn
+                      FROM gc) WHERE rn = 1)
+        SELECT tot.grp AS {group_col}, total_grams, distinct_grams,
+               (distinct_grams * {scale}) // total_grams AS diversity_ppm,
+               top_gram, top_count,
+               (top_count * {scale}) // total_grams AS top_share_ppm
+        FROM tot JOIN top ON tot.grp = top.grp
+    """

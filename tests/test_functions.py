@@ -2179,3 +2179,43 @@ def test_editdist_refine_rejects_bad_pairs(spark):
     bad = spark.createDataFrame([(0, 1)], "left long, right long")
     with pytest.raises(ValueError, match="id_a/id_b"):
         dedup.editdist_refine(docs, bad)
+
+
+def test_ngram_diversity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("a", "x y z"), ("b", "p q")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in textstats.ngram_diversity(df, n=2).collect()}
+    # source a bigrams: [x y, y x, x y] + [x y, y z] -> total 5,
+    # distinct {x y, y x, y z} = 3, top = "x y" (3)
+    a = out["a"]
+    assert (a.total_grams, a.distinct_grams) == (5, 3)
+    assert a.diversity_ppm == 600_000
+    assert a.top_gram == "x y" and a.top_count == 3
+    assert a.top_share_ppm == 600_000
+    b = out["b"]
+    assert (b.total_grams, b.distinct_grams, b.top_gram) == (1, 1, "p q")
+
+
+def test_ngram_diversity_top_tiebreak_lexicographic(spark):
+    df = spark.createDataFrame(
+        [("s", "b c"), ("s", "a b")], "source string, text string"
+    )
+    out = textstats.ngram_diversity(df, n=2).collect()[0]
+    # both bigrams occur once; the deterministic winner is the smaller
+    assert out.top_gram == "a b"
+
+
+def test_dup_rate_by_source(spark):
+    docs = spark.createDataFrame(
+        [(0, "w"), (1, "w"), (2, "w"), (3, "w"), (4, "books")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = {r.source: r for r in dedup.dup_rate_by_source(docs, pairs).collect()}
+    w = out["w"]
+    assert (w.n_docs, w.n_dup_docs, w.dup_ppm) == (4, 3, 750_000)
+    assert (out["books"].n_dup_docs, out["books"].dup_ppm) == (0, 0)
+    with pytest.raises(ValueError, match="id_a/id_b"):
+        dedup.dup_rate_by_source(docs, docs)
