@@ -207,6 +207,8 @@ NEXT_ROTATION = [
     "sample_length_buckets",
     "text_ngram_diversity",
     "dedup_rate_by_source",
+    "sketch_hdr_latency",
+    "sample_recency_weights",
 ]
 
 
@@ -880,6 +882,25 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_rate_by_source"] = lambda s, d: dedup.dup_rate_by_source(
         _t(s, d, "documents"),
         dedup.lsh_candidates(_t(s, d, "documents")),
+    )
+    # freshness step-decay sampling weights over event timestamps
+    # (fixed now_epoch literal — determinism forbids wall-clock reads)
+    q["sample_recency_weights"] = lambda s, d: sampling.recency_weights(
+        _t(s, d, "events").select("event_id", "ts"),
+        "ts",
+        now_epoch=1_800_000_000,
+        half_life_days=30,
+    ).select("event_id", "age_days", "weight_ppm")
+    # mergeable log-bucket quantile sketch over per-tool latencies —
+    # the O(sketch) companion of the exact transcript_latency_pctl
+    q["sketch_hdr_latency"] = lambda s, d: sketches.hdr_percentiles(
+        sketches.hdr_histogram(
+            transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)),
+            "latency_ms",
+            "tool_called",
+        ),
+        (50, 90, 99),
+        "tool_called",
     )
     # semantic eval decontamination: every 17th vector plays the eval
     # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
@@ -3368,6 +3389,18 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
     o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
     o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
+    o["sketch_hdr_latency"] = sketches.hdr_percentiles_sql(
+        transcript.parse_turns_sql(_tx_rel), "latency_ms", "tool_called"
+    )
+    _recency = sampling.recency_weight_sql(
+        "SELECT event_id, ts FROM events",
+        "ts",
+        now_epoch=1_800_000_000,
+        half_life_days=30,
+    )
+    o["sample_recency_weights"] = (
+        f"SELECT event_id, age_days, weight_ppm FROM ({_recency})"
+    )
     o["transcript_conv_outcomes"] = transcript.conv_outcomes_sql(_tx_rel)
     o["transcript_tool_cooccur"] = transcript.tool_cooccurrence_sql(_tx_rel)
     o["transcript_templates"] = transcript.turn_templates_sql(_tx_rel, 3)

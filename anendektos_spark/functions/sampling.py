@@ -719,3 +719,62 @@ def length_buckets_sql(
                  // (count(*) * bucket_len) AS waste_ppm
         FROM b GROUP BY bucket_len
     """
+
+
+def recency_weights(
+    df: DataFrame,
+    ts_col: str,
+    now_epoch: int,
+    half_life_days: int,
+    scale: int = 1_000_000,
+    max_halvings: int = 20,
+) -> DataFrame:
+    """Freshness-weighted sampling weights: weight_ppm = scale halved
+    once per elapsed ``half_life_days`` (step decay — the integer-exact
+    surrogate of exponential 2^(−age/half_life): piecewise-constant
+    between half-life boundaries, equal at them; a float pow would not
+    reproduce across engines). Feed the result to
+    :func:`weighted_sample` to bias a training subset toward recent
+    transcripts without excluding history. ``now_epoch`` is an explicit
+    argument — determinism forbids wall-clock reads inside the operator.
+
+    Future timestamps clamp to age 0 (full weight); ages beyond
+    ``max_halvings`` half-lives floor at weight scale >> max_halvings
+    (≈1 ppm at the default) rather than 0, so no row becomes
+    unsampleable. Pure narrow map — epoch subtraction, two integer
+    divisions, one shift; nothing shuffles."""
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be positive, got {half_life_days}")
+    age_days = F.expr(
+        f"greatest({now_epoch}L - unix_timestamp({ts_col}), 0L) div 86400"
+    )
+    return df.withColumn("age_days", age_days).withColumn(
+        "weight_ppm",
+        F.expr(
+            f"shiftright({scale}L, cast(least(age_days div {half_life_days},"
+            f" {max_halvings}) as int))"
+        ),
+    )
+
+
+def recency_weight_sql(
+    rel: str,
+    ts_col: str,
+    now_epoch: int,
+    half_life_days: int,
+    scale: int = 1_000_000,
+    max_halvings: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`recency_weights` (epoch_us//1e6 == Spark's
+    unix_timestamp under the UTC session)."""
+    age = (
+        f"greatest(CAST({now_epoch} AS BIGINT)"
+        f" - epoch_us({ts_col}) // 1000000, 0) // 86400"
+    )
+    return f"""
+        SELECT *,
+               CAST({age} AS BIGINT) AS age_days,
+               ({scale} >> CAST(least({age} // {half_life_days},
+                                      {max_halvings}) AS INT)) AS weight_ppm
+        FROM ({rel})
+    """

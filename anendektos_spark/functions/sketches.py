@@ -283,3 +283,162 @@ def bloom_pruned_join(
     probe = _bloom_positions(F.col(big_key), k, m_bits)
     pruned = big.filter(F.size(F.array_except(probe, pos_lit)) == 0)
     return pruned.join(small, pruned[big_key] == small[small_key], "inner")
+
+
+# --- HDR-style log-bucket quantile sketch -----------------------------------
+#
+# CMS answers frequency and HLL answers distinct-count at O(sketch); this
+# answers QUANTILES at O(sketch) — the piece exact nearest-rank percentiles
+# (transcript.latency_percentiles) cannot provide at 10^12 rows without a
+# full per-key sort, and the one sketch family still missing here. Design
+# is the HdrHistogram idea reduced to its portable core: a nonnegative
+# integer value lands in bucket
+#
+#   shift  = max(bitlen(v) − 1 − SUB_BITS, 0)      bitlen via length(bin(v))
+#   bucket = shift · 2^SUB_BITS + (v >> shift)
+#
+# i.e. exact buckets below 2^SUB_BITS, then 2^SUB_BITS sub-buckets per
+# power of two: bucket count grows LOGARITHMICALLY with the value range
+# (≤ ~1,900 buckets for the full long range at SUB_BITS=5) and the bucket
+# lower bound under-estimates the true value by a relative error
+# < 2^−SUB_BITS (3.125%). Everything is integer bit arithmetic — no float
+# log2 whose ulp at exact powers of two flips buckets between engines —
+# so the DuckDB oracle reproduces the sketch and every estimate exactly.
+
+HDR_SUB_BITS = 5
+
+
+def _hdr_bucket_expr(v: str, sub_bits: int) -> str:
+    return (
+        f"(greatest(length(bin({v})) - 1 - {sub_bits}, 0) * {1 << sub_bits}"
+        f" + shiftright({v}, greatest(length(bin({v})) - 1 - {sub_bits}, 0)))"
+    )
+
+
+def _hdr_lb_expr(bucket: str, sub_bits: int) -> str:
+    sub = 1 << sub_bits
+    return (
+        f"shiftleft({bucket} - greatest(({bucket} div {sub}) - 1, 0) * {sub},"
+        f" cast(greatest(({bucket} div {sub}) - 1, 0) as int))"
+    )
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-group log-bucket histogram (group, bucket, cnt) over a
+    NONNEGATIVE integer value column (null / negative rows are excluded
+    — latencies, sizes and counts are nonnegative by construction;
+    exclusion is mirrored in the oracle so both engines see the same
+    population).
+
+    One pass, map-side partial combine: the shuffle carries at most
+    (groups × ~log-range·2^sub_bits) partial rows per mapper regardless
+    of input size; shards/days/streams merge by integer sum
+    (:func:`hdr_merge`), the same mergeable-partial contract as CMS and
+    the HLL registers."""
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v >= 0)
+        .select(F.col(group_col), v.alias("_v"))
+        .withColumn("bucket", F.expr(_hdr_bucket_expr("_v", sub_bits)))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(*hists: DataFrame) -> DataFrame:
+    """Fold shard histograms by bucket-wise integer sum (associative and
+    commutative, like cms_merge/hll_merge)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hdr_percentiles(
+    hist: DataFrame,
+    ps: tuple = (50, 90, 99),
+    group_col: str = "tool_called",
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Nearest-rank percentile estimates off the sketch alone: for each
+    p, the bucket where rank ceil(p·n/100) falls, reported as that
+    bucket's LOWER bound (value_lb ≤ true percentile < value_lb·(1 +
+    2^−sub_bits) for value_lb ≥ 2^sub_bits; exact below that).
+
+    The cumulative walk is a window over the histogram relation —
+    sketch-sized, not data-sized; the rank test selects each p's bucket
+    with a codegen filter (cum ≥ rank AND cum − cnt < rank), never a
+    per-group collect. Integer end to end."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col)
+    c = hist.select(
+        group_col,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wn).alias("_n"),
+    )
+    p_arr = F.array(*[F.lit(int(p)) for p in ps])
+    rank = F.expr("(_p * _n + 99) div 100")
+    return (
+        c.select("*", F.explode(p_arr).alias("_p"))
+        .filter((F.col("_cum") >= rank) & (F.col("_cum") - F.col("cnt") < rank))
+        .select(
+            group_col,
+            F.col("_p").alias("p"),
+            F.expr(_hdr_lb_expr("bucket", sub_bits)).alias("value_lb"),
+        )
+    )
+
+
+def hdr_percentiles_sql(
+    rel: str,
+    value_col: str,
+    group_col: str,
+    ps: tuple = (50, 90, 99),
+    sub_bits: int = HDR_SUB_BITS,
+) -> str:
+    """DuckDB mirror of hdr_histogram → hdr_percentiles (same bit
+    arithmetic, bit-identical buckets and estimates)."""
+    sub = 1 << sub_bits
+    plist = ", ".join(f"({int(p)})" for p in ps)
+    return f"""
+        WITH v AS (
+          SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v
+          FROM ({rel})
+          WHERE {value_col} IS NOT NULL AND {value_col} >= 0
+        ),
+        h AS (
+          SELECT g,
+                 (greatest(length(bin(v)) - 1 - {sub_bits}, 0) * {sub}
+                  + (v >> greatest(length(bin(v)) - 1 - {sub_bits}, 0)))
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT g, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY g) AS n
+          FROM h
+        )
+        SELECT g AS {group_col}, CAST(p AS INT) AS p,
+               ((bucket - greatest((bucket // {sub}) - 1, 0) * {sub})
+                 << CAST(greatest((bucket // {sub}) - 1, 0) AS INT)) AS value_lb
+        FROM c, (VALUES {plist}) ps(p)
+        WHERE cum >= (p * n + 99) // 100
+          AND cum - cnt < (p * n + 99) // 100
+    """

@@ -1003,3 +1003,46 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hdr_partials(
+    stream: DataFrame,
+    value_col: str,
+    group_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuously maintained quantile sketch: each micro-batch builds
+    its own per-group log-bucket histogram (sketches.hdr_histogram — the
+    shuffle is O(sketch)) and commits it to an epoch-keyed partition
+    under the same exactly-once overwrite-per-epoch protocol as
+    stream_cms_partials. ``read_hdr`` folds the partials by integer sum
+    at read time, so latency percentile estimates over an unbounded
+    transcript stream cost O(groups × log-range) state per epoch and
+    never re-scan history."""
+    from .functions.sketches import hdr_histogram
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        hdr_histogram(batch, value_col, group_col).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hdr(spark: SparkSession, partials_dir: str, group_col: str) -> DataFrame:
+    """Fold the streamed per-epoch histogram partials into one sketch
+    (identical to a batch hdr_histogram over the union of all rows)."""
+    from .functions.sketches import hdr_merge
+
+    return hdr_merge(
+        spark.read.parquet(partials_dir).select(group_col, "bucket", "cnt")
+    )

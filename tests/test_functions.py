@@ -2219,3 +2219,72 @@ def test_dup_rate_by_source(spark):
     assert (out["books"].n_dup_docs, out["books"].dup_ppm) == (0, 0)
     with pytest.raises(ValueError, match="id_a/id_b"):
         dedup.dup_rate_by_source(docs, docs)
+
+
+def _hdr_bucket_py(v, s=5):
+    if v <= 0:
+        shift = 0
+    else:
+        shift = max(v.bit_length() - 1 - s, 0)
+    return shift * (1 << s) + (v >> shift)
+
+
+def _hdr_lb_py(bucket, s=5):
+    k = max(bucket // (1 << s) - 1, 0)
+    return (bucket - k * (1 << s)) << k
+
+
+def test_hdr_bucket_roundtrip_and_error_bound(spark):
+    from anendektos_spark.functions import sketches
+
+    vals = [0, 1, 31, 32, 33, 63, 64, 100, 1023, 1024, 5000, 10**9]
+    df = spark.createDataFrame([("t", v) for v in vals], "g string, v long")
+    hist = {r.bucket: r.cnt
+            for r in sketches.hdr_histogram(df, "v", "g").collect()}
+    assert hist == {
+        b: sum(1 for v in vals if _hdr_bucket_py(v) == b)
+        for b in {_hdr_bucket_py(v) for v in vals}
+    }
+    for v in vals:
+        lb = _hdr_lb_py(_hdr_bucket_py(v))
+        assert lb <= v
+        assert v < max(lb * (1 + 2 ** -5), lb + 1)  # <3.125% rel error
+
+
+def test_hdr_percentiles_match_python_oracle(spark):
+    from anendektos_spark.functions import sketches
+    import math
+
+    vals = {"a": [(i * 13) % 997 + 1 for i in range(500)],
+            "b": [7] * 10 + [10_000]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = sketches.hdr_histogram(df, "v", "g")
+    got = {(r.g, r.p): r.value_lb
+           for r in sketches.hdr_percentiles(hist, (50, 90, 99), "g").collect()}
+    for g, vs in vals.items():
+        srt = sorted(_hdr_lb_py(_hdr_bucket_py(v)) for v in vs)
+        for p in (50, 90, 99):
+            rank = math.ceil(p * len(vs) / 100)
+            assert got[(g, p)] == srt[rank - 1], (g, p)
+    # negative and null rows are excluded from the population
+    df2 = spark.createDataFrame(
+        [("a", -5), ("a", None), ("a", 8)], "g string, v long"
+    )
+    h2 = sketches.hdr_histogram(df2, "v", "g")
+    assert h2.agg(F.sum("cnt")).collect()[0][0] == 1
+
+
+def test_hdr_merge_equals_full_build(spark):
+    from anendektos_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [("t", (i * 7) % 300) for i in range(400)], "g string, v long"
+    )
+    full = sketches.hdr_histogram(df, "v", "g")
+    h1 = sketches.hdr_histogram(df.filter(F.col("v") % 2 == 0), "v", "g")
+    h2 = sketches.hdr_histogram(df.filter(F.col("v") % 2 == 1), "v", "g")
+    merged = sketches.hdr_merge(h1, h2)
+    a = {(r.g, r.bucket): r.cnt for r in full.collect()}
+    b = {(r.g, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b

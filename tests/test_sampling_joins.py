@@ -759,3 +759,28 @@ def test_length_buckets_pow2_and_waste(spark):
     assert out[32].waste_ppm == (17 * 10**6) // (2 * 32)
     with pytest.raises(ValueError, match="power of two"):
         sampling.length_buckets(df, "n", min_bucket=24)
+
+
+def test_recency_weights_step_decay(spark):
+    import datetime as dt
+    from anendektos_spark.functions import sampling
+
+    base = 1_800_000_000  # fixed "now"
+    def ts(days_ago):
+        return dt.datetime.utcfromtimestamp(base - days_ago * 86400)
+
+    df = spark.createDataFrame(
+        [(0, ts(0)), (1, ts(6)), (2, ts(7)), (3, ts(20)), (4, ts(500)),
+         (5, ts(-3))],  # future timestamp clamps to age 0
+        "event_id long, ts timestamp",
+    )
+    out = {r.event_id: r for r in
+           sampling.recency_weights(df, "ts", base, half_life_days=7).collect()}
+    assert out[0].weight_ppm == 1_000_000 and out[0].age_days == 0
+    assert out[1].weight_ppm == 1_000_000      # age 6 < one half-life
+    assert out[2].weight_ppm == 500_000        # exactly one half-life
+    assert out[3].weight_ppm == 250_000        # 20 div 7 = 2 halvings
+    assert out[4].weight_ppm == 1_000_000 >> 20  # capped at max_halvings
+    assert out[5].age_days == 0 and out[5].weight_ppm == 1_000_000
+    with pytest.raises(ValueError, match="half_life_days"):
+        sampling.recency_weights(df, "ts", base, 0)

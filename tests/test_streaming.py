@@ -657,3 +657,39 @@ def test_stream_degenerate_runs_matches_batch_across_splits(spark, tmp_path):
     assert got and got == want
     # straddling runs really were split: some run crosses turn 5/6
     assert any(s <= 5 and e >= 6 for (_, _, s, e, _) in got)
+
+
+def test_stream_hdr_partials_match_batch_sketch(spark, tmp_path):
+    """Multi-epoch quantile-sketch maintenance: merged streamed partials
+    must equal the batch histogram over the same rows, and percentile
+    estimates from the streamed sketch must match batch estimates."""
+    from anendektos_spark import streaming
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(800).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 13) % 997 + 1).cast("long").alias("v"),
+    )
+    d = str(tmp_path / "in")
+    df.filter(F.col("v") < 500).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("v") >= 500).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming.stream_hdr_partials(stream, "v", "g", out, ckpt,
+                                      available_now=True)
+    q.awaitTermination(180)
+    assert len(list(__import__("pathlib").Path(out).glob("epoch=*"))) >= 2
+    streamed = {(r.g, r.bucket): r.cnt
+                for r in streaming.read_hdr(spark, out, "g").collect()}
+    batch = {(r.g, r.bucket): r.cnt
+             for r in sketches.hdr_histogram(df, "v", "g").collect()}
+    assert streamed == batch
+    ps = {(r.g, r.p): r.value_lb for r in sketches.hdr_percentiles(
+        streaming.read_hdr(spark, out, "g"), (50, 99), "g").collect()}
+    pb = {(r.g, r.p): r.value_lb for r in sketches.hdr_percentiles(
+        sketches.hdr_histogram(df, "v", "g"), (50, 99), "g").collect()}
+    assert ps == pb and len(ps) == 6
