@@ -208,6 +208,7 @@ NEXT_ROTATION = [
     "text_ngram_diversity",
     "dedup_rate_by_source",
     "sketch_hdr_latency",
+    "sketch_hdr_accuracy",
     "sample_recency_weights",
 ]
 
@@ -902,6 +903,30 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (50, 90, 99),
         "tool_called",
     )
+
+    # sketch-vs-exact accuracy audit: the HDR estimate joined against the
+    # exact nearest-rank percentile; err_ppm must respect the documented
+    # <2^-s relative-error contract (bucketing is monotone, so the
+    # sketch's rank-selected bucket IS the exact percentile's bucket)
+    def _sketch_hdr_accuracy(s, d):
+        parsed = transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+        est = sketches.hdr_percentiles(
+            sketches.hdr_histogram(parsed, "latency_ms", "tool_called"),
+            (50, 90, 99),
+            "tool_called",
+        ).withColumnRenamed("tool_called", "tool")
+        exact = transcript.latency_percentiles(parsed)
+        return est.join(exact, ["tool", "p"]).select(
+            "tool",
+            "p",
+            "value_lb",
+            "latency_p_ms",
+            F.expr(
+                "((latency_p_ms - value_lb) * 1000000L) div latency_p_ms"
+            ).alias("err_ppm"),
+        )
+
+    q["sketch_hdr_accuracy"] = _sketch_hdr_accuracy
     # semantic eval decontamination: every 17th vector plays the eval
     # benchmark; corpus rows whose LSH-bucket cosine reaches 0.15 are
     # flagged with their strongest eval match (6 planes: the synthetic
@@ -3392,6 +3417,14 @@ def oracle_sql() -> dict[str, str]:
     o["sketch_hdr_latency"] = sketches.hdr_percentiles_sql(
         transcript.parse_turns_sql(_tx_rel), "latency_ms", "tool_called"
     )
+    o["sketch_hdr_accuracy"] = f"""
+        SELECT e.tool, e.p, s.value_lb, e.latency_p_ms,
+               ((e.latency_p_ms - s.value_lb) * 1000000)
+                 // e.latency_p_ms AS err_ppm
+        FROM ({transcript.latency_percentiles_sql(_tx_rel)}) e
+        JOIN ({o["sketch_hdr_latency"]}) s
+          ON e.tool = s.tool_called AND e.p = s.p
+    """
     _recency = sampling.recency_weight_sql(
         "SELECT event_id, ts FROM events",
         "ts",

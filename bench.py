@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "embed_knn_classify", "embed_centroid_outliers", "embed_decontaminate",
     "transcript_latency_mad", "conv_degenerate_runs", "conv_pack_masks",
     "conv_integrity",
+    "dedup_pairs_editdist", "conv_truncate_context", "sample_calibrated",
+    "text_ngram_diversity", "sketch_hdr_latency",
 ]
 
 

@@ -2288,3 +2288,24 @@ def test_hdr_merge_equals_full_build(spark):
     a = {(r.g, r.bucket): r.cnt for r in full.collect()}
     b = {(r.g, r.bucket): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_hdr_accuracy_bound_vs_exact(spark):
+    """The sketch's rank-selected bucket is the exact percentile's
+    bucket (monotone bucketing preserves rank), so value_lb <= exact <
+    value_lb * (1 + 2^-s) for lb >= 2^s, exact equality below."""
+    from anendektos_spark.functions import sketches
+    import math
+
+    vals = [(i * 13) % 997 + 1 for i in range(400)]
+    df = spark.createDataFrame([("t", v) for v in vals], "g string, v long")
+    est = {r.p: r.value_lb for r in sketches.hdr_percentiles(
+        sketches.hdr_histogram(df, "v", "g"), (50, 90, 99), "g").collect()}
+    srt = sorted(vals)
+    for p, lb in est.items():
+        exact = srt[math.ceil(p * len(vals) / 100) - 1]
+        assert lb <= exact
+        if lb >= 32:
+            assert exact < lb * (1 + 2 ** -5)
+        else:
+            assert exact == lb
