@@ -210,6 +210,7 @@ NEXT_ROTATION = [
     "sketch_hdr_latency",
     "sketch_hdr_accuracy",
     "sample_recency_weights",
+    "embed_centroid_shift",
 ]
 
 
@@ -883,6 +884,14 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_rate_by_source"] = lambda s, d: dedup.dup_rate_by_source(
         _t(s, d, "documents"),
         dedup.lsh_candidates(_t(s, d, "documents")),
+    )
+    # embedding-space drift: per-label L1 centroid shift between the
+    # even/odd vec_id halves played as periods a/b
+    q["embed_centroid_shift"] = lambda s, d: similarity.centroid_shift(
+        _t(s, d, "embeddings").withColumn(
+            "period", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+        ),
+        "period",
     )
     # freshness step-decay sampling weights over event timestamps
     # (fixed now_epoch literal — determinism forbids wall-clock reads)
@@ -3425,6 +3434,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o["sketch_hdr_latency"]}) s
           ON e.tool = s.tool_called AND e.p = s.p
     """
+    o["embed_centroid_shift"] = similarity.centroid_shift_sql(
+        "SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END"
+        " AS period, embedding FROM embeddings",
+        "period",
+    )
     _recency = sampling.recency_weight_sql(
         "SELECT event_id, ts FROM events",
         "ts",

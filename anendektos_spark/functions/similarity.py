@@ -947,3 +947,94 @@ def decontaminate_embeddings(
         .agg(best.alias("b"))
         .select(id_col, F.col("b.eid").alias("eval_id"), F.col("b.cos_sim").alias("cos_sim"))
     )
+
+
+def centroid_shift(
+    emb: DataFrame,
+    period_col: str,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Embedding-space drift monitor: per group, the L1 distance between
+    the two periods' centroids in fixed-point space — the embedding
+    analogue of histogram_drift (a new crawl/model snapshot whose
+    centroids moved is a mixture shift the scalar profilers can't see).
+    ``period_col`` must hold exactly the values 'a' and 'b' (periods are
+    a comparison, not a time series; map epochs upstream).
+
+    Fixed point: every dimension is floored to scale units BEFORE summing
+    (float32→double widening is exact and floor is deterministic, the
+    same contract as embed_quantize_int8), centroids are integer
+    divisions of integer sums, so the report is bit-identical across
+    engines and partitionings. Shape: posexplode dims → ONE map-side-
+    combined (group, period, dim) sum — the shuffle carries
+    groups × 2 × dims partial rows per mapper, never vectors — then a
+    groups×dims-sized pivot+fold; output is one row per group."""
+    e = emb.select(
+        F.col(group_col),
+        F.col(period_col).alias("_pd"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).withColumn("_q", F.expr(f"cast(floor(cast(_x as double) * {scale}) as long)"))
+    sums = e.groupBy(group_col, "_pd", "dim").agg(
+        F.sum("_q").alias("_sq"), F.count(F.lit(1)).alias("_n")
+    )
+    cent = sums.select(
+        group_col,
+        "dim",
+        F.when(F.col("_pd") == "a", F.expr("_sq div _n")).alias("_ca"),
+        F.when(F.col("_pd") == "b", F.expr("_sq div _n")).alias("_cb"),
+        F.when(F.col("_pd") == "a", F.col("_n")).alias("_na"),
+        F.when(F.col("_pd") == "b", F.col("_n")).alias("_nb"),
+    )
+    per_dim = cent.groupBy(group_col, "dim").agg(
+        F.max("_ca").alias("ca"),
+        F.max("_cb").alias("cb"),
+        F.max("_na").alias("na"),
+        F.max("_nb").alias("nb"),
+    )
+    return (
+        per_dim.filter(F.col("ca").isNotNull() & F.col("cb").isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("long").alias(
+                "shift_l1_q"
+            ),
+        )
+    )
+
+
+def centroid_shift_sql(
+    rel: str,
+    period_col: str,
+    group_col: str = "label",
+    dims: int = 64,
+    scale: int = 10_000,
+) -> str:
+    """DuckDB mirror of :func:`centroid_shift` (fixed ``dims`` because
+    SQL needs a literal range; the Spark side explodes whatever length
+    the array has)."""
+    return f"""
+        WITH e AS (
+          SELECT {group_col} AS g, {period_col} AS pd, i AS dim,
+                 CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {scale})
+                      AS BIGINT) AS q
+          FROM ({rel}), range({dims}) r(i)
+        ),
+        s AS (SELECT g, pd, dim, sum(q) AS sq, count(*) AS n
+              FROM e GROUP BY 1, 2, 3),
+        c AS (SELECT g, dim,
+                     max(CASE WHEN pd = 'a' THEN sq // n END) AS ca,
+                     max(CASE WHEN pd = 'b' THEN sq // n END) AS cb,
+                     max(CASE WHEN pd = 'a' THEN n END) AS na,
+                     max(CASE WHEN pd = 'b' THEN n END) AS nb
+              FROM s GROUP BY 1, 2)
+        SELECT g AS {group_col},
+               CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(sum(abs(ca - cb)) AS BIGINT) AS shift_l1_q
+        FROM c WHERE ca IS NOT NULL AND cb IS NOT NULL
+        GROUP BY 1
+    """

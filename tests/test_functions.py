@@ -2309,3 +2309,20 @@ def test_hdr_accuracy_bound_vs_exact(spark):
             assert exact < lb * (1 + 2 ** -5)
         else:
             assert exact == lb
+
+
+def test_centroid_shift_hand_computed(spark):
+    emb = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (1, "a", [3.0, 4.0]),
+         (1, "b", [1.0, 2.0]), (1, "b", [1.0, 2.0]),
+         (2, "a", [0.5, 0.5]), (2, "b", [0.5, 0.5]),
+         (3, "a", [9.0, 9.0])],  # group 3 has no period b -> excluded
+        "label int, period string, embedding array<float>",
+    )
+    out = {r.label: r for r in
+           similarity.centroid_shift(emb, "period", scale=10).collect()}
+    # label 1: centroid a = ((10+30)//2, (20+40)//2) = (20, 30);
+    #          centroid b = (10, 20) -> L1 = 10 + 10 = 20
+    assert set(out) == {1, 2}
+    assert (out[1].n_a, out[1].n_b, out[1].shift_l1_q) == (2, 2, 20)
+    assert (out[2].n_a, out[2].n_b, out[2].shift_l1_q) == (1, 1, 0)
