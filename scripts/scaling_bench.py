@@ -52,7 +52,7 @@ from anendektos_spark.parse import parse_sink, parse_validate_all, ParseOptions
 from anendektos_spark.schemas import KNOWN_TOOLS
 
 # identical input at every level: fixed replicas, fixed partition count
-if job == "grok":
+if job in ("grok", "hdr"):
     # the north_star grok pipeline's input: marker-bearing conversation
     # transcripts (~25 turns per zeek-replica keeps row counts comparable)
     tx = transcript.synth_transcript(spark, replicas * 25, partitions=128).persist()
@@ -89,6 +89,15 @@ def build():
         # enrich -> category aggregate (addr mode n/a: zero Python)
         return transcript.enrich_agg(
             transcript.parse_turns(tx), transcript.tool_dim(spark))
+    if job == "hdr":
+        # mergeable quantile sketch over the parsed per-tool latencies:
+        # narrow bucket map + one map-side-combined (tool, bucket)
+        # aggregate, then the percentile walk on the sketch-sized relation
+        from anendektos_spark.functions import sketches
+        return sketches.hdr_percentiles(
+            sketches.hdr_histogram(
+                transcript.parse_turns(tx), "latency_ms", "tool_called"),
+            (50, 90, 99), "tool_called")
     if job == "convdedup":
         # the slowest suite leg: conversation reassembly + MinHash/LSH
         # near-dup pairs (identical to bench.py's conv_dedup_500k shape)
@@ -177,6 +186,10 @@ JOB_TITLES = {
         "Job 3 — north_star grok pipeline (functions/transcript.py: "
         "codegen-regexp parse of tool/status/latency markers → broadcast "
         "enrich → category aggregate; zero Python boundaries)"
+    ),
+    "hdr": (
+        "Job — HDR quantile sketch (grok parse -> log-bucket histogram "
+        "with map-side partial combine -> percentile walk on the sketch)"
     ),
     "pack": (
         "Job — loss-mask packing (convops.pack_with_masks: per-turn "
