@@ -90,3 +90,67 @@ def test_random_lines_match_pyref(spark, tool):
                     assert g == e, (c.name, ln, g, e)
 
     run()
+
+
+# --- round-4 operator properties --------------------------------------------
+
+
+def _lev_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab cd", min_size=0, max_size=24),
+                min_size=2, max_size=8))
+def test_editdist_refine_matches_python_on_random_pairs(spark, texts):
+    from anendektos_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(len(texts)) for j in range(i + 1, len(texts))],
+        "id_a long, id_b long",
+    )
+    got = {(r.id_a, r.id_b): (r.dist, r.sim_ppm)
+           for r in dedup.editdist_refine(docs, pairs).collect()}
+    for (a, b), (d, sim) in got.items():
+        exp = _lev_py(texts[a], texts[b])
+        m = max(len(texts[a]), len(texts[b]))
+        assert d == exp
+        assert sim == (10**6 if m == 0 else (10**6 * (m - exp)) // m)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=1, max_size=60))
+def test_hdr_bucket_property_random_values(spark, vals):
+    from anendektos_spark.functions import sketches
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    hist = {r.bucket: r.cnt
+            for r in sketches.hdr_histogram(df, "v", "g").collect()}
+
+    def bucket(v, s=5):
+        shift = max(v.bit_length() - 1 - s, 0) if v > 0 else 0
+        return shift * 32 + (v >> shift)
+
+    def lb(b, s=5):
+        k = max(b // 32 - 1, 0)
+        return (b - k * 32) << k
+
+    exp = {}
+    for v in vals:
+        exp[bucket(v)] = exp.get(bucket(v), 0) + 1
+    assert hist == exp
+    for v in vals:
+        l = lb(bucket(v))
+        assert l <= v and (v == l or v < l * (1 + 2 ** -5) or l < 32)
