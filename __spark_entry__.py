@@ -211,6 +211,7 @@ NEXT_ROTATION = [
     "sketch_hdr_accuracy",
     "sample_recency_weights",
     "embed_centroid_shift",
+    "profile_shuffle_plan",
 ]
 
 
@@ -884,6 +885,12 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_rate_by_source"] = lambda s, d: dedup.dup_rate_by_source(
         _t(s, d, "documents"),
         dedup.lsh_candidates(_t(s, d, "documents")),
+    )
+    # shuffle-plan advisor: per-hot-key salt factors for a prospective
+    # user_id shuffle (wide 50 KB rows against a 1 MiB partition target
+    # so the sf0.01 fixture produces hot keys)
+    q["profile_shuffle_plan"] = lambda s, d: logops.shuffle_plan(
+        _t(s, d, "events"), "user_id", row_bytes=50_000, target_mb=1
     )
     # embedding-space drift: per-label L1 centroid shift between the
     # even/odd vec_id halves played as periods a/b
@@ -3434,6 +3441,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o["sketch_hdr_latency"]}) s
           ON e.tool = s.tool_called AND e.p = s.p
     """
+    o["profile_shuffle_plan"] = logops.shuffle_plan_sql(
+        "SELECT user_id FROM events", "user_id", row_bytes=50_000, target_mb=1
+    )
     o["embed_centroid_shift"] = similarity.centroid_shift_sql(
         "SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END"
         " AS period, embedding FROM embeddings",

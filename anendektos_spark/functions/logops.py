@@ -962,3 +962,63 @@ def drift_report(
         )
         .withColumn("drift_ppm", F.abs(F.col("ppm_a") - F.col("ppm_b")))
     )
+
+
+def shuffle_plan(
+    df: DataFrame,
+    key_col: str,
+    row_bytes: int,
+    target_mb: int = 128,
+) -> DataFrame:
+    """Shuffle-plan advisor — the actionable counterpart of
+    :func:`skew_stats`: given a prospective shuffle key, an average row
+    width and a target partition size, emit the per-key SALT FACTORS a
+    salted repartition needs (keys whose single-partition payload would
+    exceed the target, with salt_factor = ceil(key_bytes / target)) so
+    hot keys split across exactly enough partitions and cold keys pay
+    nothing. Empty output = the key is safe to shuffle unsalted.
+
+    Output (key, n_rows, key_mb, salt_factor) for hot keys only — the
+    relation a pipeline broadcasts next to the data to compute
+    ``hash(key, row_hash % salt_factor)`` partition keys, bounded by the
+    number of hot keys, never the corpus. Integer ceil via
+    (a + b − 1) div b; ONE partial-combine count pass, a codegen filter
+    on the aggregated key relation, nothing else."""
+    if row_bytes <= 0 or target_mb <= 0:
+        raise ValueError(
+            f"row_bytes and target_mb must be positive, got {row_bytes}, {target_mb}"
+        )
+    target_bytes = target_mb * (1 << 20)
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    key_bytes = F.col("n_rows") * row_bytes
+    return (
+        counts.withColumn("_kb", key_bytes)
+        .filter(F.col("_kb") > target_bytes)
+        .select(
+            "key",
+            "n_rows",
+            F.expr("_kb div 1048576").alias("key_mb"),
+            F.expr(f"(_kb + {target_bytes}L - 1) div {target_bytes}L").alias(
+                "salt_factor"
+            ),
+        )
+    )
+
+
+def shuffle_plan_sql(
+    rel: str, key_col: str, row_bytes: int, target_mb: int = 128
+) -> str:
+    """DuckDB mirror of :func:`shuffle_plan`."""
+    tb = target_mb * (1 << 20)
+    return f"""
+        WITH c AS (SELECT {key_col} AS key,
+                          CAST(count(*) AS BIGINT) AS n_rows
+                   FROM ({rel}) GROUP BY 1),
+        k AS (SELECT key, n_rows, n_rows * {row_bytes} AS kb FROM c)
+        SELECT key, n_rows,
+               kb // 1048576 AS key_mb,
+               (kb + {tb} - 1) // {tb} AS salt_factor
+        FROM k WHERE kb > {tb}
+    """

@@ -2326,3 +2326,21 @@ def test_centroid_shift_hand_computed(spark):
     assert set(out) == {1, 2}
     assert (out[1].n_a, out[1].n_b, out[1].shift_l1_q) == (2, 2, 20)
     assert (out[2].n_a, out[2].n_b, out[2].shift_l1_q) == (1, 1, 0)
+
+
+def test_shuffle_plan_salt_factors(spark):
+    rows = [("hot",)] * 50 + [("warm",)] * 20 + [("cold",)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    # 1 MiB target, 100 KB rows: hot = 5 MB -> ceil to 5 partitions,
+    # warm = 2 MB -> 2, cold = 300 KB -> not emitted
+    out = {r.key: r for r in
+           logops.shuffle_plan(df, "k", row_bytes=100_000, target_mb=1).collect()}
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"].salt_factor == 5 and out["hot"].n_rows == 50
+    assert out["hot"].key_mb == (50 * 100_000) // (1 << 20)
+    assert out["warm"].salt_factor == 2
+    # exactly-at-target is NOT hot (strict >)
+    df2 = spark.createDataFrame([("k",)] * 16, "k string")
+    assert logops.shuffle_plan(df2, "k", 65_536, 1).count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        logops.shuffle_plan(df, "k", 0, 1)
