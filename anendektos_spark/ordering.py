@@ -32,3 +32,32 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 1
     and never touches the sort keys (SURVEY.md §7)."""
     salt = F.pmod(F.hash("turn_idx"), F.lit(salt_buckets))
     return df.repartition(num_partitions, F.col("conv_id"), salt)
+
+
+def plan_salted_repartition(
+    df: DataFrame,
+    plan: DataFrame,
+    num_partitions: int,
+    key_col: str = "conv_id",
+    salt_source: str = "turn_idx",
+) -> DataFrame:
+    """Plan-driven salting: where :func:`salted_repartition` splits EVERY
+    key over a fixed bucket count (cold keys lose co-location for
+    nothing), this consumes a ``logops.shuffle_plan`` relation and salts
+    each key by ITS OWN factor — hot keys split across exactly the
+    partitions their payload needs, keys absent from the plan keep
+    salt 0 and stay whole.
+
+    The plan is broadcast (bounded by hot keys, never the corpus), the
+    salt derives deterministically from ``salt_source``, and the output
+    is hash-partitioned on (key, salt). Stateless stages only, like
+    salted_repartition — the ordinal window still needs whole
+    conversations."""
+    p = plan.select(F.col("key").alias(key_col), "salt_factor")
+    salt = F.pmod(F.hash(salt_source), F.coalesce(F.col("salt_factor"), F.lit(1)))
+    return (
+        df.join(F.broadcast(p), key_col, "left")
+        .withColumn("_salt", salt)
+        .repartition(num_partitions, F.col(key_col), F.col("_salt"))
+        .drop("salt_factor", "_salt")
+    )

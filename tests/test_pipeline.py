@@ -151,3 +151,25 @@ def test_cli_config_roundtrip(tmp_path):
     js.write_text(json.dumps({"input_path": "/in", "output_root": "/out", "top_k": 3}))
     cfg = load_config(str(js))
     assert cfg.top_k == 3
+
+
+def test_plan_salted_repartition_splits_only_hot_keys(spark):
+    from anendektos_spark import ordering
+    from anendektos_spark.functions import logops
+    from pyspark.sql import functions as F
+
+    rows = [("hot", i) for i in range(400)] + [("cold", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    # 1 MiB target, 16 KB rows: hot = 6.25 MB -> salt_factor 7; cold absent
+    plan = logops.shuffle_plan(df, "conv_id", row_bytes=16_384, target_mb=1)
+    assert {r.key: r.salt_factor for r in plan.collect()} == {"hot": 7}
+    out = ordering.plan_salted_repartition(df, plan, 16)
+    assert out.count() == 405 and set(out.columns) == {"conv_id", "turn_idx"}
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("pid").alias("np"))
+    )
+    got = {r.conv_id: r.np for r in parts.collect()}
+    assert got["cold"] == 1          # un-salted keys keep co-location
+    assert 2 <= got["hot"] <= 7      # hot key spreads across its salts
