@@ -212,6 +212,7 @@ NEXT_ROTATION = [
     "sample_recency_weights",
     "embed_centroid_shift",
     "profile_shuffle_plan",
+    "text_vocab_drift",
 ]
 
 
@@ -885,6 +886,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_rate_by_source"] = lambda s, d: dedup.dup_rate_by_source(
         _t(s, d, "documents"),
         dedup.lsh_candidates(_t(s, d, "documents")),
+    )
+    # vocabulary drift: coverage of the odd-doc_id "new crawl" under the
+    # vocab built on the even-doc_id "old crawl" + frequent-OOV count
+    q["text_vocab_drift"] = lambda s, d: textstats.vocab_drift(
+        _t(s, d, "documents").filter(F.col("doc_id") % 2 == 0),
+        _t(s, d, "documents").filter(F.col("doc_id") % 2 == 1),
+        min_count=3,
     )
     # shuffle-plan advisor: per-hot-key salt factors for a prospective
     # user_id shuffle (wide 50 KB rows against a 1 MiB partition target
@@ -3441,6 +3449,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o["sketch_hdr_latency"]}) s
           ON e.tool = s.tool_called AND e.p = s.p
     """
+    o["text_vocab_drift"] = textstats.vocab_drift_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+        min_count=3,
+    )
     o["profile_shuffle_plan"] = logops.shuffle_plan_sql(
         "SELECT user_id FROM events", "user_id", row_bytes=50_000, target_mb=1
     )

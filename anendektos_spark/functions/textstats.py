@@ -1169,3 +1169,89 @@ def ngram_diversity_sql(
                (top_count * {scale}) // total_grams AS top_share_ppm
         FROM tot JOIN top ON tot.grp = top.grp
     """
+
+
+def vocab_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Tokenizer/vocabulary drift between crawl snapshots — the one-row
+    go/no-go for reusing period A's vocabulary on period B: coverage of
+    B's token instances under the vocab BUILT ON A (the complement is
+    the OOV rate a tokenizer trained on A suffers on B) and the count of
+    B-frequent types absent from A's vocab (the retrain signal — what a
+    coverage run on B alone cannot see).
+
+    Shape: vocab_build's one count shuffle per period, then the join at
+    TYPE grain (both sides aggregated, the A side min_count-cut and
+    broadcastable) and a 1-row fold. Integer ppm; nothing data-sized
+    crosses the driver."""
+    vocab = vocab_build(old_docs, min_count, text_col).select(
+        "token", F.lit(1).alias("_in_vocab")
+    )
+    toks = tokens(normalize_text(F.col(text_col)))
+    new_counts = (
+        new_docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    joined = new_counts.join(F.broadcast(vocab), "token", "left")
+    covered = F.col("_in_vocab").isNotNull()
+    return joined.agg(
+        F.sum("n").cast("long").alias("new_instances"),
+        F.count(F.lit(1)).cast("long").alias("new_types"),
+        F.sum(F.when(covered, F.col("n")).otherwise(0)).cast("long").alias(
+            "covered_instances"
+        ),
+        F.sum(F.when(~covered & (F.col("n") >= min_count), 1).otherwise(0))
+        .cast("long")
+        .alias("new_frequent_oov_types"),
+    ).select(
+        "new_instances",
+        "new_types",
+        "covered_instances",
+        "new_frequent_oov_types",
+        F.expr(f"(covered_instances * {scale}L) div new_instances").alias(
+            "coverage_ppm"
+        ),
+    )
+
+
+def vocab_drift_sql(
+    old_rel: str,
+    new_rel: str,
+    min_count: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`vocab_drift` (same canonicalization as the
+    text_vocab oracle: lowercase, collapsed whitespace, empty drop)."""
+    def counts(rel: str) -> str:
+        return f"""
+          SELECT t AS token, count(*) AS n
+          FROM (SELECT unnest(regexp_split_to_array(trim(regexp_replace(
+                         lower(text), '\\s+', ' ', 'g')), '\\s+')) AS t
+                FROM ({rel}))
+          WHERE t <> '' GROUP BY 1
+        """
+    return f"""
+        WITH oldc AS ({counts(old_rel)}),
+        vocab AS (SELECT token FROM oldc WHERE n >= {min_count}),
+        newc AS ({counts(new_rel)}),
+        j AS (SELECT newc.token, newc.n,
+                     vocab.token IS NOT NULL AS covered
+              FROM newc LEFT JOIN vocab ON newc.token = vocab.token)
+        SELECT CAST(sum(n) AS BIGINT) AS new_instances,
+               CAST(count(*) AS BIGINT) AS new_types,
+               CAST(sum(CASE WHEN covered THEN n ELSE 0 END) AS BIGINT)
+                 AS covered_instances,
+               CAST(sum(CASE WHEN NOT covered AND n >= {min_count}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_frequent_oov_types,
+               (CAST(sum(CASE WHEN covered THEN n ELSE 0 END) AS BIGINT)
+                 * {scale}) // CAST(sum(n) AS BIGINT) AS coverage_ppm
+        FROM j
+    """

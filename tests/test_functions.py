@@ -2344,3 +2344,21 @@ def test_shuffle_plan_salt_factors(spark):
     assert logops.shuffle_plan(df2, "k", 65_536, 1).count() == 0
     with pytest.raises(ValueError, match="positive"):
         logops.shuffle_plan(df, "k", 0, 1)
+
+
+def test_vocab_drift_hand_computed(spark):
+    old = spark.createDataFrame(
+        [(0, "alpha beta alpha beta gamma"), (1, "alpha beta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "alpha delta delta"), (3, "Delta  beta epsilon")],
+        "doc_id long, text string",
+    )
+    out = textstats.vocab_drift(old, new, min_count=2).collect()[0]
+    # vocab(old, min 2) = {alpha(3), beta(3)}
+    # new instances: alpha 1, delta 3 (case-folded), beta 1, epsilon 1 = 6
+    assert out.new_instances == 6 and out.new_types == 4
+    assert out.covered_instances == 2  # alpha + beta
+    assert out.new_frequent_oov_types == 1  # delta (3 >= 2); epsilon rare
+    assert out.coverage_ppm == (2 * 10**6) // 6
