@@ -213,6 +213,7 @@ NEXT_ROTATION = [
     "embed_centroid_shift",
     "profile_shuffle_plan",
     "text_vocab_drift",
+    "conv_collapse_runs",
 ]
 
 
@@ -851,6 +852,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_degenerate_runs"] = lambda s, d: convops.degenerate_runs(
         convops.synth_conv_degen(s, _CONV_N)
     )
+    # the removal counterpart: rewrite the corpus keeping each collapsed
+    # run's first turn, run_len recorded for downstream reweighting
+    q["conv_collapse_runs"] = lambda s, d: convops.collapse_degenerate_runs(
+        convops.synth_conv_degen(s, _CONV_N)
+    ).withColumn("ts_epoch", F.unix_timestamp("ts")).drop("ts")
     # conversation packing into token-budget bins with SFT loss masks
     q["conv_pack_masks"] = lambda s, d: convops.pack_with_masks(
         convops.synth_conv(s, _CONV_N), budget_tokens=256, n_buckets=16
@@ -3878,6 +3884,9 @@ def oracle_sql() -> dict[str, str]:
         _tx_rel, spike=(97, 40)
     )
     o["conv_degenerate_runs"] = convops.degenerate_runs_sql(
+        convops.synth_conv_degen_sql(_CONV_N)
+    )
+    o["conv_collapse_runs"] = convops.collapse_degenerate_runs_sql(
         convops.synth_conv_degen_sql(_CONV_N)
     )
     o["conv_pack_masks"] = convops.pack_with_masks_sql(

@@ -1136,3 +1136,71 @@ def conv_integrity_sql(rel: str) -> str:
         FROM g
         WHERE n_missing > 0 OR n_dup_idx > 0 OR n_ts_regressions > 0
     """
+
+
+def collapse_degenerate_runs(df: DataFrame, min_run: int = 3) -> DataFrame:
+    """The removal counterpart of :func:`degenerate_runs`: rewrite the
+    transcript keeping only the FIRST turn of every
+    ``min_run``-or-longer byte-identical consecutive run (the echo said
+    it once; the loop said nothing new), all other turns untouched —
+    the curation pass applied after detection flags a corpus.
+
+    Output = the input columns for surviving turns plus ``run_len`` (1
+    for turns outside any collapsed run... the run's length on the kept
+    representative), so downstream reweighting can see what was folded.
+
+    Same single-exchange shape as the detector: run boundaries, run ids
+    and the in-run position all come from windows over the ONE
+    (conv_id, turn_idx) sort; the filter is codegen. Linear in turns,
+    no joins, no second scan."""
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag(F.md5("text")).over(w)
+    new_run = F.when(prev.isNull() | (prev != F.md5("text")), 1).otherwise(0)
+    stamped = df.select("*", new_run.alias("_nr")).select(
+        "*",
+        F.sum("_nr")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_run"),
+    )
+    wr = Window.partitionBy("conv_id", "_run")
+    pos = F.row_number().over(wr.orderBy("turn_idx"))
+    run_len = F.count(F.lit(1)).over(wr)
+    out_cols = df.columns
+    return (
+        stamped.select("*", pos.alias("_pos"), run_len.alias("_len"))
+        .filter((F.col("_len") < min_run) | (F.col("_pos") == 1))
+        .select(
+            *out_cols,
+            F.when(F.col("_len") >= min_run, F.col("_len"))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("run_len"),
+        )
+    )
+
+
+def collapse_degenerate_runs_sql(rel: str, min_run: int = 3) -> str:
+    """DuckDB mirror of :func:`collapse_degenerate_runs` (ts carried as
+    ts_epoch, like every conv mirror)."""
+    return f"""
+        WITH c AS ({rel}),
+        l AS (SELECT *,
+                     CASE WHEN lag(md5(text)) OVER w IS NULL
+                            OR lag(md5(text)) OVER w <> md5(text)
+                          THEN 1 ELSE 0 END AS nr
+              FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        r AS (SELECT *, sum(nr) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM l),
+        p AS (SELECT *,
+                     row_number() OVER (PARTITION BY conv_id, run_id
+                                        ORDER BY turn_idx) AS pos,
+                     count(*) OVER (PARTITION BY conv_id, run_id) AS len
+              FROM r)
+        SELECT conv_id, turn_idx, role, text, tool, ts_epoch,
+               CAST(CASE WHEN len >= {min_run} THEN len ELSE 1 END
+                    AS BIGINT) AS run_len
+        FROM p WHERE len < {min_run} OR pos = 1
+    """

@@ -474,3 +474,30 @@ def test_truncate_context_final_turn_force_kept(spark):
     # the final turn alone exceeds the budget but must stay
     assert out[1].kept and out[1].suffix_chars == 500
     assert not out[0].kept
+
+
+def test_collapse_degenerate_runs(spark):
+    rows = [
+        ("c", 0, "user", "hi", None, _ts(0)),
+        ("c", 1, "assistant", "loop", "conn", _ts(5)),
+        ("c", 2, "assistant", "loop", "conn", _ts(10)),
+        ("c", 3, "assistant", "loop", "conn", _ts(15)),
+        ("c", 4, "user", "ok", None, _ts(20)),
+        ("c", 5, "assistant", "loop", "conn", _ts(25)),  # new run, len 1
+        ("d", 0, "user", "xx", None, _ts(0)),
+        ("d", 1, "user", "xx", None, _ts(5)),  # len 2 < min_run: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = {(r.conv_id, r.turn_idx): r
+           for r in convops.collapse_degenerate_runs(df, min_run=3).collect()}
+    # c: the 1-2-3 run collapses to turn 1 (run_len 3); 0, 4, 5 survive
+    assert set(out) == {("c", 0), ("c", 1), ("c", 4), ("c", 5),
+                        ("d", 0), ("d", 1)}
+    assert out[("c", 1)].run_len == 3
+    assert out[("c", 5)].run_len == 1
+    assert out[("d", 0)].run_len == 1 and out[("d", 1)].run_len == 1
+    assert out[("c", 0)].text == "hi"  # original columns pass through
+    with pytest.raises(ValueError, match="min_run"):
+        convops.collapse_degenerate_runs(df, min_run=1)
