@@ -214,6 +214,7 @@ NEXT_ROTATION = [
     "profile_shuffle_plan",
     "text_vocab_drift",
     "conv_collapse_runs",
+    "transcript_tool_paths",
 ]
 
 
@@ -641,6 +642,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
     q["transcript_conv_outcomes"] = lambda s, d: transcript.conv_outcomes(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    # frequent length-3 tool-call chains (k-gram mining of the call
+    # stream — "what multi-step procedures do agents actually run")
+    q["transcript_tool_paths"] = lambda s, d: transcript.tool_paths(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
     q["transcript_tool_cooccur"] = lambda s, d: transcript.tool_cooccurrence(
@@ -3444,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
     o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
     o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
+    o["transcript_tool_paths"] = transcript.tool_paths_sql(_tx_rel)
     o["sketch_hdr_latency"] = sketches.hdr_percentiles_sql(
         transcript.parse_turns_sql(_tx_rel), "latency_ms", "tool_called"
     )

@@ -810,3 +810,55 @@ def latency_mad_outliers_sql(
         FROM s5 WHERE dev > {k} * mad_ms
         """
     )
+
+
+def tool_paths(parsed: DataFrame, k: int = 3, top_n: int = 20) -> DataFrame:
+    """Frequent tool-call chains: the top ``top_n`` length-``k``
+    sequences of CONSECUTIVE tool invocations across conversations —
+    where tool_cooccur answers "which tools appear together" and the
+    Markov transitions answer "what follows what", this answers "what
+    multi-step procedures do agents actually run" (the k-gram mining of
+    the call stream). Ties rank deterministically by path string.
+
+    Shape: one (conv_id, turn_idx) sort window produces the k−1
+    lookahead columns (all k legs share the ONE conv_id exchange), a
+    codegen filter drops window-crossing tails, and the path count is a
+    map-side-combined aggregate at path grain; top-n compiles to
+    TakeOrderedAndProject. Linear in calls, no joins, no explode."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cols = [F.col("tool_called").alias("_t0")] + [
+        F.lead("tool_called", i).over(w).alias(f"_t{i}") for i in range(1, k)
+    ]
+    seq = parsed.select("conv_id", "turn_idx", *cols).filter(
+        F.col(f"_t{k - 1}").isNotNull()
+    )
+    path = F.concat_ws(">", *[f"_t{i}" for i in range(k)])
+    return (
+        seq.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(top_n)
+    )
+
+
+def tool_paths_sql(rel: str, k: int = 3, top_n: int = 20) -> str:
+    """DuckDB mirror of :func:`tool_paths`."""
+    leads = ", ".join(
+        f"lead(tool_called, {i}) OVER w AS t{i}" for i in range(1, k)
+    )
+    concat = " || '>' || ".join(f"t{i}" for i in range(k))
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , seqs AS (SELECT tool_called AS t0, {leads}
+                FROM parsed WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        paths AS (SELECT {concat} AS path FROM seqs WHERE t{k - 1} IS NOT NULL)
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM paths GROUP BY 1 ORDER BY n DESC, path LIMIT {top_n}
+    """
+    )

@@ -331,3 +331,24 @@ def test_latency_mad_outliers_sql_matches(spark):
         transcript.latency_mad_outliers_sql(
             transcript.synth_transcript_sql(4000), spike=(97, 40))).fetchall())
     assert rows and rows == orows
+
+
+def test_tool_paths_hand_computed(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        ("c1", 1, "a"), ("c1", 3, "b"), ("c1", 5, "c"), ("c1", 7, "a"),
+        ("c2", 1, "a"), ("c2", 3, "b"), ("c2", 5, "c"),
+        ("c3", 1, "x"), ("c3", 3, "y"),  # too short for k=3
+    ]
+    parsed = spark.createDataFrame(
+        [(c, t, tool, "OK", 0, 1) for c, t, tool in rows],
+        "conv_id string, turn_idx int, tool_called string, status string, "
+        "epoch long, latency_ms int",
+    )
+    out = [(r.path, r.n) for r in transcript.tool_paths(parsed, k=3).collect()]
+    # c1 contributes a>b>c and b>c>a; c2 contributes a>b>c; c3 nothing
+    assert out == [("a>b>c", 2), ("b>c>a", 1)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        transcript.tool_paths(parsed, k=1)
