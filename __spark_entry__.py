@@ -177,8 +177,12 @@ PRIORITY_QUERIES = [
 # dedup-aware cluster reweighting, leakage-safe splitting, JL random
 # projection, histogram drift, k-NN label propagation, centroid
 # outliers, embedding decontamination, MAD latency outliers,
-# generation-loop detection, loss-mask packing) queue behind the three
-# deferred TPC-H mirrors.
+# generation-loop detection + collapse, loss-mask packing, sequence
+# integrity, edit-distance refine, context truncation, score
+# calibration, length buckets, n-gram diversity, per-source dup rate,
+# HDR quantile sketch + accuracy audit, recency weights, centroid
+# shift, shuffle-plan advisor, vocab drift, tool-path mining) queue
+# behind the three deferred TPC-H mirrors.
 NEXT_ROTATION = [
     "tpch_q11",
     "tpch_q12",
