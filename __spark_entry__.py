@@ -219,6 +219,8 @@ NEXT_ROTATION = [
     "text_vocab_drift",
     "conv_collapse_runs",
     "transcript_tool_paths",
+    "transcript_wasted_latency",
+    "conv_split_episodes",
 ]
 
 
@@ -653,6 +655,16 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcript_tool_paths"] = lambda s, d: transcript.tool_paths(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
+    # compute-waste attribution: latency burned by non-OK calls per tool
+    q["transcript_wasted_latency"] = lambda s, d: transcript.wasted_latency(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    # idle-gap re-sessionization: split long conv_ids into episodes at
+    # >gap_s silences (synth turn deltas are 30s ± md5 jitter, i.e.
+    # 8-52s, so the 40s cut genuinely splits inside conversations)
+    q["conv_split_episodes"] = lambda s, d: convops.split_conversations(
+        convops.synth_conv(s, _CONV_N), gap_s=40
+    ).withColumn("ts_epoch", F.unix_timestamp("ts")).drop("ts")
     q["transcript_tool_cooccur"] = lambda s, d: transcript.tool_cooccurrence(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
@@ -3455,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
     o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
     o["transcript_tool_paths"] = transcript.tool_paths_sql(_tx_rel)
+    o["transcript_wasted_latency"] = transcript.wasted_latency_sql(_tx_rel)
     o["sketch_hdr_latency"] = sketches.hdr_percentiles_sql(
         transcript.parse_turns_sql(_tx_rel), "latency_ms", "tool_called"
     )
@@ -3899,6 +3912,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["conv_collapse_runs"] = convops.collapse_degenerate_runs_sql(
         convops.synth_conv_degen_sql(_CONV_N)
+    )
+    o["conv_split_episodes"] = convops.split_conversations_sql(
+        convops.synth_conv_sql(_CONV_N), gap_s=40
     )
     o["conv_pack_masks"] = convops.pack_with_masks_sql(
         _conv_rel, budget_tokens=256, n_buckets=16

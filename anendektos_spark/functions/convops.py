@@ -1204,3 +1204,65 @@ def collapse_degenerate_runs_sql(rel: str, min_run: int = 3) -> str:
                     AS BIGINT) AS run_len
         FROM p WHERE len < {min_run} OR pos = 1
     """
+
+
+def split_conversations(df: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Idle-gap re-sessionization at conversation grain: a long-running
+    agent session is ONE conv_id but many logical episodes — split it
+    wherever consecutive turns are more than ``gap_s`` apart, emitting
+    ``sub_conv_id = conv_id || '#' || episode`` (episodes numbered from
+    0 in turn order). The transcript analogue of logops.sessionize,
+    keyed by the conversation rather than the user.
+
+    One (conv_id, turn_idx) sort: the gap flag is a lag window and the
+    episode number a running sum over the same exchange; pure integer
+    epoch math. Output = input columns + episode + sub_conv_id."""
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be positive, got {gap_s}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_ts = F.lag(F.unix_timestamp("ts")).over(w)
+    new_ep = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - prev_ts) > gap_s),
+        1,
+    ).otherwise(0)
+    out_cols = df.columns
+    return (
+        df.select("*", new_ep.alias("_ne"))
+        .select(
+            "*",
+            (
+                F.sum("_ne")
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                - 1
+            )
+            .cast("int")
+            .alias("episode"),
+        )
+        .select(
+            *out_cols,
+            "episode",
+            F.concat_ws("#", "conv_id", F.col("episode").cast("string")).alias(
+                "sub_conv_id"
+            ),
+        )
+    )
+
+
+def split_conversations_sql(rel: str, gap_s: int = 1800) -> str:
+    """DuckDB mirror (ts carried as ts_epoch, like every conv mirror)."""
+    return f"""
+        WITH c AS ({rel}),
+        l AS (SELECT *,
+                     CASE WHEN lag(ts_epoch) OVER w IS NULL
+                            OR ts_epoch - lag(ts_epoch) OVER w > {gap_s}
+                          THEN 1 ELSE 0 END AS ne
+              FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        e AS (SELECT *, CAST(sum(ne) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+                             - 1 AS INT) AS episode
+              FROM l)
+        SELECT conv_id, turn_idx, role, text, tool, ts_epoch, episode,
+               conv_id || '#' || CAST(episode AS VARCHAR) AS sub_conv_id
+        FROM e
+    """

@@ -862,3 +862,54 @@ def tool_paths_sql(rel: str, k: int = 3, top_n: int = 20) -> str:
         FROM paths GROUP BY 1 ORDER BY n DESC, path LIMIT {top_n}
     """
     )
+
+
+def wasted_latency(parsed: DataFrame) -> DataFrame:
+    """Per-tool compute-waste attribution: total latency spent in calls,
+    the share burned by non-OK calls (the retry/timeout overhead
+    retry-loop detection localizes, totalled here), and the failing-call
+    count — the one-line answer to "which tool wastes the fleet's time".
+    waste_ppm = wasted_ms·10⁶ div total_ms, integer end to end.
+
+    One map-side-combined aggregate over the parsed stream; nothing else
+    shuffles."""
+    bad = F.col("status") != "OK"
+    return (
+        parsed.groupBy("tool_called")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.sum("latency_ms").cast("long").alias("total_ms"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_failed"),
+            F.sum(F.when(bad, F.col("latency_ms")).otherwise(0))
+            .cast("long")
+            .alias("wasted_ms"),
+        )
+        .select(
+            "tool_called",
+            "n_calls",
+            "total_ms",
+            "n_failed",
+            "wasted_ms",
+            F.expr("(wasted_ms * 1000000L) div total_ms").alias("waste_ppm"),
+        )
+    )
+
+
+def wasted_latency_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`wasted_latency`."""
+    return (
+        _parsed_cte(rel)
+        + """
+        SELECT tool_called,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(sum(latency_ms) AS BIGINT) AS total_ms,
+               CAST(sum(CASE WHEN status <> 'OK' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_failed,
+               CAST(sum(CASE WHEN status <> 'OK' THEN latency_ms ELSE 0 END)
+                    AS BIGINT) AS wasted_ms,
+               (CAST(sum(CASE WHEN status <> 'OK' THEN latency_ms ELSE 0 END)
+                     AS BIGINT) * 1000000)
+                 // CAST(sum(latency_ms) AS BIGINT) AS waste_ppm
+        FROM parsed GROUP BY 1
+    """
+    )

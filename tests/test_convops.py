@@ -501,3 +501,22 @@ def test_collapse_degenerate_runs(spark):
     assert out[("c", 0)].text == "hi"  # original columns pass through
     with pytest.raises(ValueError, match="min_run"):
         convops.collapse_degenerate_runs(df, min_run=1)
+
+
+def test_split_conversations_on_idle_gaps(spark):
+    rows = [
+        ("c", 0, "user", "a", None, _ts(0)),
+        ("c", 1, "assistant", "b", "conn", _ts(10)),
+        ("c", 2, "user", "d", None, _ts(50)),      # 40s gap > 30 -> split
+        ("c", 3, "assistant", "e", "dns", _ts(55)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = {r.turn_idx: r for r in
+           convops.split_conversations(df, gap_s=30).collect()}
+    assert [out[t].episode for t in range(4)] == [0, 0, 1, 1]
+    assert out[0].sub_conv_id == "c#0" and out[2].sub_conv_id == "c#1"
+    assert out[0].text == "a"  # input columns pass through
+    with pytest.raises(ValueError, match="gap_s"):
+        convops.split_conversations(df, gap_s=0)

@@ -352,3 +352,17 @@ def test_tool_paths_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         transcript.tool_paths(parsed, k=1)
+
+
+def test_wasted_latency_hand_computed(spark):
+    parsed = spark.createDataFrame(
+        [("c", 1, "conn", "OK", 0, 100), ("c", 3, "conn", "ERR", 0, 300),
+         ("c", 5, "conn", "TIMEOUT", 0, 600), ("d", 1, "dns", "OK", 0, 50)],
+        "conv_id string, turn_idx int, tool_called string, status string, "
+        "epoch long, latency_ms int",
+    )
+    out = {r.tool_called: r for r in transcript.wasted_latency(parsed).collect()}
+    c = out["conn"]
+    assert (c.n_calls, c.total_ms, c.n_failed, c.wasted_ms) == (3, 1000, 2, 900)
+    assert c.waste_ppm == 900_000
+    assert out["dns"].wasted_ms == 0 and out["dns"].waste_ppm == 0
