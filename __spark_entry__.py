@@ -221,6 +221,7 @@ NEXT_ROTATION = [
     "transcript_tool_paths",
     "transcript_wasted_latency",
     "conv_split_episodes",
+    "ann_recall_ivf",
 ]
 
 
@@ -332,6 +333,19 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("vec_id").alias("centroid_id"), "embedding"),
         3,
     )
+    # recall audit of the IVF path against brute-force ground truth at
+    # the same k and query block (the embedding twin of dedup_lsh_recall)
+    def _ann_recall_ivf(s, d):
+        emb = _t(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 8)
+        cents = qs.select(F.col("vec_id").alias("centroid_id"), "embedding")
+        return similarity.ann_recall_report(
+            similarity.brute_topk(emb, qs, 3),
+            similarity.ivf_topk(emb, qs, cents, 3),
+            3,
+        )
+
+    q["ann_recall_ivf"] = _ann_recall_ivf
     q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
         _t(s, d, "embeddings"),
         _t(s, d, "embeddings")
@@ -2693,6 +2707,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
                round(cos6, 4) AS cos_sim
         FROM r WHERE rk <= 5
+    """
+    o["ann_recall_ivf"] = f"""
+        WITH ex AS (SELECT query_id, neighbor_id
+                    FROM ({o["ann_cosine_topk"]}) WHERE rank <= 3),
+        ap AS (SELECT query_id, neighbor_id FROM ({o["ann_ivf_topk"]})),
+        hits AS (SELECT ex.query_id FROM ex
+                 JOIN ap ON ex.query_id = ap.query_id
+                        AND ex.neighbor_id = ap.neighbor_id)
+        SELECT (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM ex)
+                 AS n_queries,
+               (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+               CAST(((SELECT count(*) FROM hits) * 1000000)
+                    // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
     """
     o["ann_ivf_assign"] = f"""
         WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),

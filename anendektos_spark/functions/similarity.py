@@ -1038,3 +1038,45 @@ def centroid_shift_sql(
         FROM c WHERE ca IS NOT NULL AND cb IS NOT NULL
         GROUP BY 1
     """
+
+
+def ann_recall_report(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    k: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recall audit for an approximate neighbor path (IVF / PQ / LSH)
+    against brute-force ground truth on the same query block — the
+    embedding twin of dedup.lsh_recall_report, and the check a pipeline
+    runs on a sampled block before trusting nprobe/codebook parameters
+    corpus-wide. One row: query count, ground-truth pairs, hits,
+    recall_ppm = hits·scale div true_pairs (true pairs, not n_queries·k:
+    a query near the corpus edge may have fewer than k true neighbors).
+
+    Both inputs are (query_id, neighbor_id, …) top-k relations — tiny by
+    construction (queries × k); the audit is one inner join on the pair
+    key plus a single fold. Ground truth is capped to rank ≤ k in case
+    the exact leg was built with a larger k."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ex = exact_topk.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    ap = approx_topk.select("query_id", "neighbor_id")
+    inter = ex.join(ap, ["query_id", "neighbor_id"]).select(
+        F.lit(1).alias("_hit")
+    )
+    return (
+        ex.agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        )
+        .crossJoin(inter.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_true_pairs",
+            "n_hits",
+            F.expr(f"(n_hits * {scale}L) div n_true_pairs").alias(
+                "recall_ppm"
+            ),
+        )
+    )

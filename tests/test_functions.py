@@ -2362,3 +2362,22 @@ def test_vocab_drift_hand_computed(spark):
     assert out.covered_instances == 2  # alpha + beta
     assert out.new_frequent_oov_types == 1  # delta (3 >= 2); epsilon rare
     assert out.coverage_ppm == (2 * 10**6) // 6
+
+
+def test_ann_recall_report_hand_computed(spark):
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (1, 99, 4)],  # rank 4: beyond k, must be ignored
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 77), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    r = similarity.ann_recall_report(exact, approx, 3).collect()[0]
+    # hits: q1 {10, 12}, q2 all three -> 5 of 6 true pairs
+    assert (r.n_queries, r.n_true_pairs, r.n_hits) == (2, 6, 5)
+    assert r.recall_ppm == (5 * 10**6) // 6
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.ann_recall_report(exact, approx, 0)
