@@ -222,6 +222,8 @@ NEXT_ROTATION = [
     "transcript_wasted_latency",
     "conv_split_episodes",
     "ann_recall_ivf",
+    "ann_l2_topk",
+    "ann_recall_pq",
 ]
 
 
@@ -346,6 +348,22 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_recall_ivf"] = _ann_recall_ivf
+    # exact squared-L2 top-k: the ground truth PQ's asymmetric distance
+    # approximates (cosine only agrees on normalized vectors)
+    q["ann_l2_topk"] = lambda s, d: similarity.brute_l2_topk(
+        _t(s, d, "embeddings"), _t(s, d, "embeddings").filter(F.col("vec_id") < 8), 5
+    )
+
+    def _ann_recall_pq(s, d):
+        emb = _t(s, d, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 8)
+        return similarity.ann_recall_report(
+            similarity.brute_l2_topk(emb, qs, 5),
+            similarity.pq_topk(emb, qs, similarity.pq_codebook(emb), 5),
+            5,
+        )
+
+    q["ann_recall_pq"] = _ann_recall_pq
     q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
         _t(s, d, "embeddings"),
         _t(s, d, "embeddings")
@@ -2708,6 +2726,25 @@ def oracle_sql() -> dict[str, str]:
                round(cos6, 4) AS cos_sim
         FROM r WHERE rk <= 5
     """
+    _d2 = (
+        "list_reduce(list_transform(range(64), i ->"
+        " (q.qv[i+1] - e.v[i+1]) * (q.qv[i+1] - e.v[i+1])),"
+        " (acc, x) -> acc + x)"
+    )
+    o["ann_l2_topk"] = f"""
+        WITH e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round({_d2}, 6) AS d6
+              FROM e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, d6,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY d6 ASC, neighbor_id ASC) AS rk
+              FROM s)
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
+               round(d6, 4) AS d2
+        FROM r WHERE rk <= 5
+    """
     o["ann_recall_ivf"] = f"""
         WITH ex AS (SELECT query_id, neighbor_id
                     FROM ({o["ann_cosine_topk"]}) WHERE rank <= 3),
@@ -3684,6 +3721,19 @@ def oracle_sql() -> dict[str, str]:
     """
     # uniform-race weighted sample (sampling.weighted_sample): identical
     # md5 uniform, integer weight quantization, HUGEINT priority divide
+    o["ann_recall_pq"] = f"""
+        WITH ex AS (SELECT query_id, neighbor_id FROM ({o["ann_l2_topk"]})),
+        ap AS (SELECT query_id, neighbor_id FROM ({o["ann_pq_topk"]})),
+        hits AS (SELECT ex.query_id FROM ex
+                 JOIN ap ON ex.query_id = ap.query_id
+                        AND ex.neighbor_id = ap.neighbor_id)
+        SELECT (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM ex)
+                 AS n_queries,
+               (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+               CAST(((SELECT count(*) FROM hits) * 1000000)
+                    // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
+    """
     o["sample_weighted"] = """
         WITH s AS (
           SELECT doc_id, source,

@@ -1080,3 +1080,39 @@ def ann_recall_report(
             ),
         )
     )
+
+
+def brute_l2_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth PQ's asymmetric distance
+    actually approximates (cosine ground truth only matches it on
+    normalized vectors). Same shape and determinism contract as
+    :func:`brute_topk`: broadcast queries, one sequential double fold
+    per candidate, rank on round(d², 6) ASC with neighbor-id tiebreak."""
+    qv = as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+    nv = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        base.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(d2, 6).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("d2", 4).alias("d2"))
+    )

@@ -2381,3 +2381,21 @@ def test_ann_recall_report_hand_computed(spark):
     assert r.recall_ppm == (5 * 10**6) // 6
     with pytest.raises(ValueError, match="k must be"):
         similarity.ann_recall_report(exact, approx, 0)
+
+
+def test_brute_l2_topk_matches_python(spark):
+    import math
+
+    vecs = {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0], 3: [2.0, 2.0]}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = [(r.neighbor_id, r.rank, r.d2) for r in
+           similarity.brute_l2_topk(emb, emb.filter(F.col("vec_id") == 0), 2)
+           .orderBy("rank").collect()]
+    d = {j: sum((a - b) ** 2 for a, b in zip(vecs[0], vecs[j]))
+         for j in (1, 2, 3)}
+    expect = sorted(d, key=lambda j: (round(d[j], 6), j))[:2]
+    assert [n for n, _, _ in out] == expect
+    for n, _, d2 in out:
+        assert d2 == round(d[n], 4)
