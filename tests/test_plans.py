@@ -459,3 +459,58 @@ def test_editdist_refine_no_cartesian(spark):
     # id-keyed equi-joins; the pair set is never formed by a cross join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_single_exchange_window_ops(spark):
+    """truncate_context and calibrate_scores must each run on ONE hash
+    exchange (shared by their windows); tool_paths on one conv_id
+    exchange with no joins or explodes."""
+    from anendektos_spark.functions import convops, sampling, transcript
+
+    tx = convops.synth_conv(spark, 640)
+    d1 = convops.truncate_context(tx)
+    d1.collect()
+    # executedPlan prints Final + Initial under AQE: count the final only
+    p1 = d1._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert p1.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p1
+
+    sc = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(i % 7) / 7) for i in range(60)],
+        "doc_id long, source string, quality double",
+    )
+    d2 = sampling.calibrate_scores(sc, "quality")
+    d2.collect()
+    p2 = d2._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p2
+
+    parsed = transcript.parse_turns(transcript.synth_transcript(spark, 640))
+    d3 = transcript.tool_paths(parsed, k=3)
+    d3.collect()
+    p3 = d3._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "Join" not in p3 and "Generate" not in p3
+    assert "TakeOrderedAndProject" in p3
+
+
+def test_hdr_histogram_partial_combine_and_sketch_grain_walk(spark):
+    """The histogram shuffle must be map-side combined (partial_count
+    below the exchange); the percentile walk must add no exchange beyond
+    the sketch's own window partitioning."""
+    from anendektos_spark.functions import sketches
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 13) % 997 + 1).cast("long").alias("v"),
+    )
+    h = sketches.hdr_histogram(df, "v", "g")
+    h.collect()
+    ph = h._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in ph  # map-side combine below the exchange
+    p = sketches.hdr_percentiles(h, (50, 99), "g")
+    p.collect()
+    pp = p._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pp and "Join" not in pp
