@@ -224,6 +224,7 @@ NEXT_ROTATION = [
     "ann_recall_ivf",
     "ann_l2_topk",
     "ann_recall_pq",
+    "conv_episode_stats",
 ]
 
 
@@ -697,6 +698,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_split_episodes"] = lambda s, d: convops.split_conversations(
         convops.synth_conv(s, _CONV_N), gap_s=40
     ).withColumn("ts_epoch", F.unix_timestamp("ts")).drop("ts")
+    # per-episode rollup: the natural SFT-example boundary for
+    # long-running agents (composes on the splitter's one exchange)
+    q["conv_episode_stats"] = lambda s, d: convops.episode_stats(
+        convops.synth_conv(s, _CONV_N), gap_s=40
+    )
     q["transcript_tool_cooccur"] = lambda s, d: transcript.tool_cooccurrence(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
@@ -3992,6 +3998,9 @@ def oracle_sql() -> dict[str, str]:
         convops.synth_conv_degen_sql(_CONV_N)
     )
     o["conv_split_episodes"] = convops.split_conversations_sql(
+        convops.synth_conv_sql(_CONV_N), gap_s=40
+    )
+    o["conv_episode_stats"] = convops.episode_stats_sql(
         convops.synth_conv_sql(_CONV_N), gap_s=40
     )
     o["conv_pack_masks"] = convops.pack_with_masks_sql(

@@ -1266,3 +1266,44 @@ def split_conversations_sql(rel: str, gap_s: int = 1800) -> str:
                conv_id || '#' || CAST(episode AS VARCHAR) AS sub_conv_id
         FROM e
     """
+
+
+def episode_stats(df: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Per-episode rollup over :func:`split_conversations`: turn count,
+    wall-clock duration, distinct tools touched, and role mix — the
+    relation a curation pass filters when selecting complete,
+    tool-using episodes as training units (an episode, not the raw
+    conv_id, is the natural SFT example boundary for long-running
+    agents).
+
+    The splitter's window and this groupBy both key on conv_id
+    (sub_conv grain is a superset), so the whole composition executes on
+    the splitter's ONE exchange; integer epoch math throughout."""
+    eps = split_conversations(df, gap_s)
+    return (
+        eps.groupBy("conv_id", "episode", "sub_conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            ).cast("long").alias("duration_s"),
+            F.count_distinct("tool").cast("long").alias("n_tools"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+            .cast("long")
+            .alias("n_assistant"),
+        )
+    )
+
+
+def episode_stats_sql(rel: str, gap_s: int = 1800) -> str:
+    """DuckDB mirror of :func:`episode_stats`."""
+    return f"""
+        WITH eps AS ({split_conversations_sql(rel, gap_s)})
+        SELECT conv_id, episode, sub_conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(max(ts_epoch) - min(ts_epoch) AS BIGINT) AS duration_s,
+               CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant
+        FROM eps GROUP BY 1, 2, 3
+    """

@@ -520,3 +520,21 @@ def test_split_conversations_on_idle_gaps(spark):
     assert out[0].text == "a"  # input columns pass through
     with pytest.raises(ValueError, match="gap_s"):
         convops.split_conversations(df, gap_s=0)
+
+
+def test_episode_stats_rollup(spark):
+    rows = [
+        ("c", 0, "user", "a", None, _ts(0)),
+        ("c", 1, "assistant", "b", "conn", _ts(10)),
+        ("c", 2, "user", "d", None, _ts(50)),
+        ("c", 3, "assistant", "e", "dns", _ts(55)),
+        ("c", 4, "assistant", "f", "conn", _ts(58)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = {r.sub_conv_id: r for r in
+           convops.episode_stats(df, gap_s=30).collect()}
+    e0, e1 = out["c#0"], out["c#1"]
+    assert (e0.n_turns, e0.duration_s, e0.n_tools, e0.n_assistant) == (2, 10, 1, 1)
+    assert (e1.n_turns, e1.duration_s, e1.n_tools, e1.n_assistant) == (3, 8, 2, 2)
