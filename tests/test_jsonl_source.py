@@ -1,0 +1,44 @@
+"""JSONL transcript source: parse contract + reject channel."""
+
+from pyspark.sql import functions as F
+
+from anendektos_spark.sources.jsonl import read_jsonl
+
+
+def test_read_jsonl_rows_and_rejects(spark, tmp_path):
+    lines = [
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",'
+        ' "tool": null, "ts_epoch": 1767225600}',
+        '{"conv_id": "c1", "turn_idx": 1, "role": "assistant",'
+        ' "text": "run", "tool": "conn", "ts_epoch": 1767225630,'
+        ' "extra_key": 42}',
+        "",  # blank: silently skipped
+        "not json at all {",
+        '{"role": "user", "text": "orphan"}',  # missing identity
+    ]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    r = read_jsonl(spark, str(p))
+    rows = {(x.conv_id, x.turn_idx): x for x in r.rows.collect()}
+    assert set(rows) == {("c1", 0), ("c1", 1)}
+    assert rows[("c1", 1)].tool == "conn"
+    assert rows[("c1", 0)].ts.isoformat().startswith("2026-01-01")
+    rej = {x.reject_reason for x in r.rejects.collect()}
+    assert rej == {"bad_json", "missing_identity"}
+    assert r.rejects.count() == 2
+
+
+def test_read_jsonl_feeds_pipeline_shape(spark, tmp_path):
+    """The source output drives conversation operators unchanged."""
+    from anendektos_spark.functions import convops
+
+    lines = [
+        f'{{"conv_id": "c", "turn_idx": {i}, "role": "user",'
+        f' "text": "w{i}", "tool": null, "ts_epoch": {1767225600 + i * 30}}}'
+        for i in range(4)
+    ]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    r = read_jsonl(spark, str(p))
+    out = convops.conv_reconstruct(r.rows).collect()
+    assert len(out) == 1 and out[0].n_turns == 4
