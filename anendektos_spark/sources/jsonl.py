@@ -39,15 +39,8 @@ class JsonlRead:
     rejects: DataFrame
 
 
-def read_jsonl(spark: SparkSession, path: str) -> JsonlRead:
-    """Read JSONL transcripts under ``path``; returns (rows, rejects).
-
-    rows: the transcript shape (conv_id, turn_idx, role, text, tool, ts).
-    rejects: (line, reject_reason) — bad_json for unparseable lines,
-    missing_identity when conv_id/turn_idx is absent or null. Blank
-    lines are silently skipped (they carry no record, like the TSV
-    source's comment filter)."""
-    raw = spark.read.text(path).filter(F.trim("value") != "")
+def _shape(raw: DataFrame) -> JsonlRead:
+    raw = raw.filter(F.trim("value") != "")
     # PERMISSIVE from_json yields an all-null struct (not a null struct)
     # for malformed input, so bad JSON is detected the standard way: a
     # corrupt-record column in the schema that from_json fills with the
@@ -79,3 +72,24 @@ def read_jsonl(spark: SparkSession, path: str) -> JsonlRead:
         .alias("reject_reason"),
     )
     return JsonlRead(rows=rows, rejects=rejects)
+
+
+def read_jsonl(spark: SparkSession, path: str) -> JsonlRead:
+    """Read JSONL transcripts under ``path``; returns (rows, rejects).
+
+    rows: the transcript shape (conv_id, turn_idx, role, text, tool, ts).
+    rejects: (line, reject_reason) — bad_json for unparseable lines,
+    missing_identity when conv_id/turn_idx is absent or null. Blank
+    lines are silently skipped (they carry no record, like the TSV
+    source's comment filter)."""
+    return _shape(spark.read.text(path))
+
+
+def stream_jsonl(spark: SparkSession, path: str) -> JsonlRead:
+    """Streaming twin of :func:`read_jsonl`: the same explicit-schema
+    shaping over ``readStream.text`` — new JSONL files appearing under
+    ``path`` become transcript rows + rejects exactly once (file-source
+    checkpointing), ready for the foreachBatch fan-out or any stateful
+    op downstream. Identical select exprs, so stream == batch row-for-row
+    on the same files (pinned in tests)."""
+    return _shape(spark.readStream.text(path))

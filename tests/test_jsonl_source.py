@@ -42,3 +42,37 @@ def test_read_jsonl_feeds_pipeline_shape(spark, tmp_path):
     r = read_jsonl(spark, str(p))
     out = convops.conv_reconstruct(r.rows).collect()
     assert len(out) == 1 and out[0].n_turns == 4
+
+
+def test_stream_jsonl_equals_batch(spark, tmp_path):
+    from anendektos_spark.sources.jsonl import stream_jsonl
+
+    lines = [
+        '{"conv_id": "c", "turn_idx": 0, "role": "user", "text": "a",'
+        ' "tool": null, "ts_epoch": 1767225600}',
+        "garbage {",
+        '{"conv_id": "c", "turn_idx": 1, "role": "assistant", "text": "b",'
+        ' "tool": "dns", "ts_epoch": 1767225630}',
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(lines) + "\n")
+    out_rows = str(tmp_path / "rows")
+    out_rej = str(tmp_path / "rej")
+    s = stream_jsonl(spark, str(d))
+    q1 = (s.rows.writeStream.format("parquet")
+          .option("path", out_rows)
+          .option("checkpointLocation", str(tmp_path / "ck1"))
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2 = (s.rejects.writeStream.format("parquet")
+          .option("path", out_rej)
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    batch = read_jsonl(spark, str(d))
+    sr = {(r.conv_id, r.turn_idx, r.text) for r in
+          spark.read.parquet(out_rows).collect()}
+    br = {(r.conv_id, r.turn_idx, r.text) for r in batch.rows.collect()}
+    assert sr == br and len(sr) == 2
+    assert spark.read.parquet(out_rej).collect()[0].reject_reason == "bad_json"
