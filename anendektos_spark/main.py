@@ -75,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", help="transcripts path (overrides config input_path)")
     ap.add_argument("--output", help="stage-store root (overrides config output_root)")
     ap.add_argument(
+        "--input-format", choices=("parquet", "jsonl"), default=None,
+        help="transcripts input format (zeek mode; default parquet)",
+    )
+    ap.add_argument(
         "--mode", choices=("zeek", "grok"), default="zeek",
         help="zeek = embedded-log-line parse pipeline (default); "
              "grok = north-star marker-payload parse→enrich→route→agg",
@@ -93,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
             cfg.output_root = args.output
     else:
         cfg = ctor(input_path=args.input, output_root=args.output)
+    if args.input_format:
+        if args.mode != "zeek":
+            ap.error("--input-format applies to the zeek pipeline only")
+        cfg.input_format = args.input_format
 
     # Under spark-submit the session already exists and carries the
     # cluster config; getOrCreate picks it up. Standalone runs fall back

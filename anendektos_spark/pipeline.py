@@ -51,6 +51,7 @@ from .schemas import KEY_COLUMN, KNOWN_TOOLS, SINKS
 class PipelineConfig:
     input_path: str                      # parquet dir (or iceberg table in prod)
     output_root: str                     # stage store root
+    input_format: str = "parquet"        # or "jsonl" (sources/jsonl.py)
     dialect: Dialect = field(default_factory=Dialect)
     addr_mode: str = "normalize"         # or "passthrough" (zero-Python parse)
     add_ordinal: bool = True             # O18 stable ordinal per conversation
@@ -67,6 +68,7 @@ class PipelineConfig:
         ident = json.dumps(
             {
                 "input": self.input_path,
+                "input_format": self.input_format,
                 "dialect": self.dialect.__dict__,
                 "addr_mode": self.addr_mode,
                 "ordinal": self.add_ordinal,
@@ -78,6 +80,15 @@ class PipelineConfig:
 
 
 def read_transcripts(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Transcript rows for the configured input format. For jsonl the
+    source-level reject channel is committed by run_pipeline as its own
+    ``source_rejects`` stage (never silently dropped)."""
+    if cfg.input_format == "jsonl":
+        from .sources.jsonl import read_jsonl
+
+        return read_jsonl(spark, cfg.input_path).rows
+    if cfg.input_format != "parquet":
+        raise ValueError(f"unknown input_format {cfg.input_format!r}")
     return spark.read.parquet(cfg.input_path)
 
 
@@ -97,6 +108,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     metrics: dict = {"fingerprint": fp, "stages": {}}
 
     tx = read_transcripts(spark, cfg)
+
+    # --- source-grain rejects (jsonl: bad_json / missing_identity) ---
+    if cfg.input_format == "jsonl":
+        from .sources.jsonl import read_jsonl
+
+        t0 = time.time()
+        if not store.is_committed("source_rejects", fp):
+            res = store.commit(
+                read_jsonl(spark, cfg.input_path).rejects, "source_rejects", fp
+            )
+        else:
+            res = store.commit(None, "source_rejects", fp)  # type: ignore[arg-type]
+        _record(metrics, "source_rejects", t0, res)
+
     if cfg.repartition:
         tx = salted_repartition(tx, cfg.repartition, cfg.salt_buckets)
     # persist ONCE before the fan-out: the six parsed_<tool> commits and the

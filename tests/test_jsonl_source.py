@@ -76,3 +76,40 @@ def test_stream_jsonl_equals_batch(spark, tmp_path):
     br = {(r.conv_id, r.turn_idx, r.text) for r in batch.rows.collect()}
     assert sr == br and len(sr) == 2
     assert spark.read.parquet(out_rej).collect()[0].reject_reason == "bad_json"
+
+
+def test_pipeline_runs_on_jsonl_input(spark, tmp_path):
+    """The full zeek pipeline over a JSONL delivery: same sink counts as
+    the parquet path on identical rows, plus the committed source-grain
+    reject stage."""
+    import json as _json
+
+    from anendektos_spark.fixtures import fixture_transcripts
+    from anendektos_spark.pipeline import PipelineConfig, run_pipeline
+
+    tx = fixture_transcripts(spark)
+    rows = [
+        _json.dumps({
+            "conv_id": r.conv_id, "turn_idx": r.turn_idx, "role": r.role,
+            "text": r.text, "tool": r.tool,
+            "ts_epoch": int(r.ts.timestamp()),
+        })
+        for r in tx.collect()
+    ] + ["busted {"]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "t.jsonl").write_text("\n".join(rows) + "\n")
+
+    cfg = PipelineConfig(
+        input_path=str(d), output_root=str(tmp_path / "out"),
+        input_format="jsonl", addr_mode="passthrough",
+    )
+    m = run_pipeline(spark, cfg)
+    st = m["stages"]
+    assert st["source_rejects"]["rows"] == 1
+    for tool, n in (("conn", 6), ("dns", 4), ("http", 3),
+                    ("files", 4), ("ssl", 4), ("x509", 3)):
+        assert st[f"parsed_{tool}"]["rows"] == n, tool
+    # resume: second run touches nothing
+    m2 = run_pipeline(spark, cfg)
+    assert all(v["resumed"] for v in m2["stages"].values())
