@@ -225,6 +225,7 @@ NEXT_ROTATION = [
     "ann_l2_topk",
     "ann_recall_pq",
     "conv_episode_stats",
+    "text_langid_confusion",
 ]
 
 
@@ -942,6 +943,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # conversation token counts (padding-waste diagnostic)
     q["sample_length_buckets"] = lambda s, d: sampling.length_buckets(
         convops.conv_reconstruct(convops.synth_conv(s, _CONV_N)), "n_tokens"
+    )
+    # lang-ID heuristic audited against the labeled lang column (the
+    # confusion relation + per-label recall shares)
+    q["text_langid_confusion"] = lambda s, d: textstats.lang_id_confusion(
+        _t(s, d, "documents")
     )
     # per-source bigram diversity + dominant-gram share (the synthetic
     # data mode-collapse audit)
@@ -3833,6 +3839,9 @@ def oracle_sql() -> dict[str, str]:
                END AS sim_ppm
         FROM scored WHERE dist <= 100
     """
+    o["text_langid_confusion"] = textstats.lang_id_confusion_sql(
+        "SELECT doc_id, lang, text FROM documents"
+    )
     o["text_ngram_diversity"] = textstats.ngram_diversity_sql(
         "SELECT source, text FROM documents"
     )

@@ -1255,3 +1255,69 @@ def vocab_drift_sql(
                  * {scale}) // CAST(sum(n) AS BIGINT) AS coverage_ppm
         FROM j
     """
+
+
+def lang_id_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.05,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Accuracy audit of the lang-ID heuristic against labeled data: the
+    (label, prediction) confusion relation with per-label integer recall
+    shares — the check a pipeline runs on a labeled sample before
+    trusting the heuristic to gate an unlabeled corpus (ship the
+    classifier WITH its evaluation, like the LSH/ANN recall audits).
+
+    One narrow prediction map + one map-side-combined count at
+    (label, pred) grain; the per-label total is a window over that tiny
+    relation, never a second scan."""
+    pred = lang_id(df, id_col, text_col, threshold).select(id_col, "pred_lang")
+    labeled = df.select(F.col(id_col), F.col(label_col).alias("label"))
+    conf = (
+        labeled.join(pred, id_col)
+        .groupBy("label", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("label")
+    return conf.select(
+        "label",
+        "pred_lang",
+        "n",
+        F.expr(f"(n * {scale}L)").alias("_num"),
+        F.sum("n").over(w).cast("long").alias("_tot"),
+    ).select(
+        "label",
+        "pred_lang",
+        "n",
+        F.expr("_num div _tot").alias("share_ppm"),
+    )
+
+
+def lang_id_confusion_sql(
+    rel: str,
+    label_col: str = "lang",
+    threshold: float = 0.05,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`lang_id_confusion` (same stopword-ratio
+    heuristic as the text_lang_id oracle)."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+        WITH t AS (SELECT doc_id, {label_col} AS label, {toks} AS toks
+                   FROM ({rel})),
+        p AS (SELECT doc_id, label,
+                     CASE WHEN CAST(len(list_filter(toks,
+                              x -> x IN ({stoplist}))) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE) >= {threshold}
+                          THEN 'en' ELSE 'und' END AS pred_lang
+              FROM t),
+        c AS (SELECT label, pred_lang, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2)
+        SELECT label, pred_lang, n,
+               (n * {scale}) // sum(n) OVER (PARTITION BY label) AS share_ppm
+        FROM c
+    """

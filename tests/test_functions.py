@@ -2399,3 +2399,18 @@ def test_brute_l2_topk_matches_python(spark):
     assert [n for n, _, _ in out] == expect
     for n, _, d2 in out:
         assert d2 == round(d[n], 4)
+
+
+def test_lang_id_confusion_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "en", "the cat sat on the mat"),      # en-ish: stopword hits
+         (1, "en", "zz yy xx ww vv"),              # en mislabeled as und
+         (2, "de", "der hund lief im park heute"), # no en stopwords: und
+         (3, "de", "the of and to in is it")],     # de that looks en
+        "doc_id long, lang string, text string",
+    )
+    out = {(r.label, r.pred_lang): r
+           for r in textstats.lang_id_confusion(docs).collect()}
+    assert out[("en", "en")].n == 1 and out[("en", "und")].n == 1
+    assert out[("en", "en")].share_ppm == 500_000
+    assert out[("de", "und")].n == 1 and out[("de", "en")].n == 1
