@@ -226,6 +226,7 @@ NEXT_ROTATION = [
     "ann_recall_pq",
     "conv_episode_stats",
     "text_langid_confusion",
+    "conv_repair_order",
 ]
 
 
@@ -913,6 +914,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_degenerate_runs"] = lambda s, d: convops.degenerate_runs(
         convops.synth_conv_degen(s, _CONV_N)
     )
+    # repair companion of conv_integrity: dense 0-based turn_idx in
+    # (ts, turn_idx, text) order over the corrupted generator
+    q["conv_repair_order"] = lambda s, d: convops.repair_turn_order(
+        convops.synth_conv_corrupt(s, _CONV_N)
+    ).withColumn("ts_epoch", F.unix_timestamp("ts")).drop("ts")
     # the removal counterpart: rewrite the corpus keeping each collapsed
     # run's first turn, run_len recorded for downstream reweighting
     q["conv_collapse_runs"] = lambda s, d: convops.collapse_degenerate_runs(
@@ -4002,6 +4008,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["conv_degenerate_runs"] = convops.degenerate_runs_sql(
         convops.synth_conv_degen_sql(_CONV_N)
+    )
+    o["conv_repair_order"] = convops.repair_turn_order_sql(
+        convops.synth_conv_corrupt_sql(_CONV_N)
     )
     o["conv_collapse_runs"] = convops.collapse_degenerate_runs_sql(
         convops.synth_conv_degen_sql(_CONV_N)

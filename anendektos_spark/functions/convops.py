@@ -1307,3 +1307,43 @@ def episode_stats_sql(rel: str, gap_s: int = 1800) -> str:
                     AS BIGINT) AS n_assistant
         FROM eps GROUP BY 1, 2, 3
     """
+
+
+def repair_turn_order(df: DataFrame) -> DataFrame:
+    """Repair companion of :func:`conv_integrity`: reassign each
+    conversation's turn_idx as a dense 0-based sequence in (ts,
+    turn_idx, text) order — duplicates and gaps close up, timestamp
+    regressions resolve to arrival order, and the original index is
+    kept as ``orig_turn_idx`` so the rewrite is auditable. Idempotent:
+    repairing repaired output is the identity.
+
+    One (conv_id) exchange + one local sort; the tie chain makes the
+    new ordering total, so the output is partition- and engine-
+    deterministic. Input columns pass through."""
+    w = Window.partitionBy("conv_id").orderBy(
+        F.unix_timestamp("ts"), F.col("turn_idx"), F.col("text")
+    )
+    out_cols = [c for c in df.columns if c != "turn_idx"]
+    return df.select(
+        "*",
+        (F.row_number().over(w) - 1).cast("int").alias("_new_idx"),
+    ).select(
+        "conv_id",
+        F.col("_new_idx").alias("turn_idx"),
+        F.col("turn_idx").alias("orig_turn_idx"),
+        *[c for c in out_cols if c != "conv_id"],
+    )
+
+
+def repair_turn_order_sql(rel: str) -> str:
+    """DuckDB mirror (ts carried as ts_epoch)."""
+    return f"""
+        WITH c AS ({rel})
+        SELECT conv_id,
+               CAST(row_number() OVER (PARTITION BY conv_id
+                      ORDER BY ts_epoch, turn_idx, text) - 1 AS INT)
+                 AS turn_idx,
+               turn_idx AS orig_turn_idx,
+               role, text, tool, ts_epoch
+        FROM c
+    """

@@ -538,3 +538,25 @@ def test_episode_stats_rollup(spark):
     e0, e1 = out["c#0"], out["c#1"]
     assert (e0.n_turns, e0.duration_s, e0.n_tools, e0.n_assistant) == (2, 10, 1, 1)
     assert (e1.n_turns, e1.duration_s, e1.n_tools, e1.n_assistant) == (3, 8, 2, 2)
+
+
+def test_repair_turn_order(spark):
+    rows = [
+        ("c", 0, "user", "a", None, _ts(0)),
+        ("c", 3, "assistant", "b", "conn", _ts(10)),   # gap: 1, 2 missing
+        ("c", 3, "user", "b2", None, _ts(12)),         # duplicate idx 3
+        ("c", 5, "assistant", "c", "dns", _ts(5)),     # ts regression
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = convops.repair_turn_order(df).orderBy("turn_idx").collect()
+    # ts order: (0s, a), (5s, c), (10s, b), (12s, b2)
+    assert [(r.turn_idx, r.orig_turn_idx, r.text) for r in out] == [
+        (0, 0, "a"), (1, 5, "c"), (2, 3, "b"), (3, 3, "b2")]
+    # idempotent: repairing the repaired relation is the identity
+    again = convops.repair_turn_order(
+        convops.repair_turn_order(df).drop("orig_turn_idx")
+    ).orderBy("turn_idx").collect()
+    assert [(r.turn_idx, r.text) for r in again] == \
+        [(r.turn_idx, r.text) for r in out]
