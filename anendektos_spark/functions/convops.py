@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import textstats
+from .joins import _check_reserved
 
 TURNS_PER_CONV = 16
 TOOLS = ("conn", "dns", "http", "files", "ssl", "x509")
@@ -393,6 +394,9 @@ def truncate_context(df: DataFrame, budget_chars: int = 400) -> DataFrame:
     Both windows share one (conv_id, turn_idx DESC) partition+sort, so
     the plan is a single hash exchange and a single sort — no joins, no
     second scan; pure integers, so the DuckDB mirror is bit-exact."""
+    _check_reserved(
+        df.columns, ("turn_chars", "suffix_chars", "kept"), "output columns"
+    )
     wdesc = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
     wsum = wdesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n = F.length("text").cast("long")
@@ -1155,6 +1159,9 @@ def collapse_degenerate_runs(df: DataFrame, min_run: int = 3) -> DataFrame:
     no joins, no second scan."""
     if min_run < 2:
         raise ValueError(f"min_run must be >= 2, got {min_run}")
+    _check_reserved(
+        df.columns, ("run_len", "_nr", "_run", "_pos", "_len"), "output columns"
+    )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev = F.lag(F.md5("text")).over(w)
     new_run = F.when(prev.isNull() | (prev != F.md5("text")), 1).otherwise(0)
@@ -1219,6 +1226,7 @@ def split_conversations(df: DataFrame, gap_s: int = 1800) -> DataFrame:
     epoch math. Output = input columns + episode + sub_conv_id."""
     if gap_s <= 0:
         raise ValueError(f"gap_s must be positive, got {gap_s}")
+    _check_reserved(df.columns, ("episode", "sub_conv_id", "_ne"), "output columns")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev_ts = F.lag(F.unix_timestamp("ts")).over(w)
     new_ep = F.when(
@@ -1315,11 +1323,15 @@ def repair_turn_order(df: DataFrame) -> DataFrame:
     turn_idx, text) order — duplicates and gaps close up, timestamp
     regressions resolve to arrival order, and the original index is
     kept as ``orig_turn_idx`` so the rewrite is auditable. Idempotent:
-    repairing repaired output is the identity.
+    repairing repaired output is the identity (an existing
+    orig_turn_idx column is REPLACED, not duplicated).
 
     One (conv_id) exchange + one local sort; the tie chain makes the
     new ordering total, so the output is partition- and engine-
     deterministic. Input columns pass through."""
+    _check_reserved(df.columns, ("_new_idx",), "output columns")
+    if "orig_turn_idx" in df.columns:
+        df = df.drop("orig_turn_idx")
     w = Window.partitionBy("conv_id").orderBy(
         F.unix_timestamp("ts"), F.col("turn_idx"), F.col("text")
     )

@@ -1361,14 +1361,15 @@ def editdist_refine(
         dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
     else:
         dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
-    maxlen = F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
     out = (
         j.withColumn("dist", dist.cast("long"))
         .withColumn(
+            "_ml", F.greatest(F.length("_ta"), F.length("_tb")).cast("long")
+        )
+        .withColumn(
             "sim_ppm",
-            F.when(maxlen == 0, F.lit(scale).cast("long")).otherwise(
-                F.expr(f"({scale}L * (greatest(length(_ta), length(_tb)) - dist))"
-                       " div greatest(length(_ta), length(_tb))")
+            F.when(F.col("_ml") == 0, F.lit(scale).cast("long")).otherwise(
+                F.expr(f"({scale}L * (_ml - dist)) div _ml")
             ),
         )
         .select("id_a", "id_b", "dist", "sim_ppm")

@@ -739,10 +739,12 @@ def recency_weights(
     argument — determinism forbids wall-clock reads inside the operator.
 
     Future timestamps clamp to age 0 (full weight); ages beyond
-    ``max_halvings`` half-lives floor at weight scale >> max_halvings
-    (≈1 ppm at the default) rather than 0, so no row becomes
-    unsampleable. Pure narrow map — epoch subtraction, two integer
-    divisions, one shift; nothing shuffles."""
+    ``max_halvings`` half-lives floor at max(scale >> max_halvings, 1)
+    — the explicit greatest() guard matters because the shift alone can
+    reach 0 (1e6 >> 20 == 0) and weighted_sample excludes nonpositive
+    weights — so no row ever becomes unsampleable. Pure narrow map —
+    epoch subtraction, two integer divisions, one shift; nothing
+    shuffles."""
     if half_life_days <= 0:
         raise ValueError(f"half_life_days must be positive, got {half_life_days}")
     age_days = F.expr(
@@ -751,8 +753,8 @@ def recency_weights(
     return df.withColumn("age_days", age_days).withColumn(
         "weight_ppm",
         F.expr(
-            f"shiftright({scale}L, cast(least(age_days div {half_life_days},"
-            f" {max_halvings}) as int))"
+            f"greatest(shiftright({scale}L, cast(least(age_days div"
+            f" {half_life_days}, {max_halvings}) as int)), 1L)"
         ),
     )
 
@@ -774,7 +776,8 @@ def recency_weight_sql(
     return f"""
         SELECT *,
                CAST({age} AS BIGINT) AS age_days,
-               ({scale} >> CAST(least({age} // {half_life_days},
-                                      {max_halvings}) AS INT)) AS weight_ppm
+               greatest({scale} >> CAST(least({age} // {half_life_days},
+                                              {max_halvings}) AS INT),
+                        1) AS weight_ppm
         FROM ({rel})
     """

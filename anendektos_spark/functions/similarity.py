@@ -1057,11 +1057,13 @@ def ann_recall_report(
     Both inputs are (query_id, neighbor_id, …) top-k relations — tiny by
     construction (queries × k); the audit is one inner join on the pair
     key plus a single fold. Ground truth is capped to rank ≤ k in case
-    the exact leg was built with a larger k."""
+    the exact leg was built with a larger k; the approx side is
+    de-duplicated at pair grain so a multi-probe path that emits the
+    same neighbor twice cannot inflate hits past 100% recall."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     ex = exact_topk.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
-    ap = approx_topk.select("query_id", "neighbor_id")
+    ap = approx_topk.select("query_id", "neighbor_id").distinct()
     inter = ex.join(ap, ["query_id", "neighbor_id"]).select(
         F.lit(1).alias("_hit")
     )

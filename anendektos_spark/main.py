@@ -43,8 +43,9 @@ def _read_raw(path: str) -> dict:
 def load_config(path: str) -> PipelineConfig:
     raw = _read_raw(path)
     known = {
-        "input_path", "output_root", "addr_mode", "add_ordinal",
-        "salt_buckets", "repartition", "top_k", "time_bucket",
+        "input_path", "output_root", "input_format", "addr_mode",
+        "add_ordinal", "salt_buckets", "repartition", "top_k",
+        "time_bucket", "sink_partition_by",
     }
     kwargs = {k: v for k, v in raw.items() if k in known}
     for key in ("salt_buckets", "repartition", "top_k"):

@@ -107,20 +107,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     opts = ParseOptions(addr_mode=cfg.addr_mode)
     metrics: dict = {"fingerprint": fp, "stages": {}}
 
-    tx = read_transcripts(spark, cfg)
-
-    # --- source-grain rejects (jsonl: bad_json / missing_identity) ---
+    # --- input + source-grain rejects (jsonl: bad_json / missing_identity) ---
     if cfg.input_format == "jsonl":
         from .sources.jsonl import read_jsonl
 
+        src = read_jsonl(spark, cfg.input_path)  # ONE source, both channels
+        tx = src.rows
         t0 = time.time()
         if not store.is_committed("source_rejects", fp):
-            res = store.commit(
-                read_jsonl(spark, cfg.input_path).rejects, "source_rejects", fp
-            )
+            res = store.commit(src.rejects, "source_rejects", fp)
         else:
             res = store.commit(None, "source_rejects", fp)  # type: ignore[arg-type]
         _record(metrics, "source_rejects", t0, res)
+    else:
+        tx = read_transcripts(spark, cfg)
 
     if cfg.repartition:
         tx = salted_repartition(tx, cfg.repartition, cfg.salt_buckets)

@@ -554,9 +554,10 @@ def test_repair_turn_order(spark):
     # ts order: (0s, a), (5s, c), (10s, b), (12s, b2)
     assert [(r.turn_idx, r.orig_turn_idx, r.text) for r in out] == [
         (0, 0, "a"), (1, 5, "c"), (2, 3, "b"), (3, 3, "b2")]
-    # idempotent: repairing the repaired relation is the identity
+    # idempotent: repairing repaired output (orig_turn_idx REPLACED,
+    # never duplicated) is the identity
     again = convops.repair_turn_order(
-        convops.repair_turn_order(df).drop("orig_turn_idx")
+        convops.repair_turn_order(df)
     ).orderBy("turn_idx").collect()
-    assert [(r.turn_idx, r.text) for r in again] == \
-        [(r.turn_idx, r.text) for r in out]
+    assert [(r.turn_idx, r.orig_turn_idx, r.text) for r in again] == \
+        [(r.turn_idx, r.turn_idx, r.text) for r in out]

@@ -2414,3 +2414,15 @@ def test_lang_id_confusion_hand_computed(spark):
     assert out[("en", "en")].n == 1 and out[("en", "und")].n == 1
     assert out[("en", "en")].share_ppm == 500_000
     assert out[("de", "und")].n == 1 and out[("de", "en")].n == 1
+
+
+def test_ann_recall_report_dedupes_approx_side(spark):
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11)], "query_id long, neighbor_id long"
+    )
+    r = similarity.ann_recall_report(exact, approx, 2).collect()[0]
+    # the duplicated (1, 10) must count once: 2 hits of 2, never 3 of 2
+    assert (r.n_hits, r.recall_ppm) == (2, 1_000_000)

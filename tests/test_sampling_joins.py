@@ -780,7 +780,9 @@ def test_recency_weights_step_decay(spark):
     assert out[1].weight_ppm == 1_000_000      # age 6 < one half-life
     assert out[2].weight_ppm == 500_000        # exactly one half-life
     assert out[3].weight_ppm == 250_000        # 20 div 7 = 2 halvings
-    assert out[4].weight_ppm == 1_000_000 >> 20  # capped at max_halvings
+    # capped at max_halvings AND floored at 1 (1e6 >> 20 is 0 — the
+    # greatest() guard is what keeps old rows sampleable)
+    assert out[4].weight_ppm == 1
     assert out[5].age_days == 0 and out[5].weight_ppm == 1_000_000
     with pytest.raises(ValueError, match="half_life_days"):
         sampling.recency_weights(df, "ts", base, 0)
