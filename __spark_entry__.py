@@ -227,6 +227,9 @@ NEXT_ROTATION = [
     "conv_episode_stats",
     "text_langid_confusion",
     "conv_repair_order",
+    "transcript_latency_drift",
+    "sample_shard_manifest",
+    "embed_hard_negatives",
 ]
 
 
@@ -898,6 +901,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings").filter(F.col("vec_id") % 10 == 0),
         k=5,
     )
+    # contrastive pair mining: nearest same-label positives + nearest
+    # other-label hard negatives per anchor (triplet/InfoNCE batches)
+    q["embed_hard_negatives"] = lambda s, d: similarity.hard_negative_pairs(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings").filter(F.col("vec_id") < 8),
+        k=3,
+    )
     # per-label OOD sweep: top-5 vectors farthest (exact fixed-point
     # squared L2) from their own label's centroid
     q["embed_centroid_outliers"] = lambda s, d: similarity.centroid_outliers(
@@ -909,6 +919,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transcript.spike_latency(
             transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
         )
+    )
+    # per-tool percentile drift between the early and late half of the
+    # observed time range — the post-deploy tool-regression report
+    q["transcript_latency_drift"] = lambda s, d: transcript.latency_drift(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
     # generation-loop sweep over conversations with injected echo loops
     q["conv_degenerate_runs"] = lambda s, d: convops.degenerate_runs(
@@ -994,6 +1009,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         now_epoch=1_800_000_000,
         half_life_days=30,
     ).select("event_id", "age_days", "weight_ppm")
+    # byte-balanced contiguous export shards via the two-pass distributed
+    # prefix sum (never a single-task global-order window)
+    q["sample_shard_manifest"] = lambda s, d: sampling.shard_by_bytes(
+        _t(s, d, "documents"), 8, "doc_id", "n_chars"
+    )
     # mergeable log-bucket quantile sketch over per-tool latencies —
     # the O(sketch) companion of the exact transcript_latency_pctl
     q["sketch_hdr_latency"] = lambda s, d: sketches.hdr_percentiles(
@@ -4006,6 +4026,29 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_latency_mad"] = transcript.latency_mad_outliers_sql(
         _tx_rel, spike=(97, 40)
     )
+    o["transcript_latency_drift"] = transcript.latency_drift_sql(_tx_rel)
+    o["sample_shard_manifest"] = sampling.shard_by_bytes_sql(
+        "SELECT doc_id, n_chars FROM documents", 8, "doc_id", "n_chars"
+    )
+    o["embed_hard_negatives"] = f"""
+        WITH e AS (SELECT vec_id, label, {_V64} AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+              FROM e WHERE vec_id < 8),
+        s AS (SELECT q.query_id,
+                     CASE WHEN e.label = q.qlabel THEN 'pos'
+                          ELSE 'neg' END AS kind,
+                     e.vec_id AS neighbor_id,
+                     round({_cos_sql('q.qv', 'e.v')}, 6) AS cos6
+              FROM e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, kind, neighbor_id, cos6,
+                     row_number() OVER (PARTITION BY query_id, kind
+                                        ORDER BY cos6 DESC, neighbor_id ASC)
+                       AS rk
+              FROM s)
+        SELECT query_id, kind, CAST(rk AS INT) AS rank, neighbor_id,
+               round(cos6, 4) AS cos_sim
+        FROM r WHERE rk <= 3
+    """
     o["conv_degenerate_runs"] = convops.degenerate_runs_sql(
         convops.synth_conv_degen_sql(_CONV_N)
     )

@@ -781,3 +781,101 @@ def recency_weight_sql(
                         1) AS weight_ppm
         FROM ({rel})
     """
+
+
+def shard_by_bytes(
+    df: DataFrame,
+    n_shards: int,
+    order_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Byte-balanced export sharding: split the corpus into ``n_shards``
+    contiguous shards of ~equal total ``size_col`` in ``order_col``
+    order, and return the per-shard manifest
+    ``(shard_id, n_docs, total_size, first_key, last_key)`` a
+    training-data export job writes next to its files.
+
+    A row whose inclusive running size ends at ``g`` lands in shard
+    ``min(n_shards-1, (g-1)*n_shards DIV total)`` — fixed cumulative
+    boundaries (cf. :func:`pack_sequences`), so every shard except
+    possibly the last is within one max-row-size of ``total/n_shards``.
+    Pure positive-integer math: Spark's ``DIV`` and DuckDB's ``//``
+    agree, and the result is independent of partitioning.
+
+    Scale shape — the global running sum is computed WITHOUT a
+    global-order window (Spark executes those as ONE task): the
+    classic two-pass distributed prefix sum. ``repartitionByRange``
+    gives contiguous ``order_col`` ranges on ascending partition ids;
+    a per-partition window computes the local running sum; the
+    per-partition totals (one row per partition — metadata-sized) get
+    their exclusive prefix on a single tiny task and are broadcast back
+    onto the stream, never through the driver. ``order_col`` must be
+    unique and non-null (it is the total order); ``size_col`` must be
+    positive."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _check_reserved(
+        df.columns, ("_pid", "_cum", "_tot", "_off", "_total", "_g", "shard_id")
+    )
+    ranged = (
+        df.select(order_col, size_col)
+        .repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_cum", F.sum(F.col(size_col).cast("long")).over(w))
+    # one row per partition; both windows run on that tiny relation
+    pw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.max("_cum").alias("_tot"))
+        .select(
+            "_pid",
+            (F.sum("_tot").over(pw) - F.col("_tot")).alias("_off"),
+            F.sum("_tot").over(aw).alias("_total"),
+        )
+    )
+    shard = F.least(
+        F.lit(n_shards - 1), F.expr(f"(_g - 1) * {n_shards} DIV _total")
+    ).cast("int")
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("_g", F.col("_off") + F.col("_cum"))
+        .select(F.col(order_col), F.col(size_col), shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(size_col).cast("long")).alias("total_size"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+    )
+
+
+def shard_by_bytes_sql(
+    rel: str, n_shards: int, order_col: str, size_col: str
+) -> str:
+    """DuckDB mirror of :func:`shard_by_bytes` — a plain global
+    cumulative window (fine at oracle scale)."""
+    return f"""
+        WITH t AS ({rel}),
+        c AS (
+          SELECT {order_col} AS k, {size_col} AS sz,
+                 sum({size_col}) OVER (ORDER BY {order_col}) AS g,
+                 sum({size_col}) OVER () AS total
+          FROM t
+        )
+        SELECT CAST(least({n_shards - 1}, ((g - 1) * {n_shards}) // total)
+                    AS INT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sz) AS BIGINT) AS total_size,
+               min(k) AS first_key, max(k) AS last_key
+        FROM c GROUP BY 1
+    """

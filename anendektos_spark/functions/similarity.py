@@ -1118,3 +1118,74 @@ def brute_l2_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("d2", 4).alias("d2"))
     )
+
+
+def hard_negative_pairs(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive pair mining: for each anchor, the k nearest SAME-label
+    neighbors (kind='pos') and the k nearest OTHER-label neighbors
+    (kind='neg' — the *hard* negatives) by cosine — the batch-construction
+    step of embedding-model training (triplet / InfoNCE), where random
+    negatives are too easy to carry gradient.
+
+    Output (query_id, kind, rank, neighbor_id, cos_sim); ranking on
+    round(cos, 6) desc then neighbor_id asc within (anchor, kind) —
+    deterministic.
+
+    Scale shape: the anchor block is broadcast (mini-batch-sized by
+    construction) against ONE corpus scan carrying its label; the
+    per-(anchor, kind) top-k runs as a WindowGroupLimit partial below the
+    single query_id×kind exchange. For corpus×corpus mining, block both
+    sides through ``ivf_assign`` and restrict the candidate join to the
+    anchor's cluster, exactly as ``ivf_topk`` does. Norms pre-fold per
+    side before the candidate join (interpreted HOF folds get no CSE —
+    see brute_topk)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qv = as_double(F.col(vec_col))
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlabel"),
+        qv.alias("qv"),
+        l2_norm(qv).alias("qn"),
+    )
+    nv = as_double(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+        nv.alias("nv"),
+        l2_norm(nv).alias("nn"),
+    )
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    sims = (
+        base.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.when(F.col("qlabel") == F.col("nlabel"), "pos")
+            .otherwise("neg")
+            .alias("kind"),
+            "neighbor_id",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "kind",
+            "rank",
+            "neighbor_id",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

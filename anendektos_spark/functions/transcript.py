@@ -913,3 +913,97 @@ def wasted_latency_sql(rel: str) -> str:
         FROM parsed GROUP BY 1
     """
     )
+
+
+def latency_drift(parsed: DataFrame, ps: tuple = PCTL_PS) -> DataFrame:
+    """Per-tool latency drift: exact nearest-rank percentiles computed
+    separately over the EARLY and LATE half of the observed time range
+    (split at the integer midpoint of [min_epoch, max_epoch]) and laid
+    side by side per (tool, p) with the integer delta — the
+    tool-regression report an agent-platform operator reads after a
+    deploy. Pure integer end to end (epoch midpoint test is
+    ``epoch*2 < min+max``; percentiles are the same nearest-rank
+    definition as :func:`latency_percentiles`), so the DuckDB mirror
+    matches bit-for-bit.
+
+    Scale shape: the global [min, max] epoch is ONE 1-row aggregate
+    broadcast back onto the stream (no driver hop); then one hash
+    exchange on (tool, period) shared by the count + row_number windows;
+    the early/late pivot is a conditional aggregate on the tiny
+    (tool × period × |ps|) percentile relation. Tools seen in only one
+    half are dropped (no basis for a delta)."""
+    from pyspark.sql import Window
+
+    bounds = parsed.agg(F.min("epoch").alias("_mn"), F.max("epoch").alias("_mx"))
+    lab = parsed.join(F.broadcast(bounds)).withColumn(
+        "period",
+        F.when(F.col("epoch") * 2 < F.col("_mn") + F.col("_mx"), "early").otherwise(
+            "late"
+        ),
+    )
+    w = Window.partitionBy("tool_called", "period")
+    ow = w.orderBy("latency_ms", "conv_id", "turn_idx")
+    ranked = lab.withColumn("n", F.count("*").over(w)).withColumn(
+        "rn", F.row_number().over(ow)
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps])).alias("p")
+    pct = ranked.select("tool_called", "period", "latency_ms", "n", "rn", p).filter(
+        F.col("rn") == F.expr("(n * p + 99) DIV 100")
+    )
+    return (
+        pct.groupBy(F.col("tool_called").alias("tool"), "p")
+        .agg(
+            F.max(F.when(F.col("period") == "early", F.col("latency_ms"))).alias(
+                "early_ms"
+            ),
+            F.max(F.when(F.col("period") == "late", F.col("latency_ms"))).alias(
+                "late_ms"
+            ),
+        )
+        .filter(F.col("early_ms").isNotNull() & F.col("late_ms").isNotNull())
+        .select(
+            "tool",
+            "p",
+            "early_ms",
+            "late_ms",
+            (F.col("late_ms") - F.col("early_ms")).alias("delta_ms"),
+        )
+    )
+
+
+def latency_drift_sql(rel: str, ps: tuple = PCTL_PS) -> str:
+    """DuckDB mirror of :func:`latency_drift`."""
+    plist = ", ".join(str(int(x)) for x in ps)
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , b AS (SELECT min(epoch) AS mn, max(epoch) AS mx FROM parsed),
+        lab AS (
+          SELECT parsed.*, CASE WHEN epoch * 2 < b.mn + b.mx
+                                THEN 'early' ELSE 'late' END AS period
+          FROM parsed, b
+        ),
+        ranked AS (
+          SELECT tool_called, period, latency_ms,
+                 count(*) OVER (PARTITION BY tool_called, period) AS n,
+                 row_number() OVER (PARTITION BY tool_called, period
+                                    ORDER BY latency_ms, conv_id, turn_idx)
+                   AS rn
+          FROM lab
+        ),
+        pct AS (
+          SELECT tool_called, period, CAST(p AS INT) AS p, latency_ms
+          FROM ranked, unnest([{plist}]) u(p)
+          WHERE rn = (n * p + 99) // 100
+        ),
+        piv AS (
+          SELECT tool_called AS tool, p,
+                 max(CASE WHEN period = 'early' THEN latency_ms END)
+                   AS early_ms,
+                 max(CASE WHEN period = 'late' THEN latency_ms END) AS late_ms
+          FROM pct GROUP BY 1, 2
+        )
+        SELECT tool, p, early_ms, late_ms, late_ms - early_ms AS delta_ms
+        FROM piv WHERE early_ms IS NOT NULL AND late_ms IS NOT NULL
+        """
+    )

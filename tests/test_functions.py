@@ -2426,3 +2426,27 @@ def test_ann_recall_report_dedupes_approx_side(spark):
     r = similarity.ann_recall_report(exact, approx, 2).collect()[0]
     # the duplicated (1, 10) must count once: 2 hits of 2, never 3 of 2
     assert (r.n_hits, r.recall_ppm) == (2, 1_000_000)
+
+
+def test_hard_negative_pairs_golden(labeled_embeddings):
+    got = {
+        (r.query_id, r.kind, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity.hard_negative_pairs(
+            labeled_embeddings,
+            labeled_embeddings.filter(F.col("vec_id").isin(0, 3)),
+            k=2,
+        ).collect()
+    }
+    # anchor 0 (label 0): nearest same-label are 1 then 2; the nearest
+    # other-label is the mislabeled twin 6 (cos ≈ .995) — exactly the
+    # "hard" negative the operator exists to surface.
+    assert got[(0, "pos", 1)][0] == 1 and got[(0, "pos", 2)][0] == 2
+    assert got[(0, "neg", 1)] == (6, 0.995)
+    # anchor 3 (label 1): positives 4 then 5; negatives are all at cos 0
+    # → tie breaks by neighbor id asc: 0 then 1.
+    assert got[(3, "pos", 1)][0] == 4 and got[(3, "pos", 2)][0] == 5
+    assert got[(3, "neg", 1)][0] == 0 and got[(3, "neg", 2)][0] == 1
+    with pytest.raises(ValueError):
+        similarity.hard_negative_pairs(
+            labeled_embeddings, labeled_embeddings, k=0
+        )

@@ -786,3 +786,60 @@ def test_recency_weights_step_decay(spark):
     assert out[5].age_days == 0 and out[5].weight_ppm == 1_000_000
     with pytest.raises(ValueError, match="half_life_days"):
         sampling.recency_weights(df, "ts", base, 0)
+
+
+# --------------------------------------------------------------------------
+# shard_by_bytes
+# --------------------------------------------------------------------------
+
+def test_shard_by_bytes_hand_computed(spark):
+    # sizes 10,20,30,40 → total 100, 2 shards, boundary at g=50:
+    # doc0 g=10 → shard 0; doc1 g=30 → 0; doc2 g=60 → shard (59*2)//100=1;
+    # doc3 g=100 → (99*2)//100 = 1.
+    df = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 30), (3, 40)], "doc_id long, sz int"
+    )
+    got = sorted(
+        tuple(r) for r in sampling.shard_by_bytes(df, 2, "doc_id", "sz").collect()
+    )
+    assert got == [(0, 2, 30, 0, 1), (1, 2, 70, 2, 3)]
+
+
+def test_shard_by_bytes_partitioning_invariant_and_oracle(spark):
+    import duckdb
+
+    rel = "SELECT id AS doc_id, (id * 7) % 13 + 1 AS sz FROM range(500) t(id)"
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(
+            sampling.shard_by_bytes_sql(rel, 7, "doc_id", "sz")
+        ).fetchall()
+    )
+    base = spark.range(500).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 7) % 13 + 1).alias("sz")
+    )
+    # the assignment must be a pure function of (order, size) — identical
+    # under any input partitioning, incl. a shuffled row order
+    for df in (base, base.repartition(17), base.orderBy(F.desc("doc_id")).coalesce(1)):
+        got = sorted(
+            tuple(r)
+            for r in sampling.shard_by_bytes(df, 7, "doc_id", "sz").collect()
+        )
+        assert got == want
+    # every shard's span is contiguous: first_key of shard k+1 follows
+    # last_key of shard k
+    keys = sorted((r[0], r[3], r[4]) for r in want)
+    for (s0, _, last0), (s1, first1, _) in zip(keys, keys[1:]):
+        assert s1 == s0 + 1 and first1 == last0 + 1
+
+
+def test_shard_by_bytes_single_shard_and_validation(spark):
+    df = spark.createDataFrame([(0, 5), (1, 5)], "doc_id long, sz int")
+    got = sampling.shard_by_bytes(df, 1, "doc_id", "sz").collect()
+    assert [tuple(r) for r in got] == [(0, 2, 10, 0, 1)]
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.shard_by_bytes(df, 0, "doc_id", "sz")
+    with pytest.raises(ValueError, match="collide"):
+        sampling.shard_by_bytes(
+            df.withColumn("shard_id", F.lit(1)), 2, "doc_id", "sz"
+        )

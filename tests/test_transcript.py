@@ -366,3 +366,34 @@ def test_wasted_latency_hand_computed(spark):
     assert (c.n_calls, c.total_ms, c.n_failed, c.wasted_ms) == (3, 1000, 2, 900)
     assert c.waste_ppm == 900_000
     assert out["dns"].wasted_ms == 0 and out["dns"].waste_ppm == 0
+
+
+def test_latency_drift_hand_computed(spark):
+    # epochs 0..3, mid-test: epoch*2 < 0+3 → epochs 0,1 early; 2,3 late.
+    # tool a early lats [10, 30] → p50 = rank ceil(0.5*2)=1 → 10,
+    #   p99 → rank ceil(.99*2)=2 → 30; late [20, 40] → 20 / 40.
+    # tool b appears only late → dropped.
+    rows = [
+        ("c", 0, "a", "OK", 0, 10), ("c", 1, "a", "OK", 1, 30),
+        ("c", 2, "a", "OK", 2, 40), ("c", 3, "a", "OK", 3, 20),
+        ("c", 4, "b", "OK", 3, 99),
+    ]
+    parsed = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool_called string, "
+              "status string, epoch long, latency_ms int")
+    got = sorted(
+        tuple(r)
+        for r in transcript.latency_drift(parsed, ps=(50, 99)).collect()
+    )
+    assert got == [("a", 50, 10, 20, 10), ("a", 99, 30, 40, 10)]
+
+
+def test_latency_drift_sql_matches(spark):
+    import duckdb
+    df = transcript.latency_drift(
+        transcript.parse_turns(transcript.synth_transcript(spark, 4000)))
+    rows = sorted(tuple(r) for r in df.collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        transcript.latency_drift_sql(
+            transcript.synth_transcript_sql(4000))).fetchall())
+    assert rows and rows == orows
