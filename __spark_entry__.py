@@ -230,6 +230,10 @@ NEXT_ROTATION = [
     "transcript_latency_drift",
     "sample_shard_manifest",
     "embed_hard_negatives",
+    "dedup_substring_spans",
+    "sample_token_budget",
+    "text_vocab_growth",
+    "transcript_returns",
 ]
 
 
@@ -1059,6 +1063,27 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings").filter(F.col("vec_id") % 17 == 0),
         threshold=0.15,
         n_planes=6,
+    )
+    # exact duplicated-substring spans (Lee et al. char-grain dedup):
+    # every 24-char window occurring ≥2× in the corpus, merged into
+    # maximal per-doc removal intervals — no document pairing anywhere
+    q["dedup_substring_spans"] = lambda s, d: dedup.exact_substring_spans(
+        _t(s, d, "documents"), k=24, stride=1, min_count=2
+    )
+    # per-source token-budget selection: highest-quality prefix whose
+    # running token total stays ≤ 800 (composes quality_score upstream)
+    q["sample_token_budget"] = lambda s, d: sampling.token_budget_select(
+        textstats.quality_score(_t(s, d, "documents"), keep_cols=("source",)),
+        budget=800,
+    )
+    # heaps-law vocabulary-growth curve at doc-id checkpoints
+    q["text_vocab_growth"] = lambda s, d: textstats.vocab_growth(
+        _t(s, d, "documents")
+    )
+    # fixed-point discounted trajectory returns (γ=1/2, horizon 8) over
+    # the parsed tool-call stream — RL credit assignment at scale
+    q["transcript_returns"] = lambda s, d: transcript.trajectory_returns(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)), horizon=8
     )
     return q
 
@@ -4103,4 +4128,15 @@ def oracle_sql() -> dict[str, str]:
               FROM h WHERE cos_sim >= 0.15)
         SELECT vec_id, eval_id, cos_sim FROM f WHERE rk = 1
     """
+    o["dedup_substring_spans"] = dedup.exact_substring_spans_sql(
+        "documents", k=24, stride=1, min_count=2
+    )
+    # scored relation mirrors quality_score(keep_cols=("source",))
+    _scored_src = f"""
+        SELECT d.doc_id, d.source, q.n_tokens, q.quality
+        FROM documents d JOIN ({o["text_quality"]}) q ON d.doc_id = q.doc_id
+    """
+    o["sample_token_budget"] = sampling.token_budget_select_sql(_scored_src, 800)
+    o["text_vocab_growth"] = textstats.vocab_growth_sql("documents")
+    o["transcript_returns"] = transcript.trajectory_returns_sql(_tx_rel, 8)
     return o

@@ -1427,3 +1427,129 @@ def dup_rate_by_source(
             F.expr(f"(n_dup_docs * {scale}L) div n_docs").alias("dup_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# exact duplicated-substring spans (character grain, interval union)
+# --------------------------------------------------------------------------
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    stride: int = 1,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection at CHARACTER grain (the
+    "exact substring dedup" of Lee et al., Deduplicating Training Data
+    Makes Language Models Better): every length-``k`` character window
+    (anchor) that occurs at least ``min_count`` times in the corpus —
+    within one document or across documents — marks its [pos, pos+k)
+    char range; overlapping/touching marked ranges in a document are
+    merged into maximal removal spans. Returns one row per span:
+    (id, span_start, span_end, span_len, n_anchors) with 0-based
+    [start, end) character offsets.
+
+    This complements the token-block `dedup_spans` (C4-style fixed
+    blocks — misses shifted duplicates) and `winnow_match_spans`
+    (pair-grain, sampled fingerprints): with ``stride=1`` every
+    duplicated substring of length ≥ k is found exactly, with no
+    document pairing at all.
+
+    100 TB shape: NO pairs anywhere — cost is linear in corpus chars.
+    Anchor extraction is a narrow codegen map (sequence + transform +
+    substring); duplicate anchors come from ONE map-side-combined count
+    shuffle keyed by the anchor; the join back is anchor-keyed (Spark
+    reuses the exchange); the interval merge is ONE per-document window
+    over the flagged anchors only (duplicate-density-sized, not
+    corpus-sized). The ``stride`` knob trades completeness for anchor
+    volume at scale (stride s still catches every duplicated run of
+    length ≥ k + s - 1); the oracle/query setting stride=1 is exhaustive.
+    """
+    if k < 1 or stride < 1 or min_count < 2:
+        raise ValueError("need k >= 1, stride >= 1, min_count >= 2")
+    d = df.filter(F.length(text_col) >= k).select(
+        F.col(id_col), F.col(text_col).alias("_txt")
+    )
+    e = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length(_txt) - {k}, {stride}), "
+                f"p -> struct(p AS pos, substring(_txt, p + 1, {k}) AS gram))"
+            )
+        ).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup = (
+        e.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    flagged = e.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = (
+        F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1)) + F.lit(k)
+    )
+    islands = flagged.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_anchors"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+            "n_anchors",
+        )
+    )
+
+
+def exact_substring_spans_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    stride: int = 1,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`exact_substring_spans` (same anchor set,
+    same interval-union semantics)."""
+    return f"""
+        WITH d AS (SELECT {id_col}, {text_col} AS _txt FROM {rel}
+                   WHERE length({text_col}) >= {k}),
+        e0 AS (SELECT {id_col}, _txt,
+                      unnest(range(0, length(_txt) - {k} + 1, {stride})) AS pos
+               FROM d),
+        e AS (SELECT {id_col}, CAST(pos AS INT) AS pos,
+                     substr(_txt, CAST(pos AS INT) + 1, {k}) AS gram
+              FROM e0),
+        dup AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= {min_count}),
+        f AS (SELECT {id_col}, pos FROM e JOIN dup USING (gram)),
+        w AS (SELECT {id_col}, pos,
+                     max(pos) OVER (PARTITION BY {id_col} ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) + {k} AS prev_end
+              FROM f),
+        i AS (SELECT {id_col}, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY {id_col} ORDER BY pos) AS island
+              FROM w)
+        SELECT {id_col},
+               CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + {k} AS INT) AS span_end,
+               CAST(max(pos) + {k} - min(pos) AS INT) AS span_len,
+               CAST(count(*) AS INT) AS n_anchors
+        FROM i GROUP BY {id_col}, island
+    """

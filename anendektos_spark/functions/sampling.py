@@ -879,3 +879,69 @@ def shard_by_bytes_sql(
                min(k) AS first_key, max(k) AS last_key
         FROM c GROUP BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# token-budget selection (quality-ranked prefix under a per-group budget)
+# --------------------------------------------------------------------------
+
+def token_budget_select(
+    scored: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    order_col: str = "quality",
+) -> DataFrame:
+    """Select, independently per ``group_col``, the highest-``order_col``
+    prefix of documents whose running token total stays within
+    ``budget`` — the "best N tokens per source" primitive of a training
+    mix builder. Ranking is (order_col DESC, id_col) so ties are
+    deterministic; the running sum is inclusive, so a document is kept
+    iff the budget still covers it entirely (prefix semantics — the
+    cumulative sum is monotone, so the kept set is a prefix of the
+    ranking).
+
+    Input is any scored relation carrying (id, group, token count,
+    score) — compose with textstats.quality_score(keep_cols=(group,)).
+
+    100 TB shape: ONE shuffle — a window partitioned by the source key
+    (bounded cardinality), never a global sort; the cumulative sum is a
+    single running frame over each partition. Output carries the running
+    total so downstream sharding can pack without re-aggregating."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.select(id_col, group_col, tokens_col, order_col)
+        .withColumn(
+            "cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_select_sql(
+    scored_rel: str,
+    budget: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    order_col: str = "quality",
+) -> str:
+    """DuckDB mirror of :func:`token_budget_select`; ``scored_rel`` is a
+    SELECT producing the same scored relation."""
+    return f"""
+        WITH s AS ({scored_rel}),
+        c AS (SELECT {id_col}, {group_col}, {tokens_col}, {order_col},
+                     sum(CAST({tokens_col} AS BIGINT)) OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY {order_col} DESC, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM s)
+        SELECT {id_col}, {group_col}, {tokens_col}, {order_col}, cum_tokens
+        FROM c WHERE cum_tokens <= {budget}
+    """

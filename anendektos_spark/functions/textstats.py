@@ -1321,3 +1321,95 @@ def lang_id_confusion_sql(
                (n * {scale}) // sum(n) OVER (PARTITION BY label) AS share_ppm
         FROM c
     """
+
+
+# --------------------------------------------------------------------------
+# heaps-law vocabulary growth
+# --------------------------------------------------------------------------
+
+def vocab_growth(
+    docs: DataFrame,
+    checkpoints: tuple[int, ...] = (50, 100, 200, 400, 100_000_000),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law audit: at each corpus checkpoint ``c`` (documents with
+    ``id < c``), the cumulative document count, token-instance count,
+    and distinct-type count — the vocabulary-growth curve a tokenizer
+    sizing decision reads. Text is canonicalized like vocab_build so the
+    type counts agree with the vocabulary ops.
+
+    100 TB shape: the only corpus-sized shuffle is the min-first-doc
+    per type aggregate (map-side combined); each type/doc row then fans
+    out ONLY to the checkpoints it satisfies via a broadcast range join
+    (≤ |checkpoints|× fan, |checkpoints| is tiny), and the final fold is
+    checkpoint-keyed. No global rank/row_number, no single-partition
+    window — checkpoints are id thresholds, not row ranks, precisely so
+    the curve needs no total order over the corpus."""
+    spark = docs.sparkSession
+    cp_df = spark.createDataFrame(
+        [(int(c),) for c in sorted(set(checkpoints))], "cp long"
+    )
+    toks = tokens(normalize_text(F.col(text_col)))
+    inst = docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("token"))
+    inst = inst.filter(F.col("token") != "")
+    firsts = inst.groupBy("token").agg(F.min("_id").alias("first_doc"))
+    vocab = (
+        firsts.join(F.broadcast(cp_df), F.col("first_doc") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).cast("long").alias("_n"),
+    )
+    totals = (
+        per_doc.join(F.broadcast(cp_df), F.col("_id") < F.col("cp"))
+        .groupBy("cp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+        )
+    )
+    return (
+        cp_df.join(totals, "cp", "left")
+        .join(vocab, "cp", "left")
+        .select(
+            "cp",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("total_tokens", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+        )
+    )
+
+
+def vocab_growth_sql(
+    rel: str,
+    checkpoints: tuple[int, ...] = (50, 100, 200, 400, 100_000_000),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`vocab_growth`."""
+    cps = ", ".join(f"({int(c)})" for c in sorted(set(checkpoints)))
+    toks = (
+        f"regexp_split_to_array(trim(regexp_replace(lower({text_col}), "
+        f"'\\s+', ' ', 'g')), '\\s+')"
+    )
+    return f"""
+        WITH cp(cp) AS (VALUES {cps}),
+        inst AS (SELECT {id_col} AS _id, unnest({toks}) AS token FROM {rel}),
+        firsts AS (SELECT token, min(_id) AS first_doc FROM inst
+                   WHERE token <> '' GROUP BY token),
+        vocab AS (SELECT cp, count(*) AS vocab_size
+                  FROM firsts JOIN cp ON first_doc < cp GROUP BY cp),
+        per_doc AS (SELECT {id_col} AS _id,
+                           len(list_filter({toks}, t -> t <> '')) AS _n
+                    FROM {rel}),
+        totals AS (SELECT cp, count(*) AS n_docs, sum(_n) AS total_tokens
+                   FROM per_doc JOIN cp ON _id < cp GROUP BY cp)
+        SELECT CAST(cp.cp AS BIGINT) AS cp,
+               CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+               CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens,
+               CAST(coalesce(vocab_size, 0) AS BIGINT) AS vocab_size
+        FROM cp LEFT JOIN totals USING (cp) LEFT JOIN vocab USING (cp)
+    """

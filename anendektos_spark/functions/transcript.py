@@ -1007,3 +1007,74 @@ def latency_drift_sql(rel: str, ps: tuple = PCTL_PS) -> str:
         FROM piv WHERE early_ms IS NOT NULL AND late_ms IS NOT NULL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# discounted trajectory returns (fixed-point, γ = 1/2)
+# --------------------------------------------------------------------------
+
+def trajectory_returns(parsed: DataFrame, horizon: int = 8) -> DataFrame:
+    """Per-call discounted return over each conversation's parsed
+    tool-call sequence — the credit-assignment primitive an RL-over-
+    agent-transcripts pipeline computes before advantage estimation.
+    Reward is +1 for an OK call, −1 for ERR/TIMEOUT; the return at call
+    t is G_t = Σ_{o=0..horizon} γ^o · r_{t+o} with γ = 1/2, truncated at
+    the horizon and at conversation end.
+
+    Exactness: γ = 1/2 with a finite horizon makes every return a dyadic
+    rational, so G is computed fixed-point — ``return_fp`` = G · 2^H as
+    an exact BIGINT (each lead term weighted 2^(H−o)), and ``return_g``
+    = return_fp / 2^H, a division by a power of two that is exact in
+    IEEE doubles — bit-identical across engines.
+
+    100 TB shape: ONE shuffle — the horizon+1 lead() terms all share a
+    single (conv_id, turn_idx) window partitioning, so Spark plans one
+    exchange + one sort regardless of the horizon; no self-join, no
+    per-conversation array materialization."""
+    from pyspark.sql import Window
+
+    if not 0 <= horizon <= 32:
+        raise ValueError("horizon must be in [0, 32]")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    d = parsed.select(
+        "conv_id",
+        "turn_idx",
+        "tool_called",
+        "status",
+        F.when(F.col("status") == "OK", 1).otherwise(-1).alias("reward"),
+    )
+    g = None
+    for o in range(horizon + 1):
+        term = F.coalesce(F.lead("reward", o).over(w), F.lit(0)).cast(
+            "long"
+        ) * F.lit(2 ** (horizon - o)).cast("long")
+        g = term if g is None else g + term
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        "tool_called",
+        "status",
+        "reward",
+        g.alias("return_fp"),
+        (g / F.lit(float(2**horizon))).alias("return_g"),
+    )
+
+
+def trajectory_returns_sql(rel: str, horizon: int = 8) -> str:
+    """DuckDB mirror of :func:`trajectory_returns` (same lead-term sum)."""
+    terms = " + ".join(
+        f"coalesce(lead(reward, {o}) OVER w, 0) * {2 ** (horizon - o)}"
+        for o in range(horizon + 1)
+    )
+    return (
+        _parsed_cte(rel)
+        + f""",
+        r AS (SELECT conv_id, turn_idx, tool_called, status,
+                     CASE WHEN status = 'OK' THEN 1 ELSE -1 END AS reward
+              FROM parsed)
+        SELECT conv_id, turn_idx, tool_called, status, reward,
+               CAST({terms} AS BIGINT) AS return_fp,
+               CAST({terms} AS BIGINT) / {float(2**horizon)} AS return_g
+        FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    """
+    )

@@ -1,0 +1,273 @@
+"""Round-4 late additions: exact duplicated-substring spans, per-source
+token-budget selection, heaps-law vocab growth, and fixed-point
+discounted trajectory returns. Functional semantics here; oracle parity
+runs in scripts/check_oracle.py; plan pins at the bottom."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anendektos_spark.functions import dedup, sampling, textstats, transcript
+
+from tests.test_plans import plan_of
+
+
+# --------------------------------------------------------------------------
+# exact_substring_spans
+# --------------------------------------------------------------------------
+
+def _spans(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_substring_spans(df, k=kw.pop("k", 8), **kw).collect()
+    return {
+        (r.doc_id, r.span_start): (r.span_end, r.span_len, r.n_anchors)
+        for r in out
+    }
+
+
+def test_substring_spans_cross_doc_and_merge(spark):
+    # docs 1 and 2 share the 16-char run "ABCDEFGHIJKLMNOP"; with k=8 the
+    # 9 anchor windows inside it overlap pairwise → ONE merged span
+    shared = "ABCDEFGHIJKLMNOP"
+    rows = [
+        (1, "xx" + shared + "yy"),
+        (2, "qqqq" + shared + "rrrr"),
+        (3, "completely-unrelated-text-z"),
+    ]
+    got = _spans(spark, rows)
+    # doc 1: span covers [2, 18); doc 2: [4, 20); doc 3: nothing
+    assert got == {
+        (1, 2): (18, 16, 9),
+        (2, 4): (20, 16, 9),
+    }
+
+
+def test_substring_spans_within_doc_repeat_flagged(spark):
+    # the duplicate occurs twice inside ONE doc — still ≥2 occurrences
+    rows = [(7, "AAAABBBBCCCC....AAAABBBBCCCC")]
+    got = _spans(spark, rows)
+    assert (7, 0) in got and (7, 16) in got
+    assert got[(7, 0)][1] == 12 and got[(7, 16)][1] == 12
+
+
+def test_substring_spans_disjoint_islands_stay_separate(spark):
+    # two shared 8-char runs separated by unique text → two spans per doc
+    a, b = "11223344", "99887766"
+    rows = [(1, a + "-unique-left-" + b), (2, a + "=other=middle=" + b)]
+    got = _spans(spark, rows)
+    spans_doc1 = sorted(k[1] for k in got if k[0] == 1)
+    assert spans_doc1 == [0, 21]
+    assert got[(1, 0)] == (8, 8, 1)
+
+
+def test_substring_spans_short_docs_and_params(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assert dedup.exact_substring_spans(df, k=8).count() == 0
+    with pytest.raises(ValueError):
+        dedup.exact_substring_spans(df, k=8, min_count=1)
+    with pytest.raises(ValueError):
+        dedup.exact_substring_spans(df, k=8, stride=0)
+
+
+def test_substring_spans_stride_catches_long_runs(spark):
+    # stride=4 with k=8 still catches every duplicated run ≥ k+s-1 = 11
+    shared = "ABCDEFGHIJKLMNOP"  # 16 ≥ 11
+    rows = [(1, shared + "xxxx"), (2, "yyy-" + shared)]
+    got = _spans(spark, rows, stride=4)
+    assert any(k[0] == 1 for k in got) and any(k[0] == 2 for k in got)
+
+
+# --------------------------------------------------------------------------
+# token_budget_select
+# --------------------------------------------------------------------------
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int, quality double"
+    )
+
+
+def test_token_budget_prefix_semantics(spark):
+    rows = [
+        (1, "a", 100, 0.9),
+        (2, "a", 100, 0.8),
+        (3, "a", 100, 0.7),  # cum 300 > 250 → cut, and everything after
+        (4, "a", 10, 0.6),   # would fit, but selection is a ranked prefix
+        (5, "b", 200, 0.5),
+    ]
+    out = sampling.token_budget_select(_scored(spark, rows), budget=250)
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    assert got == {1: 100, 2: 200, 5: 200}
+
+
+def test_token_budget_tie_break_is_doc_id(spark):
+    rows = [(9, "a", 60, 0.5), (2, "a", 60, 0.5), (5, "a", 60, 0.5)]
+    out = sampling.token_budget_select(_scored(spark, rows), budget=120)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 5]
+
+
+def test_token_budget_first_doc_over_budget_empty_group(spark):
+    rows = [(1, "a", 500, 0.9), (2, "b", 10, 0.1)]
+    out = sampling.token_budget_select(_scored(spark, rows), budget=100)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+# --------------------------------------------------------------------------
+# vocab_growth
+# --------------------------------------------------------------------------
+
+def test_vocab_growth_curve(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat"),
+            (1, "the dog"),
+            (2, "THE cat runs"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.vocab_growth(docs, checkpoints=(1, 2, 3, 100))
+    got = {r.cp: (r.n_docs, r.total_tokens, r.vocab_size) for r in out.collect()}
+    # doc 0: {the, cat}; doc 1 adds {dog}; doc 2 adds {runs} (THE folds
+    # into 'the'); doc 3 is empty (0 tokens, counted as a doc)
+    assert got == {
+        1: (1, 2, 2),
+        2: (2, 4, 3),
+        3: (3, 7, 4),
+        100: (4, 7, 4),
+    }
+
+
+def test_vocab_growth_checkpoint_below_min_id(spark):
+    docs = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    out = textstats.vocab_growth(docs, checkpoints=(5, 11))
+    got = {r.cp: (r.n_docs, r.vocab_size) for r in out.collect()}
+    assert got == {5: (0, 0), 11: (1, 2)}
+
+
+# --------------------------------------------------------------------------
+# trajectory_returns
+# --------------------------------------------------------------------------
+
+def _parsed(spark, statuses):
+    rows = [
+        ("c1", i, "conn", st, 1, 0) for i, st in enumerate(statuses)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool_called string, status string,"
+        " latency_ms int, epoch long",
+    )
+
+
+def _py_returns(rewards, horizon):
+    out = []
+    for t in range(len(rewards)):
+        g = 0
+        for o in range(horizon + 1):
+            if t + o < len(rewards):
+                g += rewards[t + o] * 2 ** (horizon - o)
+        out.append(g)
+    return out
+
+
+def test_trajectory_returns_match_python_fold(spark):
+    statuses = ["OK", "ERR", "OK", "OK", "TIMEOUT", "OK"]
+    rewards = [1 if s == "OK" else -1 for s in statuses]
+    out = (
+        transcript.trajectory_returns(_parsed(spark, statuses), horizon=3)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r.return_fp for r in out] == _py_returns(rewards, 3)
+    assert all(r.return_g == r.return_fp / 8.0 for r in out)
+    assert [r.reward for r in out] == rewards
+
+
+def test_trajectory_returns_horizon_truncates(spark):
+    # with horizon 0 the return IS the reward (scaled by 2^0 = 1)
+    statuses = ["OK", "ERR"]
+    out = (
+        transcript.trajectory_returns(_parsed(spark, statuses), horizon=0)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r.return_fp for r in out] == [1, -1]
+    with pytest.raises(ValueError):
+        transcript.trajectory_returns(_parsed(spark, statuses), horizon=33)
+
+
+def test_trajectory_returns_per_conversation_isolation(spark):
+    # two single-call conversations must not discount into each other
+    rows = [
+        ("a", 0, "conn", "OK", 1, 0),
+        ("b", 0, "conn", "ERR", 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool_called string, status string,"
+        " latency_ms int, epoch long",
+    )
+    got = {
+        r.conv_id: r.return_fp
+        for r in transcript.trajectory_returns(df, horizon=4).collect()
+    }
+    assert got == {"a": 16, "b": -16}
+
+
+# --------------------------------------------------------------------------
+# plan pins (the 100 TB shapes)
+# --------------------------------------------------------------------------
+
+def test_substring_spans_no_pairs_no_python(spark):
+    # spark.range source so the scan itself is JVM-only (createDataFrame
+    # scans print applySchemaToPythonRDD, which would trip the pin)
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared-prefix-text-"),
+            (F.col("id") % 3).cast("string"),
+            F.lit("-tail"),
+        ).alias("text"),
+    )
+    plan = plan_of(dedup.exact_substring_spans(docs, k=8))
+    # anchor count, anchor join-back, per-doc window — hash exchanges
+    # only, never a pair-forming cross join, never a Python boundary
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_token_budget_single_exchange(spark):
+    scored = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        (F.col("id") + 10).cast("int").alias("n_tokens"),
+        (F.col("id") % 7).cast("double").alias("quality"),
+    )
+    plan = plan_of(sampling.token_budget_select(scored, budget=200))
+    # one window partitioned by source → exactly one hash exchange
+    assert plan.count("hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_trajectory_returns_single_exchange(spark):
+    parsed = transcript.parse_turns(transcript.synth_transcript(spark, 2000))
+    plan = plan_of(transcript.trajectory_returns(parsed, horizon=8))
+    # all 9 lead() terms share ONE (conv_id, turn_idx) window spec
+    assert plan.count("hashpartitioning") == 1
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_growth_broadcast_checkpoints_no_global_window(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 5} common") for i in range(200)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(textstats.vocab_growth(docs, checkpoints=(50, 100)))
+    # the checkpoint fan-out must be broadcast range joins; no global
+    # row_number (no SinglePartition window) anywhere
+    assert "BroadcastNestedLoopJoin" in plan  # range join on tiny cp side
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
