@@ -234,6 +234,10 @@ NEXT_ROTATION = [
     "sample_token_budget",
     "text_vocab_growth",
     "transcript_returns",
+    "dedup_substring_rate",
+    "sample_epoch_shuffle",
+    "transcript_grpo_adv",
+    "embed_matryoshka_recall",
 ]
 
 
@@ -1085,6 +1089,28 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcript_returns"] = lambda s, d: transcript.trajectory_returns(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)), horizon=8
     )
+    # per-source duplicated-character rate from the exact-substring spans
+    q["dedup_substring_rate"] = lambda s, d: dedup.substring_dup_rate(
+        _t(s, d, "documents"), k=24, stride=1, min_count=2
+    )
+    # deterministic per-epoch reshuffle + shard assignment (no global sort)
+    q["sample_epoch_shuffle"] = lambda s, d: sampling.epoch_shuffle(
+        _t(s, d, "documents"), epochs=2, n_shards=4
+    )
+    # GRPO-style group-relative advantages: integer adv_num = r·n − Σr
+    # over conversations grouped by their first tool call
+    q["transcript_grpo_adv"] = lambda s, d: transcript.group_advantages(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    # Matryoshka-truncation audit: recall@5 of 16-dim-prefix cosine
+    # search vs full 64-dim ground truth on the same query block
+    def _embed_matryoshka_recall(s, d):
+        emb = _t(s, d, "embeddings")
+        return similarity.matryoshka_recall(
+            emb, emb.filter(F.col("vec_id") < 8), k=5, dims=16
+        )
+
+    q["embed_matryoshka_recall"] = _embed_matryoshka_recall
     return q
 
 
@@ -4139,4 +4165,55 @@ def oracle_sql() -> dict[str, str]:
     o["sample_token_budget"] = sampling.token_budget_select_sql(_scored_src, 800)
     o["text_vocab_growth"] = textstats.vocab_growth_sql("documents")
     o["transcript_returns"] = transcript.trajectory_returns_sql(_tx_rel, 8)
+    o["dedup_substring_rate"] = dedup.substring_dup_rate_sql(
+        "documents", k=24, stride=1, min_count=2
+    )
+    o["sample_epoch_shuffle"] = sampling.epoch_shuffle_sql(
+        "documents", epochs=2, n_shards=4
+    )
+    o["transcript_grpo_adv"] = transcript.group_advantages_sql(_tx_rel)
+    # Matryoshka audit: full-dim vs 16-dim-prefix brute top-5, recall
+    # fold identical to ann_recall_ivf's (dot/norm folds in range order)
+    _dot16 = (
+        "list_reduce(list_transform(range(16), i -> q.qv[i+1] * e.v[i+1]), "
+        "(acc, x) -> acc + x)"
+    )
+    _cos16 = f"{_dot16} / ({_norm_sql('q.qv')} * {_norm_sql('e.v')})"
+    o["embed_matryoshka_recall"] = f"""
+        WITH ebase AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        exs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round({_cos_sql('q.qv', 'e.v')}, 6) AS c
+                FROM ebase e,
+                     (SELECT vec_id AS query_id, v AS qv FROM ebase
+                      WHERE vec_id < 8) q
+                WHERE e.vec_id <> q.query_id),
+        ex AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY c DESC, neighbor_id ASC)
+                          AS rk
+                 FROM exs) WHERE rk <= 5),
+        e16 AS (SELECT vec_id, v[1:16] AS v FROM ebase),
+        aps AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round({_cos16}, 6) AS c
+                FROM e16 e,
+                     (SELECT vec_id AS query_id, v AS qv FROM e16
+                      WHERE vec_id < 8) q
+                WHERE e.vec_id <> q.query_id),
+        ap AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY c DESC, neighbor_id ASC)
+                          AS rk
+                 FROM aps) WHERE rk <= 5),
+        hits AS (SELECT ex.query_id FROM ex
+                 JOIN ap ON ex.query_id = ap.query_id
+                        AND ex.neighbor_id = ap.neighbor_id)
+        SELECT (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM ex)
+                 AS n_queries,
+               (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_true_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+               CAST(((SELECT count(*) FROM hits) * 1000000)
+                    // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
+    """
     return o

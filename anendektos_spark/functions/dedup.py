@@ -1553,3 +1553,83 @@ def exact_substring_spans_sql(
                CAST(count(*) AS INT) AS n_anchors
         FROM i GROUP BY {id_col}, island
     """
+
+
+def substring_dup_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 24,
+    stride: int = 1,
+    min_count: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-``group_col`` duplicated-character rate: the fraction of each
+    source's characters inside an :func:`exact_substring_spans` removal
+    span — the "how contaminated is this source, in bytes" report that
+    decides whether a source is worth keeping at all. Fixed-point ppm
+    (BIGINT ``div``) so both engines agree exactly.
+
+    Shape: the span relation is duplicate-density-sized; folding it to
+    per-doc flagged-char counts and left-joining the (id, group, length)
+    projection adds one id-keyed exchange (AQE broadcasts the span side
+    when duplication is sparse) before the group-keyed fold. Text never
+    flows past the span detector."""
+    spans = exact_substring_spans(df, id_col, text_col, k, stride, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_len").cast("long")).alias("_flag")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("_len"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_len").alias("n_chars"),
+            F.sum(F.coalesce(F.col("_flag"), F.lit(0))).cast("long").alias(
+                "dup_chars"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_chars",
+            "dup_chars",
+            F.expr(f"(dup_chars * {scale}L) div n_chars").alias("dup_ppm"),
+        )
+    )
+
+
+def substring_dup_rate_sql(
+    rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 24,
+    stride: int = 1,
+    min_count: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`substring_dup_rate`."""
+    spans = exact_substring_spans_sql(rel, id_col, text_col, k, stride, min_count)
+    return f"""
+        WITH spans AS ({spans}),
+        per_doc AS (SELECT {id_col}, sum(CAST(span_len AS BIGINT)) AS _flag
+                    FROM spans GROUP BY {id_col}),
+        base AS (SELECT {id_col}, {group_col},
+                        CAST(length({text_col}) AS BIGINT) AS _len
+                 FROM {rel})
+        SELECT {group_col},
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_len) AS BIGINT) AS n_chars,
+               CAST(sum(coalesce(_flag, 0)) AS BIGINT) AS dup_chars,
+               CAST(sum(coalesce(_flag, 0)) * {scale}
+                    // sum(_len) AS BIGINT) AS dup_ppm
+        FROM base LEFT JOIN per_doc USING ({id_col})
+        GROUP BY {group_col}
+    """

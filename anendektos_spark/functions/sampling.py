@@ -945,3 +945,81 @@ def token_budget_select_sql(
         SELECT {id_col}, {group_col}, {tokens_col}, {order_col}, cum_tokens
         FROM c WHERE cum_tokens <= {budget}
     """
+
+
+# --------------------------------------------------------------------------
+# deterministic per-epoch reshuffle + shard assignment
+# --------------------------------------------------------------------------
+
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int = 2,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic multi-epoch training order: each (doc, epoch) pair
+    is keyed by ``md5(id:epoch)``, sharded by the key's top 24 bits, and
+    positioned by a per-(epoch, shard) rank over the key — so every
+    epoch sees a different but fully reproducible global order, and a
+    reader streams shard files sequentially with no coordination.
+
+    100 TB shape: the epoch fan-out is a broadcast of an ``epochs``-row
+    relation (never a data-sized cross join side); ordering happens ONLY
+    inside (epoch, shard) window partitions — there is no global sort or
+    row_number anywhere, which is the whole point: the order is defined
+    by the hash key, so shards can be written independently."""
+    if epochs < 1 or n_shards < 1:
+        raise ValueError("need epochs >= 1 and n_shards >= 1")
+    ep = df.sparkSession.range(epochs).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    h = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    keyed = (
+        df.select(id_col)
+        .join(F.broadcast(ep))
+        .withColumn("_h", h)
+        .withColumn(
+            "shard_id",
+            (
+                F.conv(F.substring("_h", 1, 6), 16, 10).cast("long")
+                % n_shards
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("_h", id_col)
+    return keyed.select(
+        id_col,
+        "epoch",
+        "shard_id",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+def epoch_shuffle_sql(
+    rel: str,
+    epochs: int = 2,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`epoch_shuffle`."""
+    return f"""
+        WITH ep AS (SELECT CAST(unnest(range({epochs})) AS INT) AS epoch),
+        keyed AS (SELECT {id_col}, epoch,
+                         md5(CAST({id_col} AS VARCHAR) || ':' ||
+                             CAST(epoch AS VARCHAR)) AS _h
+                  FROM {rel} CROSS JOIN ep),
+        sh AS (SELECT {id_col}, epoch, _h,
+                      CAST(('0x' || substr(_h, 1, 6))::BIGINT % {n_shards}
+                           AS INT) AS shard_id
+               FROM keyed)
+        SELECT {id_col}, epoch, shard_id,
+               CAST(row_number() OVER (PARTITION BY epoch, shard_id
+                                       ORDER BY _h, {id_col}) AS INT) AS pos
+        FROM sh
+    """

@@ -1189,3 +1189,32 @@ def hard_negative_pairs(
             F.round("cos_sim", 4).alias("cos_sim"),
         )
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation audit: recall@k of cosine search over the
+    first ``dims`` embedding dimensions against full-dimension ground
+    truth on the same query block — the check that decides whether a
+    truncated (cheaper, cache-friendlier) index is safe to serve. Both
+    legs are :func:`brute_topk` (broadcast queries, one fold per
+    candidate) folded through :func:`ann_recall_report`, so the audit
+    inherits their shapes; at corpus scale the truncated leg is the one
+    you would swap for IVF/PQ — the report contract is unchanged."""
+    if dims < 1:
+        raise ValueError(f"dims must be positive, got {dims}")
+
+    def _trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.slice(vec_col, 1, dims).alias(vec_col)
+        )
+
+    exact = brute_topk(emb, queries, k, id_col, vec_col)
+    approx = brute_topk(_trunc(emb), _trunc(queries), k, id_col, vec_col)
+    return ann_recall_report(exact, approx, k)

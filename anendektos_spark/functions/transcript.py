@@ -1078,3 +1078,63 @@ def trajectory_returns_sql(rel: str, horizon: int = 8) -> str:
         FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
     """
     )
+
+
+def group_advantages(parsed: DataFrame) -> DataFrame:
+    """Group-relative advantage (the GRPO baseline construction):
+    conversations are grouped by their FIRST tool call (the prompt-
+    category proxy — trajectories answering the same kind of request),
+    each conversation's return is its integer reward sum (+1 OK, −1
+    ERR/TIMEOUT), and the advantage is measured against the group mean.
+
+    Exactness: the mean is rational, so instead of dividing we scale by
+    the group size — ``adv_num = conv_return · n_group − group_sum`` is
+    an exact BIGINT whose sign and ordering match the float advantage
+    (divide by n_group off-engine when a float is genuinely needed).
+
+    100 TB shape: two shuffles — the conv_id aggregate (map-side
+    combined; arg-min picks the first call without a sort), then one
+    window exchange on the group key shared by both group statistics."""
+    from pyspark.sql import Window
+
+    r = F.when(F.col("status") == "OK", 1).otherwise(-1)
+    conv = parsed.groupBy("conv_id").agg(
+        F.min_by("tool_called", "turn_idx").alias("group_key"),
+        F.sum(r).cast("long").alias("conv_return"),
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+    )
+    gw = Window.partitionBy("group_key")
+    return conv.select(
+        "conv_id",
+        "group_key",
+        "conv_return",
+        "n_calls",
+        F.count(F.lit(1)).over(gw).cast("long").alias("n_group"),
+        F.sum("conv_return").over(gw).cast("long").alias("group_sum"),
+    ).withColumn(
+        "adv_num",
+        F.col("conv_return") * F.col("n_group") - F.col("group_sum"),
+    )
+
+
+def group_advantages_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`group_advantages`."""
+    return (
+        _parsed_cte(rel)
+        + """,
+        conv AS (SELECT conv_id,
+                        arg_min(tool_called, turn_idx) AS group_key,
+                        CAST(sum(CASE WHEN status = 'OK' THEN 1 ELSE -1 END)
+                             AS BIGINT) AS conv_return,
+                        CAST(count(*) AS BIGINT) AS n_calls
+                 FROM parsed GROUP BY conv_id)
+        SELECT conv_id, group_key, conv_return, n_calls,
+               CAST(count(*) OVER (PARTITION BY group_key) AS BIGINT)
+                 AS n_group,
+               CAST(sum(conv_return) OVER (PARTITION BY group_key) AS BIGINT)
+                 AS group_sum,
+               conv_return * count(*) OVER (PARTITION BY group_key)
+                 - sum(conv_return) OVER (PARTITION BY group_key) AS adv_num
+        FROM conv
+    """
+    )

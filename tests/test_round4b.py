@@ -271,3 +271,109 @@ def test_vocab_growth_broadcast_checkpoints_no_global_window(spark):
     assert "BroadcastNestedLoopJoin" in plan  # range join on tiny cp side
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# substring_dup_rate
+# --------------------------------------------------------------------------
+
+def test_substring_dup_rate_per_source(spark):
+    shared = "ABCDEFGHIJKLMNOP"  # 16 dup chars with k=8
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 4 + shared, "a"),   # 20 chars, 16 flagged
+            (2, shared + "y" * 4, "a"),   # 20 chars, 16 flagged
+            (3, "unique-text-here-ok", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.source: (r.n_docs, r.n_chars, r.dup_chars, r.dup_ppm)
+        for r in dedup.substring_dup_rate(docs, k=8).collect()
+    }
+    assert out["a"] == (2, 40, 32, 800_000)
+    assert out["b"] == (1, 19, 0, 0)
+
+
+# --------------------------------------------------------------------------
+# epoch_shuffle
+# --------------------------------------------------------------------------
+
+def test_epoch_shuffle_deterministic_and_complete(spark):
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    a = sampling.epoch_shuffle(docs, epochs=2, n_shards=4).collect()
+    b = sampling.epoch_shuffle(docs, epochs=2, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # every (doc, epoch) appears exactly once
+    assert len(a) == 80
+    assert len({(r.doc_id, r.epoch) for r in a}) == 80
+    # positions are dense 1..n within each (epoch, shard)
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in a:
+        by[(r.epoch, r.shard_id)].append(r.pos)
+    for ps in by.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_epoch_shuffle_orders_differ_across_epochs(spark):
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    rows = sampling.epoch_shuffle(docs, epochs=2, n_shards=1).collect()
+    order = {
+        e: [r.doc_id for r in sorted(rows, key=lambda r: r.pos) if r.epoch == e]
+        for e in (0, 1)
+    }
+    assert order[0] != order[1]
+    with pytest.raises(ValueError):
+        sampling.epoch_shuffle(docs, epochs=0)
+
+
+# --------------------------------------------------------------------------
+# group_advantages
+# --------------------------------------------------------------------------
+
+def test_group_advantages_exact_numerator(spark):
+    rows = [
+        # group 'conn': returns 2, 0  → sum 2, n 2
+        ("c1", 0, "conn", "OK", 1, 0), ("c1", 1, "dns", "OK", 1, 0),
+        ("c2", 0, "conn", "OK", 1, 0), ("c2", 1, "dns", "ERR", 1, 0),
+        # group 'http': single conv, return -1 → adv 0
+        ("c3", 0, "http", "ERR", 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, tool_called string, status string,"
+        " latency_ms int, epoch long",
+    )
+    got = {r.conv_id: r for r in transcript.group_advantages(df).collect()}
+    assert got["c1"].group_key == "conn" and got["c1"].conv_return == 2
+    # adv_num = r·n − Σ: c1 → 2·2−2 = 2; c2 → 0·2−2 = −2; c3 → 0
+    assert got["c1"].adv_num == 2
+    assert got["c2"].adv_num == -2
+    assert got["c3"].adv_num == 0 and got["c3"].n_group == 1
+
+
+# --------------------------------------------------------------------------
+# matryoshka_recall
+# --------------------------------------------------------------------------
+
+def test_matryoshka_recall_identity_at_full_dims(spark):
+    from anendektos_spark.functions import similarity
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: ((F.col("id") * j) % 7).cast("float") + F.lit(0.5),
+        ).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    # truncating to the FULL width must reproduce ground truth exactly
+    r = similarity.matryoshka_recall(emb, qs, k=3, dims=8).collect()[0]
+    assert r.recall_ppm == 1_000_000 and r.n_queries == 3
+    # a 1-dim prefix of this construction collapses ranks → recall < 1
+    r1 = similarity.matryoshka_recall(emb, qs, k=3, dims=1).collect()[0]
+    assert r1.recall_ppm < 1_000_000
+    with pytest.raises(ValueError):
+        similarity.matryoshka_recall(emb, qs, k=3, dims=0)
