@@ -230,6 +230,9 @@ NEXT_ROTATION = [
     "transcript_latency_drift",
     "sample_shard_manifest",
     "embed_hard_negatives",
+    # late round-4 additions (exact substring dedup + rate, token-budget
+    # selection, heaps-law vocab growth, trajectory returns + GRPO
+    # advantages, epoch shuffle, Matryoshka recall audit)
     "dedup_substring_spans",
     "sample_token_budget",
     "text_vocab_growth",

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "conv_integrity",
     "dedup_pairs_editdist", "conv_truncate_context", "sample_calibrated",
     "text_ngram_diversity", "sketch_hdr_latency",
+    "dedup_substring_spans", "sample_epoch_shuffle", "transcript_returns",
+    "transcript_grpo_adv", "embed_matryoshka_recall", "text_vocab_growth",
 ]
 
 

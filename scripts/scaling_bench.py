@@ -56,7 +56,7 @@ if job in ("grok", "hdr"):
     # the north_star grok pipeline's input: marker-bearing conversation
     # transcripts (~25 turns per zeek-replica keeps row counts comparable)
     tx = transcript.synth_transcript(spark, replicas * 25, partitions=128).persist()
-elif job in ("convdedup", "winnow", "prefixjoin", "pack"):
+elif job in ("convdedup", "winnow", "prefixjoin", "pack", "substr"):
     # the curation legs' input: duplication-injecting conversation
     # generator (~12 turns/replica ≈ the suite's 500k-turn leg at the
     # default 40k replicas). Materialized to DISK, not cache: these jobs'
@@ -118,6 +118,19 @@ def build():
             convops.pack_with_masks(tx, budget_tokens=1024, n_buckets=256)
             .groupBy("bucket")
             .agg(F.count("*").alias("n"), F.max("seq_end").alias("max_end"))
+        )
+    if job == "substr":
+        # exact duplicated-substring spans (char-grain anchors, interval
+        # union) over the reassembled conversations; stride 4 is the
+        # documented corpus-scale setting. Reduced to a one-row digest so
+        # the measurement is the anchor shuffles, not row serialization.
+        return (
+            dedup.exact_substring_spans(
+                convops.conv_reconstruct(tx), id_col="conv_id",
+                text_col="transcript", k=24, stride=4)
+            .groupBy()
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum("span_len").alias("chars_flagged"))
         )
     if job == "prefixjoin":
         # exact-threshold similarity self-join (AllPairs prefix filter)
@@ -195,6 +208,12 @@ JOB_TITLES = {
         "Job — loss-mask packing (convops.pack_with_masks: per-turn "
         "cumulative window + conv-grain partial aggregate + bucket "
         "packing window, reduced to a 256-row per-bucket digest)"
+    ),
+    "substr": (
+        "Job — exact duplicated-substring spans (dedup."
+        "exact_substring_spans: char-grain anchor explode -> anchor-count "
+        "shuffle -> join-back -> per-doc interval-union window; stride 4, "
+        "one-row digest)"
     ),
 }
 
