@@ -241,6 +241,9 @@ NEXT_ROTATION = [
     "sample_epoch_shuffle",
     "transcript_grpo_adv",
     "embed_matryoshka_recall",
+    "dedup_containment",
+    "dedup_cluster_sizes",
+    "text_retrieval_eval",
 ]
 
 
@@ -1114,6 +1117,23 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embed_matryoshka_recall"] = _embed_matryoshka_recall
+    # asymmetric shingle containment over the LSH candidates — the
+    # excerpt/quote detector Jaccard dilutes
+    q["dedup_containment"] = lambda s, d: dedup.lsh_containment(
+        _t(s, d, "documents"), min_containment_ppm=400_000
+    )
+    # dup-cluster size distribution (corpus-health view of the resolution)
+    q["dedup_cluster_sizes"] = lambda s, d: dedup.cluster_size_histogram(
+        dedup.dup_clusters(
+            _t(s, d, "documents").select("doc_id"),
+            dedup.lsh_candidates(_t(s, d, "documents")),
+        )
+    )
+    # BM25 ranked retrieval judged against the exact conjunctive match
+    # set: recall/precision@k + fixed-point reciprocal rank
+    q["text_retrieval_eval"] = lambda s, d: textstats.retrieval_effectiveness(
+        _t(s, d, "documents"), _BM25_TERMS, 20
+    )
     return q
 
 
@@ -4219,4 +4239,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(((SELECT count(*) FROM hits) * 1000000)
                     // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
     """
+    # asymmetric containment refine over the same band-candidate chain
+    o["dedup_containment"] = f"""
+        {_bands_cte},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        m AS (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(sa.shd, sb.shd)) AS BIGINT)
+                       AS n_shared,
+                     CAST(len(sa.shd) AS BIGINT) AS n_a,
+                     CAST(len(sb.shd) AS BIGINT) AS n_b
+              FROM cand c JOIN sh sa ON c.id_a = sa.doc_id
+                          JOIN sh sb ON c.id_b = sb.doc_id),
+        p AS (SELECT id_a, id_b, n_shared, n_a, n_b,
+                     CAST((n_shared * 1000000) // n_a AS BIGINT)
+                       AS contain_a_ppm,
+                     CAST((n_shared * 1000000) // n_b AS BIGINT)
+                       AS contain_b_ppm
+              FROM m)
+        SELECT * FROM p
+        WHERE greatest(contain_a_ppm, contain_b_ppm) >= 400000
+    """
+    o["dedup_cluster_sizes"] = f"""
+        WITH cl AS ({o["dedup_clusters"]}),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM cl GROUP BY cluster_id)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """
+    _conj_bm25 = f"""
+        SELECT doc_id FROM documents
+        WHERE {" AND ".join(f"list_contains({_TOKS}, '{t}')" for t in _BM25_TERMS)}
+    """
+    o["text_retrieval_eval"] = textstats.retrieval_effectiveness_sql(
+        o["text_bm25_topk"], _conj_bm25
+    )
     return o

@@ -1633,3 +1633,93 @@ def substring_dup_rate_sql(
         FROM base LEFT JOIN per_doc USING ({id_col})
         GROUP BY {group_col}
     """
+
+
+def lsh_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    n: int = 3,
+    min_containment_ppm: int = 500_000,
+    use_cache: bool = True,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs: containment(A→B)
+    = |A∩B| / |A|. Symmetric Jaccard dilutes subset duplication — a
+    short document quoted whole inside a long one scores |A|/|B| ≈ 0 —
+    while containment(A→B) is 1.0; this is the excerpt/quote/wrapped-
+    copy detector a curation pipeline runs next to Jaccard dedup.
+
+    Integer fixed point: contain_*_ppm = (|∩| · 10⁶) div |side| — exact
+    in both engines. A pair is kept when EITHER direction reaches
+    ``min_containment_ppm``.
+
+    Same one-pass LSH chain (and 100 TB shape) as :func:`lsh_jaccard` —
+    one shingle materialization feeds signature and both refine sides,
+    pairs form only in band buckets. Banding recall caveat, documented:
+    a tiny doc inside a huge one shares few MinHashes (MinHash estimates
+    Jaccard, not containment), so band recall for extreme size ratios is
+    low — at corpus scale feed the refine from a containment-friendly
+    ``candidates`` relation (id_a, id_b — e.g. winnow fingerprint
+    overlaps) when hunting extreme excerpts; the refine arithmetic is
+    shared either way."""
+    sets = _cached_sets(df, id_col, text_col, n, cache=use_cache)
+    cand = candidates
+    if cand is None:
+        cand = _pairs_from_bands(
+            _bands_from_sig(
+                _minhash_from_sets(sets, id_col, num_hashes),
+                id_col,
+                num_hashes,
+                rows_per_band,
+            ),
+            id_col,
+        )
+    else:
+        cand = cand.select("id_a", "id_b")
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_shared"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .withColumn("contain_a_ppm", F.expr("(n_shared * 1000000L) div n_a"))
+        .withColumn("contain_b_ppm", F.expr("(n_shared * 1000000L) div n_b"))
+        .filter(
+            F.greatest("contain_a_ppm", "contain_b_ppm")
+            >= F.lit(min_containment_ppm)
+        )
+    )
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """Corpus-health view of a dedup resolution: how many clusters exist
+    at each size (size 2, 3, …) plus the per-size document total — the
+    distribution that distinguishes "a few giant boilerplate families"
+    from "a long tail of pairs", which decide very different cleanups.
+
+    Input is a ``dup_clusters``-style (id, cluster_id) relation (non-
+    singleton members). Two tiny shuffles: the per-cluster count
+    (map-side combined), then a count over the cluster-grain relation —
+    both orders of magnitude below the corpus."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

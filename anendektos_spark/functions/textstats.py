@@ -1413,3 +1413,95 @@ def vocab_growth_sql(
                CAST(coalesce(vocab_size, 0) AS BIGINT) AS vocab_size
         FROM cp LEFT JOIN totals USING (cp) LEFT JOIN vocab USING (cp)
     """
+
+
+def retrieval_effectiveness(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Retrieval-quality audit for the BM25 ranker: judge
+    :func:`bm25_topk`'s top-k against the EXACT conjunctive match set
+    (:func:`search_conjunctive` — documents containing every query
+    term) as the relevance ground truth. One row: relevant count, top-k
+    size, hits (relevant ∩ top-k), the rank of the first relevant
+    result, recall@k and precision@k in integer ppm, and a fixed-point
+    reciprocal rank (``scale div first_rank``; 0 when nothing relevant
+    is retrieved) — the ship-the-ranker-with-its-eval companion of the
+    ANN/LSH recall audits.
+
+    Shape: both legs are existing operators (BM25's corpus shuffles,
+    the conjunctive scan's narrow pass); the audit itself joins a
+    k-row relation against the match set on the id and folds to one
+    row — audit cost is top-k-sized."""
+    top = bm25_topk(df, terms, k, id_col, text_col)
+    rel = search_conjunctive(df, terms, id_col, text_col).select(
+        F.col(id_col), F.lit(1).alias("_rel")
+    )
+    judged = top.join(rel, id_col, "left")
+    return (
+        judged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_topk"),
+            F.sum(F.coalesce(F.col("_rel"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.min(F.when(F.col("_rel") == 1, F.col("rank")))
+            .cast("long")
+            .alias("first_rank"),
+        )
+        .crossJoin(
+            rel.agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+        )
+        .select(
+            "n_relevant",
+            "n_topk",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("first_rank", F.lit(0)).alias("first_rank"),
+            F.expr(
+                f"CASE WHEN n_relevant = 0 THEN 0 "
+                f"ELSE (coalesce(n_hits, 0) * {scale}L) div n_relevant END"
+            ).alias("recall_ppm"),
+            F.expr(
+                f"CASE WHEN n_topk = 0 THEN 0 "
+                f"ELSE (coalesce(n_hits, 0) * {scale}L) div n_topk END"
+            ).alias("precision_ppm"),
+            F.expr(
+                f"CASE WHEN first_rank IS NULL OR first_rank = 0 THEN 0 "
+                f"ELSE {scale}L div first_rank END"
+            ).alias("rr_fp"),
+        )
+    )
+
+
+def retrieval_effectiveness_sql(
+    topk_sql: str, relevant_sql: str, scale: int = 1_000_000
+) -> str:
+    """DuckDB mirror of :func:`retrieval_effectiveness`; composes the
+    bm25 top-k and conjunctive-match oracle SQL of the same corpus."""
+    return f"""
+        WITH top AS (SELECT doc_id, rank FROM ({topk_sql})),
+        rel AS (SELECT doc_id FROM ({relevant_sql})),
+        j AS (SELECT t.doc_id, t.rank,
+                     CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS _rel
+              FROM top t LEFT JOIN rel r ON t.doc_id = r.doc_id),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_topk,
+                       CAST(coalesce(sum(_rel), 0) AS BIGINT) AS n_hits,
+                       CAST(min(CASE WHEN _rel = 1 THEN rank END) AS BIGINT)
+                         AS first_rank
+                FROM j),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel)
+        SELECT n_relevant, n_topk, n_hits,
+               CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rank,
+               CAST(CASE WHEN n_relevant = 0 THEN 0
+                    ELSE (n_hits * {scale}) // n_relevant END AS BIGINT)
+                 AS recall_ppm,
+               CAST(CASE WHEN n_topk = 0 THEN 0
+                    ELSE (n_hits * {scale}) // n_topk END AS BIGINT)
+                 AS precision_ppm,
+               CAST(CASE WHEN first_rank IS NULL OR first_rank = 0 THEN 0
+                    ELSE {scale} // first_rank END AS BIGINT) AS rr_fp
+        FROM agg, tot
+    """

@@ -377,3 +377,90 @@ def test_matryoshka_recall_identity_at_full_dims(spark):
     assert r1.recall_ppm < 1_000_000
     with pytest.raises(ValueError):
         similarity.matryoshka_recall(emb, qs, k=3, dims=0)
+
+
+# --------------------------------------------------------------------------
+# lsh_containment / cluster_size_histogram / retrieval_effectiveness
+# --------------------------------------------------------------------------
+
+def test_containment_detects_subset_jaccard_dilutes(spark):
+    # doc 2 is doc 1's text wholly embedded in a much longer document:
+    # jaccard is low, containment(1→2) is 1.0. An extreme size ratio is
+    # exactly what MinHash banding under-recalls (documented caveat), so
+    # this case feeds the refine an explicit candidate relation — the
+    # winnow-sourced pattern the docstring prescribes at corpus scale.
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.lsh_containment(
+        docs, min_containment_ppm=900_000, use_cache=False, candidates=cand
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.contain_a_ppm == 1_000_000  # all of doc 1's shingles shared
+    assert r.contain_b_ppm < 500_000
+    # n_shared = all 4 of doc 1's distinct 3-gram shingles
+    assert r.n_shared == r.n_a == 4
+
+
+def test_containment_via_lsh_candidates_moderate_overlap(spark):
+    # near-dup regime (high jaccard) where banding recall IS reliable:
+    # doc 2 extends doc 1 by a suffix → contain(1→2) = 1.0, contain(2→1)
+    # < 1.0, and the pair surfaces through the band chain itself
+    base = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " nine ten")], "doc_id long, text string"
+    )
+    out = dedup.lsh_containment(
+        docs, min_containment_ppm=900_000, use_cache=False
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.contain_a_ppm == 1_000_000 and r.contain_b_ppm < 1_000_000
+
+
+def test_cluster_size_histogram_counts(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in dedup.cluster_size_histogram(clusters).collect()
+    }
+    assert got == {3: (1, 3), 2: (2, 4)}
+
+
+def test_retrieval_effectiveness_hand_corpus(spark):
+    # 3 docs contain both terms (relevant); BM25 over 'rare common'
+    # must place them in the top-k of this tiny corpus
+    rows = [
+        (1, "rare common filler one"),
+        (2, "rare common filler two"),
+        (3, "common only here"),
+        (4, "rare only here"),
+        (5, "neither term at all"),
+        (6, "rare common rare common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textstats.retrieval_effectiveness(
+        docs, ["rare", "common"], k=3
+    ).collect()[0]
+    assert r.n_relevant == 3 and r.n_topk == 3
+    assert r.n_hits == 3 and r.first_rank == 1
+    assert r.recall_ppm == 1_000_000 and r.precision_ppm == 1_000_000
+    assert r.rr_fp == 1_000_000
+
+
+def test_retrieval_effectiveness_no_relevant(spark):
+    docs = spark.createDataFrame(
+        [(1, "just some words"), (2, "more words here")],
+        "doc_id long, text string",
+    )
+    r = textstats.retrieval_effectiveness(docs, ["absent"], k=3).collect()[0]
+    assert r.n_relevant == 0 and r.n_topk == 0 and r.n_hits == 0
+    assert r.recall_ppm == 0 and r.precision_ppm == 0 and r.rr_fp == 0
