@@ -244,6 +244,7 @@ NEXT_ROTATION = [
     "dedup_containment",
     "dedup_cluster_sizes",
     "text_retrieval_eval",
+    "dedup_substring_clean",
 ]
 
 
@@ -1133,6 +1134,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set: recall/precision@k + fixed-point reciprocal rank
     q["text_retrieval_eval"] = lambda s, d: textstats.retrieval_effectiveness(
         _t(s, d, "documents"), _BM25_TERMS, 20
+    )
+    # the removal step: rewrite docs with every flagged char range cut
+    q["dedup_substring_clean"] = lambda s, d: dedup.apply_substring_removal(
+        _t(s, d, "documents"),
+        dedup.exact_substring_spans(
+            _t(s, d, "documents"), k=24, stride=1, min_count=2
+        ),
     )
     return q
 
@@ -4277,5 +4285,11 @@ def oracle_sql() -> dict[str, str]:
     """
     o["text_retrieval_eval"] = textstats.retrieval_effectiveness_sql(
         o["text_bm25_topk"], _conj_bm25
+    )
+    o["dedup_substring_clean"] = dedup.apply_substring_removal_sql(
+        "documents",
+        dedup.exact_substring_spans_sql(
+            "documents", k=24, stride=1, min_count=2
+        ),
     )
     return o

@@ -1723,3 +1723,109 @@ def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def apply_substring_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply an :func:`exact_substring_spans` relation: rewrite each
+    document with every flagged [start, end) character range removed —
+    the cleaning step that closes the detect→remove loop (dedup_spans
+    does the same at token-block grain). Docs with no spans pass
+    through byte-identical; output carries n_spans, chars_removed and a
+    cleaned-text md5 for cheap downstream equality checks.
+
+    Correctness leans on the span contract: islands are maximal,
+    non-overlapping and sorted per doc, so each kept piece is the
+    original text between the previous span's end and this span's
+    start, plus one tail after the last span.
+
+    100 TB shape: one (doc-grain) window + one aggregate over the
+    duplicate-density-sized span relation, then ONE id-keyed left join
+    against the corpus (AQE broadcasts the span side when duplication
+    is sparse). The rebuild is pure Column arithmetic — no explode of
+    the corpus text, no Python."""
+    base = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    pieces = (
+        spans.withColumn(
+            "prev_end", F.coalesce(F.lag("span_end").over(w), F.lit(0))
+        )
+        .join(base, id_col)
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            F.expr("substring(_txt, prev_end + 1, span_start - prev_end)").alias(
+                "piece"
+            ),
+        )
+    )
+    agg = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_start", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("_head"),
+        F.max("span_end").alias("_last_end"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+    )
+    cleaned = F.when(
+        F.col("_last_end").isNull(), F.col("_txt")
+    ).otherwise(F.concat(F.col("_head"), F.expr("substring(_txt, _last_end + 1)")))
+    return (
+        base.join(agg, id_col, "left")
+        .select(
+            id_col,
+            cleaned.alias("cleaned_text"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            (F.length("_txt") - F.length(cleaned)).cast("int").alias(
+                "chars_removed"
+            ),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+    )
+
+
+def apply_substring_removal_sql(
+    rel: str,
+    spans_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`apply_substring_removal`; ``spans_sql``
+    is the :func:`exact_substring_spans_sql` of the same corpus."""
+    cleaned = (
+        f"CASE WHEN a.{id_col} IS NULL THEN b._txt "
+        f"ELSE a.head || substr(b._txt, a.last_end + 1) END"
+    )
+    return f"""
+        WITH spans AS ({spans_sql}),
+        base AS (SELECT {id_col}, {text_col} AS _txt FROM {rel}),
+        p AS (SELECT {id_col}, span_start, span_end,
+                     coalesce(lag(span_end) OVER (PARTITION BY {id_col}
+                                                  ORDER BY span_start), 0)
+                       AS prev_end
+              FROM spans),
+        seg AS (SELECT p.{id_col}, span_start, span_end,
+                       substr(_txt, prev_end + 1, span_start - prev_end)
+                         AS piece
+                FROM p JOIN base USING ({id_col})),
+        a0 AS (SELECT {id_col},
+                      string_agg(piece, '' ORDER BY span_start) AS head,
+                      max(span_end) AS last_end,
+                      CAST(count(*) AS INT) AS n_spans
+               FROM seg GROUP BY {id_col})
+        SELECT b.{id_col},
+               {cleaned} AS cleaned_text,
+               coalesce(a.n_spans, 0) AS n_spans,
+               CAST(length(b._txt) - length({cleaned}) AS INT)
+                 AS chars_removed,
+               md5({cleaned}) AS cleaned_md5
+        FROM base b LEFT JOIN a0 a ON b.{id_col} = a.{id_col}
+    """

@@ -464,3 +464,44 @@ def test_retrieval_effectiveness_no_relevant(spark):
     r = textstats.retrieval_effectiveness(docs, ["absent"], k=3).collect()[0]
     assert r.n_relevant == 0 and r.n_topk == 0 and r.n_hits == 0
     assert r.recall_ppm == 0 and r.precision_ppm == 0 and r.rr_fp == 0
+
+
+# --------------------------------------------------------------------------
+# apply_substring_removal
+# --------------------------------------------------------------------------
+
+def test_apply_substring_removal_rewrites(spark):
+    shared = "ABCDEFGHIJKLMNOP"
+    docs = spark.createDataFrame(
+        [
+            (1, "xx" + shared + "yy"),       # span [2,18) → keep "xx"+"yy"
+            (2, shared + "tailtail"),        # span at doc start
+            (3, "headhead" + shared),        # span at doc end
+            (4, "no duplicates here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.exact_substring_spans(docs, k=8)
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_spans, r.chars_removed)
+        for r in dedup.apply_substring_removal(docs, spans).collect()
+    }
+    assert got[1] == ("xxyy", 1, 16)
+    assert got[2] == ("tailtail", 1, 16)
+    assert got[3] == ("headhead", 1, 16)
+    assert got[4] == ("no duplicates here at all", 0, 0)
+
+
+def test_apply_substring_removal_multiple_spans(spark):
+    a, b = "11223344", "99887766"
+    docs = spark.createDataFrame(
+        [(1, a + "-keep-this-" + b), (2, a + "=and=this==" + b)],
+        "doc_id long, text string",
+    )
+    spans = dedup.exact_substring_spans(docs, k=8)
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_spans)
+        for r in dedup.apply_substring_removal(docs, spans).collect()
+    }
+    assert got[1] == ("-keep-this-", 2)
+    assert got[2] == ("=and=this==", 2)
