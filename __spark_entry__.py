@@ -1142,6 +1142,31 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), k=24, stride=1, min_count=2
         ),
     )
+    # collocation / phrase-candidate mining: word2phrase score +
+    # Dice over word bigrams (integer fixed point, top-50)
+    q["text_collocations"] = lambda s, d: textstats.collocations(
+        _t(s, d, "documents"), min_count=3, top_n=50
+    )
+    # exact-phrase search over the positional explode (adjacency
+    # upgrade of text_search_and; IN-filtered before any shuffle)
+    q["text_phrase_search"] = lambda s, d: textstats.phrase_search(
+        _t(s, d, "documents"), "stream table hash"
+    )
+    # synchronous label-propagation communities (deterministic
+    # tie-break, 4 fixed rounds) over the pagerank link relation
+    q["graph_communities"] = lambda s, d: graph.label_propagation(
+        graph.synth_links(s, 20_000, 1_000), iters=4
+    )
+    # power-of-two degree-distribution report over the SKEWED link
+    # relation (the graph-health audit before join/skew strategy)
+    q["graph_degree_stats"] = lambda s, d: graph.degree_histogram(
+        graph.synth_links_skewed(s, 20_000, 1_000)
+    )
+    # per-category tool-concentration HHI (log-free diversity audit)
+    q["transcript_tool_hhi"] = lambda s, d: transcript.tool_concentration(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)),
+        transcript.tool_dim(s),
+    )
     return q
 
 
@@ -4292,4 +4317,17 @@ def oracle_sql() -> dict[str, str]:
             "documents", k=24, stride=1, min_count=2
         ),
     )
+    o["text_collocations"] = textstats.collocations_sql(
+        "SELECT text FROM documents", min_count=3, top_n=50
+    )
+    o["text_phrase_search"] = textstats.phrase_search_sql(
+        "SELECT doc_id, text FROM documents", "stream table hash"
+    )
+    o["graph_communities"] = graph.label_propagation_sql(
+        graph.synth_links_sql(20_000, 1_000), iters=4
+    )
+    o["graph_degree_stats"] = graph.degree_histogram_sql(
+        graph.synth_links_skewed_sql(20_000, 1_000)
+    )
+    o["transcript_tool_hhi"] = transcript.tool_concentration_sql(_tx_rel)
     return o

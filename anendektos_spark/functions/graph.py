@@ -25,7 +25,7 @@ cluster — same knob as dup_clusters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import iterutils
 
@@ -257,4 +257,175 @@ def triangle_counts_sql(edges_rel: str) -> str:
           UNION ALL SELECT t1 FROM tris
           UNION ALL SELECT t2 FROM tris)
         GROUP BY node
+    """
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    cache: bool = True,
+    checkpoint_every: int = 2,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made deterministic) → (node, community). The
+    graph-curation companion of min-label CC: where CC merges anything
+    connected, LPA finds DENSE regions — the boilerplate-family /
+    link-farm / template-cluster view of a near-dup or citation graph.
+
+    Every node starts as its own label; each round every node adopts
+    the most frequent label among its neighbors (undirected view), with
+    the deterministic tie-break (count DESC, label ASC) replacing the
+    usual random choice so both engines replay the identical fixed
+    ``iters``-round schedule — no convergence test, no randomness.
+
+    Shape: the symmetrized distinct edge relation and the node set are
+    built ONCE and persisted; each round is one edges⋈labels hash join
+    + one (node, label) count aggregate + a WindowGroupLimit-pushable
+    top-1 — all keyed on node, so AQE reuses one exchange layout.
+    Lineage truncates every ``checkpoint_every`` rounds exactly like
+    pagerank (auto local/reliable). Cost per round is O(edges), rounds
+    are fixed: O(iters · edges) total, no quadratic blowup at hubs."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    checkpoint = iterutils.resolve_checkpoint_mode(edges, checkpoint)
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    if cache:
+        und = und.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select("node", F.col("node").alias("community"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("community").asc()
+    )
+    for it in range(1, iters + 1):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "community")
+        cnt = neigh.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "community")
+        )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iters:
+            labels = iterutils.truncate_lineage(labels, checkpoint, eager=True)
+    return labels
+
+
+def label_propagation_sql(edges_rel: str, iters: int = 4) -> str:
+    """DuckDB mirror of :func:`label_propagation` (unrolled rounds)."""
+    rounds = []
+    prev = "l0"
+    for it in range(1, iters + 1):
+        rounds.append(f"""
+        l{it} AS (
+          SELECT node, community FROM (
+            SELECT u.a AS node, p.community, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY u.a
+                     ORDER BY count(*) DESC, p.community) AS rn
+            FROM und u JOIN {prev} p ON u.b = p.node
+            GROUP BY u.a, p.community)
+          WHERE rn = 1
+        )""")
+        prev = f"l{it}"
+    return f"""
+        WITH e AS ({edges_rel}),
+        und AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e
+            UNION ALL SELECT dst, src FROM e)
+          WHERE a <> b
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS community FROM und),
+        {",".join(rounds)}
+        SELECT node, community FROM {prev}
+    """
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Power-of-two degree-distribution report → (direction, bucket_lo,
+    n_nodes, sum_degree) — the graph-health audit run before choosing
+    join/skew strategy on a web-scale link graph: a heavy tail at high
+    buckets means hub salting; a spike at bucket 1 means most of the
+    graph is noise-grade.
+
+    bucket_lo = 2^⌊log2(deg)⌋ via length(bin(deg)) — pure bit
+    arithmetic, no float log2 whose ulp flips buckets at exact powers
+    of two (the HDR-sketch idiom). Shape: one count aggregate per
+    direction off the same edge scan, then a second aggregate on the
+    node-grain relation; output is ≤ ~64 rows per direction."""
+    def leg(key: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(F.col(key).alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        bucket = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(deg)) - 1)")
+        return deg.select(
+            F.lit(direction).alias("direction"),
+            bucket.alias("bucket_lo"),
+            F.col("deg"),
+        )
+    both = leg("src", "out").unionByName(leg("dst", "in"))
+    return both.groupBy("direction", "bucket_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("sum_degree"),
+    )
+
+
+def degree_histogram_sql(edges_rel: str) -> str:
+    """DuckDB mirror of :func:`degree_histogram`."""
+    return f"""
+        WITH e AS ({edges_rel}),
+        degs AS (
+          SELECT 'out' AS direction, src AS node, count(*) AS deg
+          FROM e GROUP BY 2
+          UNION ALL
+          SELECT 'in', dst, count(*) FROM e GROUP BY 2
+        )
+        SELECT direction,
+               CAST(CAST(1 AS BIGINT) << (length(bin(deg)) - 1) AS BIGINT) AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(deg) AS BIGINT) AS sum_degree
+        FROM degs GROUP BY 1, 2
+    """
+
+
+def synth_links_skewed(
+    spark: SparkSession, n_edges: int, n_nodes: int
+) -> DataFrame:
+    """Deterministic SKEWED edge relation: dst = i mod 2^(i mod 11)
+    (mod n) — low-id nodes accumulate power-law-ish in-degree across
+    ~11 octaves, the shape a web link graph actually has, so
+    :func:`degree_histogram` spans many buckets and skew-handling
+    paths see a genuine hub. Pure integer bit arithmetic."""
+    i = F.col("id")
+    dst = F.expr(
+        f"(id % shiftleft(CAST(1 AS BIGINT), CAST(id % 11 AS INT)))"
+        f" % {n_nodes}"
+    )
+    return (
+        spark.range(n_edges)
+        .select((i % n_nodes).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def synth_links_skewed_sql(n_edges: int, n_nodes: int) -> str:
+    """DuckDB mirror of :func:`synth_links_skewed`."""
+    dst = f"(i % (CAST(1 AS BIGINT) << CAST(i % 11 AS INT))) % {n_nodes}"
+    return f"""
+        SELECT i % {n_nodes} AS src, {dst} AS dst
+        FROM range({n_edges}) t(i)
+        WHERE i % {n_nodes} <> {dst}
     """

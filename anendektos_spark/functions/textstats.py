@@ -1505,3 +1505,226 @@ def retrieval_effectiveness_sql(
                     ELSE {scale} // first_rank END AS BIGINT) AS rr_fp
         FROM agg, tot
     """
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Collocation / phrase-candidate mining over word bigrams — the
+    word2phrase step (Mikolov et al. 2013) a tokenizer-prep pipeline
+    runs to promote "new york"-style pairs to single units, plus the
+    Dice coefficient as a frequency-robust second opinion:
+
+    - ``score_fp``  = (cnt_pair − min_count) · total_unigrams · scale
+      DIV (cnt_w1 · cnt_w2) — the word2phrase score in fixed point;
+      ``min_count`` doubles as the discount δ that kills rare-pair
+      noise, and the same threshold prunes pairs before any join.
+    - ``dice_ppm``  = 2 · cnt_pair · scale DIV (cnt_w1 + cnt_w2) —
+      pure pair/unigram counts, no corpus total, stable for both rare
+      and stopword-adjacent pairs.
+
+    Both are integer end-to-end (DECIMAL(38,0) for the score's
+    products), so the DuckDB mirror is bit-exact. Capacity: the score
+    numerator cnt_pair·T_u·scale must stay within 38 digits — safe past
+    10¹⁹ corpus tokens.
+
+    Shape: two narrow explode scans (unigram / zipped-bigram grain) →
+    two map-side-combined count aggregates; the ``min_count`` filter
+    runs on the aggregated pair relation BEFORE the two unigram-count
+    joins (key-grain, vocab-sized right side — AQE broadcasts it when
+    small); the 1-row unigram total folds in by broadcast cross join.
+    Output is top_n via TakeOrderedAndProject — never a global sort."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("long").alias("_total"))
+    pairs = (
+        df.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.arrays_zip(
+                        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt_pair"))
+        .filter(F.col("cnt_pair") >= min_count)
+    )
+    j = (
+        pairs.join(uni.select(F.col("term").alias("w1"),
+                              F.col("cnt").alias("cnt_w1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"),
+                         F.col("cnt").alias("cnt_w2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    score = (
+        f"CAST(floor((CAST(cnt_pair - {min_count} AS DECIMAL(38,0))"
+        f" * _total * {scale}) / (CAST(cnt_w1 AS DECIMAL(38,0)) * cnt_w2))"
+        f" AS BIGINT)"
+    )
+    dice = f"CAST((2 * cnt_pair * {scale}L) div (cnt_w1 + cnt_w2) AS BIGINT)"
+    return (
+        j.select(
+            "w1", "w2",
+            F.col("cnt_pair").cast("long").alias("cnt_pair"),
+            F.col("cnt_w1").cast("long").alias("cnt_w1"),
+            F.col("cnt_w2").cast("long").alias("cnt_w2"),
+            F.expr(score).alias("score_fp"),
+            F.expr(dice).alias("dice_ppm"),
+        )
+        .orderBy(F.col("score_fp").desc(), "w1", "w2")
+        .limit(top_n)
+    )
+
+
+def collocations_sql(
+    rel: str,
+    min_count: int = 5,
+    top_n: int = 50,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`collocations`."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (SELECT {toks} AS toks FROM ({rel})),
+        u AS (SELECT unnest(toks) AS term FROM t),
+        uni AS (SELECT term, count(*) AS cnt FROM u
+                WHERE term <> '' GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS _total FROM uni),
+        bp AS (
+          SELECT unnest(toks[1 : len(toks) - 1]) AS w1,
+                 unnest(toks[2 : len(toks)]) AS w2
+          FROM t WHERE len(toks) >= 2
+        ),
+        pairs AS (
+          SELECT w1, w2, count(*) AS cnt_pair FROM bp
+          WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+          HAVING count(*) >= {min_count}
+        )
+        SELECT p.w1, p.w2,
+               CAST(p.cnt_pair AS BIGINT) AS cnt_pair,
+               CAST(u1.cnt AS BIGINT) AS cnt_w1,
+               CAST(u2.cnt AS BIGINT) AS cnt_w2,
+               CAST((CAST(p.cnt_pair - {min_count} AS HUGEINT)
+                     * _total * {scale})
+                    // (CAST(u1.cnt AS HUGEINT) * u2.cnt) AS BIGINT)
+                 AS score_fp,
+               CAST((2 * CAST(p.cnt_pair AS HUGEINT) * {scale})
+                    // (u1.cnt + u2.cnt) AS BIGINT) AS dice_ppm
+        FROM pairs p
+        JOIN uni u1 ON p.w1 = u1.term
+        JOIN uni u2 ON p.w2 = u2.term
+        CROSS JOIN tot
+        ORDER BY score_fp DESC, p.w1, p.w2
+        LIMIT {top_n}
+    """
+
+
+def positional_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index in relation form: one row per token
+    OCCURRENCE → (term, doc_id, pos). Stays relational (no
+    collect_list) so a Zipf-head term never concentrates in one row —
+    at 100 TB this is the term-partitionable table a phrase/proximity
+    search engine scans with partition pruning on ``term``."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .select("term", "doc_id", "pos")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search: documents containing the phrase's tokens at
+    CONSECUTIVE positions → (doc_id, n_matches, first_pos). The
+    adjacency upgrade over :func:`search_conjunctive` (AND of terms
+    anywhere) — "san francisco" must not match "francisco, san".
+
+    Shape: the positional explode is filtered to the phrase's terms
+    with an IN predicate BEFORE anything shuffles (cost = Σ df(term),
+    never the corpus); the k-row (offset, term) phrase relation is
+    BROADCAST-joined on term, normalizing each hit to its implied
+    phrase start (pos − offset); ONE (doc_id, start) aggregate keeps
+    starts covered by all k offsets — repeated phrase terms work
+    because distinct offsets are counted, not term hits. Final per-doc
+    rollup is a second, strictly smaller aggregate."""
+    terms = [t for t in phrase.strip().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    k = len(terms)
+    spark = df.sparkSession
+    phrase_rel = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], schema="i int, term string"
+    )
+    hits = (
+        positional_index(df, id_col=id_col, text_col=text_col)
+        .filter(F.col("term").isin(list(set(terms))))
+        .join(F.broadcast(phrase_rel), "term")
+        .select("doc_id", (F.col("pos") - F.col("i")).alias("start"), "i")
+    )
+    starts = (
+        hits.groupBy("doc_id", "start")
+        .agg(F.countDistinct("i").alias("_n"))
+        .filter(F.col("_n") == k)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_sql(rel: str, phrase: str) -> str:
+    """DuckDB mirror of :func:`phrase_search`."""
+    terms = [t for t in phrase.strip().split() if t]
+    k = len(terms)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM ({rel})),
+        pos AS (
+          SELECT doc_id,
+                 unnest(range(len(toks))) AS pos,
+                 unnest(toks) AS term
+          FROM t
+        ),
+        ph(i, term) AS (VALUES {vals}),
+        hits AS (
+          SELECT p.doc_id, p.pos - ph.i AS start, ph.i
+          FROM pos p JOIN ph ON p.term = ph.term
+        ),
+        starts AS (
+          SELECT doc_id, start FROM hits
+          GROUP BY doc_id, start HAVING count(DISTINCT i) = {k}
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(start) AS BIGINT) AS first_pos
+        FROM starts GROUP BY doc_id
+    """

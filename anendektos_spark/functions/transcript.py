@@ -36,7 +36,7 @@ every stage gets a full DuckDB value-hash oracle at any n.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .convops import BASE_EPOCH, TOOLS, TURNS_PER_CONV
 
@@ -1136,5 +1136,87 @@ def group_advantages_sql(rel: str) -> str:
                conv_return * count(*) OVER (PARTITION BY group_key)
                  - sum(conv_return) OVER (PARTITION BY group_key) AS adv_num
         FROM conv
+    """
+    )
+
+
+def tool_concentration(
+    parsed: DataFrame, dim: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-category tool-concentration report → (category, n_calls,
+    n_tools, hhi_ppm, top_tool, top_share_ppm): the Herfindahl index
+    over each category's tool-call shares — the log-free diversity
+    audit (entropy needs a float log; HHI is pure count arithmetic, so
+    the DuckDB mirror is bit-exact). hhi_ppm = Σ cnt_tool² · scale DIV
+    n_calls² runs in DECIMAL(38,0) — safe past 10¹² calls/category.
+    scale/n_tools ≤ hhi ≤ scale; a category pinned at the top means one
+    tool monopolizes it (retry storms, router misconfig), the floor
+    means uniform rotation.
+
+    Shape: broadcast enrich join, ONE map-side-combined
+    (category, tool) count, then the rollup + top-1 window both run on
+    that tools-sized relation (≤ |dim| rows per category)."""
+    ct = (
+        parsed.join(F.broadcast(dim), parsed.tool_called == dim.tool, "inner")
+        .groupBy("category", "tool")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("category").orderBy(
+        F.col("cnt").desc(), F.col("tool").asc()
+    )
+    hhi = (
+        f"CAST(floor((CAST(sum_sq AS DECIMAL(38,0)) * {scale})"
+        f" / (CAST(n_calls AS DECIMAL(38,0)) * n_calls)) AS BIGINT)"
+    )
+    return (
+        ct.withColumn("_rn", F.row_number().over(w))
+        .groupBy("category")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_calls"),
+            F.count(F.lit(1)).cast("long").alias("n_tools"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+            F.max(F.when(F.col("_rn") == 1, F.col("tool"))).alias("top_tool"),
+            F.max(F.when(F.col("_rn") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("top_cnt"),
+        )
+        .select(
+            "category", "n_calls", "n_tools",
+            F.expr(hhi).alias("hhi_ppm"),
+            "top_tool",
+            F.expr(f"(top_cnt * {scale}L) div n_calls").alias("top_share_ppm"),
+        )
+    )
+
+
+def tool_concentration_sql(rel: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`tool_concentration`."""
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , ct AS (
+          SELECT d.category, d.tool, count(*) AS cnt
+          FROM parsed p JOIN {tool_dim_sql()} ON p.tool_called = d.tool
+          GROUP BY 1, 2
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY category
+                ORDER BY cnt DESC, tool) AS rn FROM ct),
+        agg AS (
+          SELECT category,
+                 CAST(sum(cnt) AS BIGINT) AS n_calls,
+                 CAST(count(*) AS BIGINT) AS n_tools,
+                 CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sum_sq,
+                 max(CASE WHEN rn = 1 THEN tool END) AS top_tool,
+                 CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt
+          FROM r GROUP BY 1
+        )
+        SELECT category, n_calls, n_tools,
+               CAST((sum_sq * {scale})
+                    // (CAST(n_calls AS HUGEINT) * n_calls) AS BIGINT)
+                 AS hhi_ppm,
+               top_tool,
+               CAST((top_cnt * {scale}) // n_calls AS BIGINT)
+                 AS top_share_ppm
+        FROM agg
     """
     )
