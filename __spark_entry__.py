@@ -1167,6 +1167,22 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)),
         transcript.tool_dim(s),
     )
+    # per-source corpus data card (volume + language spread + HHI —
+    # the one-relation health summary before mixture weighting)
+    q["corpus_datacard"] = lambda s, d: textstats.corpus_datacard(
+        _t(s, d, "documents")
+    )
+    # stationary distribution of the tool-invocation Markov chain
+    # (integer power iteration on the dimension-sized transition relation)
+    q["transcript_tool_stationary"] = lambda s, d: transcript.tool_stationary(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)),
+        iters=8,
+    )
+    # directed BFS distance labeling from a trusted seed set (sparser
+    # graph so levels actually spread before the frontier saturates)
+    q["graph_bfs_levels"] = lambda s, d: graph.bfs_levels(
+        graph.synth_links(s, 5_000, 2_000), [0, 1], max_depth=4
+    )
     return q
 
 
@@ -4330,4 +4346,13 @@ def oracle_sql() -> dict[str, str]:
         graph.synth_links_skewed_sql(20_000, 1_000)
     )
     o["transcript_tool_hhi"] = transcript.tool_concentration_sql(_tx_rel)
+    o["corpus_datacard"] = textstats.corpus_datacard_sql(
+        "SELECT * FROM documents"
+    )
+    o["transcript_tool_stationary"] = transcript.tool_stationary_sql(
+        _tx_rel, iters=8
+    )
+    o["graph_bfs_levels"] = graph.bfs_levels_sql(
+        graph.synth_links_sql(5_000, 2_000), [0, 1], max_depth=4
+    )
     return o

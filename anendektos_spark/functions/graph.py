@@ -429,3 +429,76 @@ def synth_links_skewed_sql(n_edges: int, n_nodes: int) -> str:
         FROM range({n_edges}) t(i)
         WHERE i % {n_nodes} <> {dst}
     """
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: list[int] | tuple[int, ...],
+    max_depth: int = 4,
+    cache: bool = True,
+) -> DataFrame:
+    """Directed BFS distance labeling from a seed set → (node, level):
+    level 0 = seed, level d = first reached in round d following
+    src→dst. The TrustRank-style frontier sweep a link-graph pipeline
+    runs from a trusted (or spam) seed list; nodes unreachable within
+    ``max_depth`` are absent — their count is the "dark" remainder.
+
+    Shape: edges persisted once; each round is ONE frontier⋈edges hash
+    join + distinct + a left-anti join against the visited set
+    (node-grain, strictly growing). The frontier relation is bounded by
+    the reached node set, never the edge count; rounds are fixed so the
+    plan is statically unrolled — for deeper sweeps raise max_depth and
+    lineage-truncate like pagerank (frontiers here stay node-grain, so
+    ``max_depth`` ≤ ~8 needs no checkpoint)."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    if cache:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = spark.createDataFrame(
+        [(int(s),) for s in sorted(set(seeds))], "node long"
+    )
+    visited = frontier.select("node", F.lit(0).cast("int").alias("level"))
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(d).cast("int").alias("level"))
+        )
+    return visited
+
+
+def bfs_levels_sql(
+    edges_rel: str, seeds: list[int] | tuple[int, ...], max_depth: int = 4
+) -> str:
+    """DuckDB mirror of :func:`bfs_levels` (unrolled rounds)."""
+    seed_vals = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    rounds, acc = [], ["SELECT node, 0 AS level FROM f0"]
+    prev = "f0"
+    for d in range(1, max_depth + 1):
+        earlier = " UNION ALL ".join(
+            f"SELECT node FROM f{j}" for j in range(d)
+        )
+        rounds.append(f"""
+        f{d} AS (
+          SELECT DISTINCT e.dst AS node
+          FROM {prev} f JOIN e ON f.node = e.src
+          WHERE e.dst NOT IN ({earlier})
+        )""")
+        acc.append(f"SELECT node, {d} AS level FROM f{d}")
+        prev = f"f{d}"
+    return f"""
+        WITH e AS ({edges_rel}),
+        f0(node) AS (VALUES {seed_vals}),
+        {",".join(rounds)}
+        {" UNION ALL ".join(acc)}
+    """

@@ -1728,3 +1728,115 @@ def phrase_search_sql(rel: str, phrase: str) -> str:
                CAST(min(start) AS BIGINT) AS first_pos
         FROM starts GROUP BY doc_id
     """
+
+
+def corpus_datacard(
+    df: DataFrame,
+    group_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-source corpus data card — the one-relation health summary a
+    training-mix owner reads before weighting sources: document/char/
+    token volume, language spread (distinct langs + dominant language
+    with its document share + language-concentration HHI), and mean
+    document length. All integer arithmetic (shares in ppm, HHI via
+    Σcnt² in DECIMAL(38,0)), so the DuckDB mirror is bit-exact.
+
+    Shape: ONE corpus scan → ONE map-side-combined aggregate at
+    (source, lang) grain carrying doc/char/token partial sums; the
+    source rollup, top-language window, and HHI all run on that
+    sources×langs-sized relation — the corpus is never touched again."""
+    sl = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(lang_col).alias("lng"),
+            F.col(chars_col).cast("long").alias("_chars"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_toks"),
+        )
+        .groupBy("grp", "lng")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_toks").alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("n_docs").desc(), F.col("lng"))
+    hhi = (
+        f"CAST(floor((CAST(sum_sq AS DECIMAL(38,0)) * {scale})"
+        f" / (CAST(total_docs AS DECIMAL(38,0)) * total_docs)) AS BIGINT)"
+    )
+    return (
+        sl.withColumn("_rn", F.row_number().over(w))
+        .groupBy("grp")
+        .agg(
+            F.sum("n_docs").cast("long").alias("total_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.col("n_docs") * F.col("n_docs")).cast("long").alias("sum_sq"),
+            F.max(F.when(F.col("_rn") == 1, F.col("lng"))).alias("top_lang"),
+            F.max(F.when(F.col("_rn") == 1, F.col("n_docs")))
+            .cast("long").alias("top_docs"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_docs", "total_chars", "total_tokens", "n_langs",
+            F.expr(f"(top_docs * {scale}L) div total_docs")
+            .alias("top_lang_share_ppm"),
+            "top_lang",
+            F.expr(hhi).alias("lang_hhi_ppm"),
+            F.expr("total_tokens div total_docs").alias("avg_doc_tokens"),
+        )
+    )
+
+
+def corpus_datacard_sql(
+    rel: str,
+    group_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`corpus_datacard`."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp, {lang_col} AS lng,
+                 CAST({chars_col} AS BIGINT) AS _chars,
+                 CAST(len({toks}) AS BIGINT) AS _toks
+          FROM ({rel})
+        ),
+        sl AS (
+          SELECT grp, lng, count(*) AS n_docs, sum(_chars) AS n_chars,
+                 sum(_toks) AS n_toks
+          FROM base GROUP BY 1, 2
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY grp
+                ORDER BY n_docs DESC, lng) AS rn FROM sl),
+        agg AS (
+          SELECT grp,
+                 CAST(sum(n_docs) AS BIGINT) AS total_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS n_langs,
+                 CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) AS HUGEINT)
+                   AS sum_sq,
+                 max(CASE WHEN rn = 1 THEN lng END) AS top_lang,
+                 CAST(max(CASE WHEN rn = 1 THEN n_docs END) AS BIGINT)
+                   AS top_docs
+          FROM r GROUP BY 1
+        )
+        SELECT grp AS {group_col}, total_docs, total_chars, total_tokens,
+               n_langs,
+               CAST((top_docs * {scale}) // total_docs AS BIGINT)
+                 AS top_lang_share_ppm,
+               top_lang,
+               CAST((sum_sq * {scale})
+                    // (CAST(total_docs AS HUGEINT) * total_docs) AS BIGINT)
+                 AS lang_hhi_ppm,
+               CAST(total_tokens // total_docs AS BIGINT) AS avg_doc_tokens
+        FROM agg
+    """

@@ -1220,3 +1220,102 @@ def tool_concentration_sql(rel: str, scale: int = 1_000_000) -> str:
         FROM agg
     """
     )
+
+
+def tool_stationary(
+    parsed: DataFrame, iters: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Stationary distribution of the tool-invocation Markov chain →
+    (tool, pi_fp): where agents spend their calls asymptotically — the
+    long-run complement of the per-step transition counts. Power
+    iteration in integer fixed point from the uniform vector:
+    π'(j) = Σ_i π(i) · p_fp(i→j) DIV scale, with
+    p_fp(i→j) = cnt(i→j) · scale DIV out(i); a tool with no outgoing
+    transition self-loops so mass is conserved up to DIV flooring
+    (each round loses < n_states of scale — documented bias, identical
+    in both engines).
+
+    100 TB shape: the ONE corpus-sized operation is the transition
+    count (a lag window + pair aggregate sharing a conv_id exchange);
+    the chain itself lives on a ≤|tools|² relation, so the ``iters``
+    rounds of join+agg run on dimension-sized data the optimizer
+    broadcasts — the driver never sees anything data-sized."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = parsed.select(
+        "conv_id", "turn_idx", F.col("tool_called").alias("tool"),
+        F.lag("tool_called").over(w).alias("_prev"),
+    ).filter(F.col("_prev").isNotNull())
+    cnt = seq.groupBy(F.col("_prev").alias("src"), F.col("tool").alias("dst")) \
+             .agg(F.count(F.lit(1)).alias("n"))
+    states = (
+        parsed.select(F.col("tool_called").alias("tool")).distinct()
+    )
+    out = cnt.groupBy("src").agg(F.sum("n").alias("out_n"))
+    # dangling tools self-loop with full mass
+    trans = (
+        cnt.join(out, "src")
+        .select("src", "dst",
+                F.expr(f"(n * {scale}L) div out_n").alias("p_fp"))
+        .unionByName(
+            states.join(out, states.tool == out.src, "left_anti")
+            .select(F.col("tool").alias("src"), F.col("tool").alias("dst"),
+                    F.lit(scale).cast("long").alias("p_fp"))
+        )
+    )
+    n_states = states.count()
+    pi = states.select("tool", F.lit(scale // n_states).cast("long").alias("pi_fp"))
+    for _ in range(iters):
+        pi = (
+            trans.join(pi, trans.src == pi.tool)
+            .select(F.col("dst").alias("tool"),
+                    F.expr(f"(pi_fp * p_fp) div {scale}L").alias("_m"))
+            .groupBy("tool")
+            .agg(F.sum("_m").cast("long").alias("pi_fp"))
+        )
+    return pi
+
+
+def tool_stationary_sql(rel: str, iters: int = 8, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`tool_stationary` (unrolled rounds)."""
+    rounds = []
+    prev = "pi0"
+    for it in range(1, iters + 1):
+        rounds.append(f"""
+        pi{it} AS (
+          SELECT t.dst AS tool,
+                 CAST(sum((p.pi_fp * t.p_fp) // {scale}) AS BIGINT) AS pi_fp
+          FROM trans t JOIN {prev} p ON t.src = p.tool
+          GROUP BY 1
+        )""")
+        prev = f"pi{it}"
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , seq AS (
+          SELECT lag(tool_called) OVER (PARTITION BY conv_id
+                   ORDER BY turn_idx) AS src,
+                 tool_called AS dst
+          FROM parsed
+        ),
+        cnt AS (SELECT src, dst, count(*) AS n FROM seq
+                WHERE src IS NOT NULL GROUP BY 1, 2),
+        states AS (SELECT DISTINCT tool_called AS tool FROM parsed),
+        outn AS (SELECT src, sum(n) AS out_n FROM cnt GROUP BY 1),
+        trans AS (
+          SELECT c.src, c.dst, CAST((c.n * {scale}) // o.out_n AS BIGINT)
+                   AS p_fp
+          FROM cnt c JOIN outn o ON c.src = o.src
+          UNION ALL
+          SELECT s.tool, s.tool, CAST({scale} AS BIGINT)
+          FROM states s LEFT JOIN outn o ON s.tool = o.src
+          WHERE o.src IS NULL
+        ),
+        nst AS (SELECT count(*) AS n FROM states),
+        pi0 AS (SELECT tool, CAST({scale} // n AS BIGINT) AS pi_fp
+                FROM states, nst),
+        {",".join(rounds)}
+        SELECT tool, pi_fp FROM {prev}
+    """
+    )

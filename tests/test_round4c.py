@@ -1,7 +1,8 @@
 """Round-4 session-3 additions: collocation mining (word2phrase +
 Dice), positional exact-phrase search, label-propagation communities,
-degree-distribution report, and per-category tool-concentration HHI.
-Functional semantics here; oracle parity runs in
+degree-distribution report, per-category tool-concentration HHI,
+per-source corpus data card, tool-chain stationary distribution, and
+directed BFS seed-distance labeling. Functional semantics here; oracle parity runs in
 scripts/check_oracle.py; plan pins at the bottom."""
 
 from __future__ import annotations
@@ -251,3 +252,98 @@ def test_tool_concentration_plan_broadcast_enrich(spark):
         parsed, transcript.tool_dim(spark)))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# corpus_datacard
+# --------------------------------------------------------------------------
+
+def test_corpus_datacard_hand_report(spark):
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "d e", "en", "s1", 3),
+        (3, "f", "fr", "s1", 1),
+        (4, "g h i j", "de", "s2", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from anendektos_spark.functions.textstats import corpus_datacard
+    got = {r.source: r for r in corpus_datacard(df).collect()}
+    s1 = got["s1"]
+    assert (s1.total_docs, s1.total_chars, s1.total_tokens) == (3, 9, 6)
+    assert (s1.n_langs, s1.top_lang) == (2, "en")
+    assert s1.top_lang_share_ppm == 2 * 1_000_000 // 3
+    # hhi = (2² + 1²)·1e6 // 3² = 555555
+    assert s1.lang_hhi_ppm == 5 * 1_000_000 // 9
+    assert s1.avg_doc_tokens == 2
+    assert got["s2"].lang_hhi_ppm == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# tool_stationary
+# --------------------------------------------------------------------------
+
+def test_tool_stationary_python_fold_equality(spark):
+    # two-state chain: a→b always, b→a always → uniform stationary
+    rows = [("c1", i, t, "OK", 0, 1)
+            for i, t in enumerate(["dns", "http", "dns", "http", "dns"])]
+    got = {r.tool: r.pi_fp for r in transcript.tool_stationary(
+        _parsed(spark, rows), iters=6).collect()}
+    # replay the integer fold in python
+    scale = 1_000_000
+    trans = {("dns", "http"): scale, ("http", "dns"): scale}
+    pi = {"dns": scale // 2, "http": scale // 2}
+    for _ in range(6):
+        nxt = {}
+        for (s, d), p in trans.items():
+            nxt[d] = nxt.get(d, 0) + (pi[s] * p) // scale
+        pi = nxt
+    assert got == pi
+
+
+def test_tool_stationary_absorbing_state_takes_mass(spark):
+    # dns→dns self pattern is impossible in a chain a→b→b→b: b absorbs
+    rows = [("c1", i, t, "OK", 0, 1)
+            for i, t in enumerate(["dns", "http", "http", "http"])]
+    got = {r.tool: r.pi_fp for r in transcript.tool_stationary(
+        _parsed(spark, rows), iters=8).collect()}
+    # http absorbs (self-transitions 2/3... dns only feeds it); after 8
+    # rounds dns mass = 0 (dns has no incoming transitions)
+    assert got.get("dns", 0) == 0
+    assert got["http"] > 900_000
+
+
+def test_tool_stationary_dangling_self_loop_and_validation(spark):
+    # single invocation → no transitions at all → every state dangles,
+    # self-loops keep the uniform vector fixed
+    rows = [("c1", 0, "dns", "OK", 0, 1), ("c2", 0, "http", "OK", 0, 1)]
+    got = {r.tool: r.pi_fp for r in transcript.tool_stationary(
+        _parsed(spark, rows), iters=3).collect()}
+    assert got == {"dns": 500_000, "http": 500_000}
+    with pytest.raises(ValueError, match="iters"):
+        transcript.tool_stationary(_parsed(spark, rows), iters=0)
+
+
+# --------------------------------------------------------------------------
+# bfs_levels
+# --------------------------------------------------------------------------
+
+def test_bfs_levels_hand_graph(spark):
+    # 0→1→2→3 plus shortcut 0→2; 5→0 must NOT make 5 reachable (directed)
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2), (5, 0)])
+    got = {r.node: r.level for r in
+           graph.bfs_levels(edges, [0], max_depth=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_levels_seed_wins_and_depth_cap(spark):
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    # node 2 is also a seed → level 0, and 3 is its neighbor at level 1
+    got = {r.node: r.level for r in
+           graph.bfs_levels(edges, [0, 2], max_depth=1).collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+    with pytest.raises(ValueError, match="seeds"):
+        graph.bfs_levels(edges, [])
+    with pytest.raises(ValueError, match="max_depth"):
+        graph.bfs_levels(edges, [0], max_depth=-1)
