@@ -1746,10 +1746,31 @@ def corpus_datacard(
     Σcnt² in DECIMAL(38,0)), so the DuckDB mirror is bit-exact.
 
     Shape: ONE corpus scan → ONE map-side-combined aggregate at
-    (source, lang) grain carrying doc/char/token partial sums; the
-    source rollup, top-language window, and HHI all run on that
-    sources×langs-sized relation — the corpus is never touched again."""
-    sl = (
+    (source, lang) grain carrying doc/char/token partial sums
+    (:func:`datacard_partials` — integer sums, so shards/epochs merge
+    by addition, the CMS/HLL/drift mergeability contract); the source
+    rollup, top-language window, and HHI (:func:`datacard_finish`) all
+    run on that sources×langs-sized relation — the corpus is never
+    touched again. Streaming twin: streaming.stream_datacard_partials
+    commits the per-epoch partials, read_datacard merges + finishes."""
+    return datacard_finish(
+        datacard_partials(df, group_col, lang_col, text_col, chars_col),
+        group_col,
+        scale,
+    )
+
+
+def datacard_partials(
+    df: DataFrame,
+    group_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """The mergeable (grp, lng) partial-sum half of
+    :func:`corpus_datacard` — pure integer sums, so per-epoch/per-shard
+    partials merge by per-key addition with no precision loss."""
+    return (
         df.select(
             F.col(group_col).alias("grp"),
             F.col(lang_col).alias("lng"),
@@ -1763,6 +1784,14 @@ def corpus_datacard(
             F.sum("_toks").alias("n_toks"),
         )
     )
+
+
+def datacard_finish(
+    sl: DataFrame, group_col: str = "source", scale: int = 1_000_000
+) -> DataFrame:
+    """Roll the (grp, lng) partial relation up to the per-source card
+    (the non-mergeable windows/ratios happen only here, on the
+    sources×langs-sized relation)."""
     w = Window.partitionBy("grp").orderBy(F.col("n_docs").desc(), F.col("lng"))
     hhi = (
         f"CAST(floor((CAST(sum_sq AS DECIMAL(38,0)) * {scale})"

@@ -1046,3 +1046,55 @@ def read_hdr(spark: SparkSession, partials_dir: str, group_col: str) -> DataFram
     return hdr_merge(
         spark.read.parquet(partials_dir).select(group_col, "bucket", "cnt")
     )
+
+
+def stream_datacard_partials(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    available_now: bool = False,
+):
+    """Continuously maintained corpus data card: each micro-batch
+    aggregates its documents to the (source, lang) integer partial sums
+    (textstats.datacard_partials — the mergeable half of
+    corpus_datacard) and commits the sources×langs-row relation to an
+    epoch-keyed partition under the same exactly-once
+    overwrite-per-epoch protocol as the other partial streams. State
+    per epoch is O(sources×langs); ``read_datacard`` merges by per-key
+    addition and finishes the card — bit-identical to a batch
+    corpus_datacard over the union of all streamed rows (pure integer
+    sums commute)."""
+    from .functions.textstats import datacard_partials
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        datacard_partials(batch).write.mode("overwrite").parquet(
+            f"{output_dir}/epoch={epoch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_datacard(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merge the streamed per-epoch (source, lang) partials by integer
+    addition and emit the full per-source data card."""
+    from pyspark.sql import functions as SF
+
+    from .functions.textstats import datacard_finish
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("grp", "lng")
+        .agg(
+            SF.sum("n_docs").alias("n_docs"),
+            SF.sum("n_chars").alias("n_chars"),
+            SF.sum("n_toks").alias("n_toks"),
+        )
+    )
+    return datacard_finish(merged)

@@ -693,3 +693,41 @@ def test_stream_hdr_partials_match_batch_sketch(spark, tmp_path):
     pb = {(r.g, r.p): r.value_lb for r in sketches.hdr_percentiles(
         sketches.hdr_histogram(df, "v", "g"), (50, 99), "g").collect()}
     assert ps == pb and len(ps) == 6
+
+
+def test_stream_datacard_partials_match_batch(spark, tmp_path):
+    """Continuously maintained corpus data card: merging the streamed
+    per-epoch (source, lang) integer partials must reproduce the batch
+    corpus_datacard over the same rows bit-exactly (pure integer sums
+    commute across micro-batch splits)."""
+    from anendektos_spark import streaming
+    from anendektos_spark.functions import textstats
+
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "d e", "en", "s1", 3),
+        (3, "f", "fr", "s1", 1),
+        (4, "g h i j", "de", "s2", 7),
+        (5, "k l", "en", "s2", 4),
+        (6, "m", "en", "s1", 2),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "in")
+    # split so the same (source, lang) key appears in BOTH epochs —
+    # the merge-by-addition path is actually exercised
+    df.filter(F.col("doc_id") <= 3).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("doc_id") > 3).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    streaming.stream_datacard_partials(
+        stream, ckpt, out, available_now=True
+    ).awaitTermination(180)
+    assert len(list(__import__("pathlib").Path(out).glob("epoch=*"))) >= 2
+    got = sorted(tuple(r) for r in streaming.read_datacard(spark, out).collect())
+    want = sorted(tuple(r) for r in textstats.corpus_datacard(df).collect())
+    assert got and got == want
