@@ -1183,6 +1183,17 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_bfs_levels"] = lambda s, d: graph.bfs_levels(
         graph.synth_links(s, 5_000, 2_000), [0, 1], max_depth=4
     )
+    # threshold-sweep precision/recall curve for a keep/drop filter
+    # (score = n_chars, label = is-English — the audit run before
+    # committing a quality cutoff; distinct-score-grain relation)
+    q["quality_pr_curve"] = lambda s, d: classify.pr_curve(
+        _t(s, d, "documents").select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        ),
+        "score",
+        "label",
+    )
     return q
 
 
@@ -4354,5 +4365,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["graph_bfs_levels"] = graph.bfs_levels_sql(
         graph.synth_links_sql(5_000, 2_000), [0, 1], max_depth=4
+    )
+    o["quality_pr_curve"] = classify.pr_curve_sql(
+        "documents", "n_chars", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
     )
     return o

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 FP = 10**4  # feature fixed-point scale
@@ -246,4 +246,109 @@ def fit_sql(
                (CASE WHEN {dot} >= 0 THEN 1 ELSE -1 END = CAST(y AS INT))
                  AS correct
         FROM t CROSS JOIN wlf
+    """
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Threshold-sweep precision/recall curve for a keep/drop filter —
+    the audit run before committing a quality-score cutoff: for every
+    DISTINCT observed score value t, the confusion matrix of the rule
+    "keep iff score >= t" against a binary label, plus precision /
+    recall / F1 in exact ppm (``p = tp·scale div (tp+fp)``,
+    ``r = tp·scale div (tp+fn)``, ``f1 = 2·tp·scale div (2·tp+fp+fn)``
+    — integer floor division end to end, so the DuckDB mirror is
+    bit-exact; no float ever enters).
+
+    ``label_col`` must be 0/1 (validated — any other value raises at
+    execution time rather than silently corrupting the counts).
+
+    Scale shape (100 TB): the only corpus-sized op is ONE map-side-
+    combined aggregate at distinct-score grain (pos/neg counts per
+    score). The cumulative windows then run on that distinct-scores
+    relation — which is why the contract is distinct-VALUE grain:
+    quantize continuous scores upstream (e.g. calibrate_scores
+    percentiles or an integer bucket) so the curve relation stays
+    thousands of rows, not corpus-sized. The single-partition window
+    is over that small relation only; the corpus is never re-read."""
+    lab = F.col("_lab")
+    checked = F.when((lab == 0) | (lab == 1), lab).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pr_curve: {label_col} must be 0/1, got "),
+                lab.cast("string"),
+            )
+        )
+    )
+    per = (
+        df.select(
+            F.col(score_col).alias("threshold"),
+            F.col(label_col).cast("long").alias("_lab"),
+        )
+        .select("threshold", checked.alias("_lab"))
+        .groupBy("threshold")
+        .agg(
+            F.sum("_lab").alias("_pos"),
+            (F.count(F.lit(1)) - F.sum("_lab")).alias("_neg"),
+        )
+    )
+    wc = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy()
+    tp = F.sum("_pos").over(wc)
+    fp = F.sum("_neg").over(wc)
+    fn = F.sum("_pos").over(wa) - tp
+    tn = F.sum("_neg").over(wa) - fp
+    return per.select(
+        "threshold",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+    ).select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(f"(tp * {scale}) div (tp + fp)").alias("precision_ppm"),
+        F.expr(f"(tp * {scale}) div (tp + fn)").alias("recall_ppm"),
+        F.expr(f"(2 * tp * {scale}) div (2 * tp + fp + fn)").alias("f1_ppm"),
+    )
+
+
+def pr_curve_sql(rel: str, score_expr: str, label_expr: str,
+                 scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`pr_curve` (same integer floor division)."""
+    return f"""
+        WITH per AS (
+          SELECT {score_expr} AS threshold,
+                 SUM(CASE WHEN {label_expr} = 1 THEN 1 ELSE 0 END) AS pos,
+                 SUM(CASE WHEN {label_expr} = 1 THEN 0 ELSE 1 END) AS neg
+          FROM {rel} GROUP BY 1
+        ), cum AS (
+          SELECT threshold,
+                 SUM(pos) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                 SUM(neg) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                 SUM(pos) OVER () AS tot_pos,
+                 SUM(neg) OVER () AS tot_neg
+          FROM per
+        )
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(tot_pos - tp AS BIGINT) AS fn,
+               CAST(tot_neg - fp AS BIGINT) AS tn,
+               CAST(tp * {scale} // (tp + fp) AS BIGINT) AS precision_ppm,
+               CAST(tp * {scale} // (tp + fn) AS BIGINT) AS recall_ppm,
+               CAST(2 * tp * {scale} // (2 * tp + fp + fn) AS BIGINT)
+                 AS f1_ppm
+        FROM cum
     """

@@ -347,3 +347,37 @@ def test_bfs_levels_seed_wins_and_depth_cap(spark):
         graph.bfs_levels(edges, [])
     with pytest.raises(ValueError, match="max_depth"):
         graph.bfs_levels(edges, [0], max_depth=-1)
+
+
+# --------------------------------------------------------------------------
+# pr_curve
+# --------------------------------------------------------------------------
+
+def test_pr_curve_hand_confusion(spark):
+    rows = [(3, 1), (3, 0), (2, 1), (1, 0), (1, 1)]
+    df = spark.createDataFrame(rows, "score long, label int")
+    from anendektos_spark.functions.classify import pr_curve
+    got = {r.threshold: r for r in pr_curve(df, "score", "label").collect()}
+    assert set(got) == {1, 2, 3}
+    t3 = got[3]
+    assert (t3.tp, t3.fp, t3.fn, t3.tn) == (1, 1, 2, 1)
+    assert (t3.precision_ppm, t3.recall_ppm, t3.f1_ppm) == (
+        500_000, 333_333, 400_000)
+    t2 = got[2]
+    assert (t2.tp, t2.fp, t2.fn, t2.tn) == (2, 1, 1, 1)
+    assert (t2.precision_ppm, t2.recall_ppm, t2.f1_ppm) == (
+        666_666, 666_666, 666_666)
+    t1 = got[1]
+    assert (t1.tp, t1.fp, t1.fn, t1.tn) == (3, 2, 0, 0)
+    assert (t1.precision_ppm, t1.recall_ppm, t1.f1_ppm) == (
+        600_000, 1_000_000, 750_000)
+
+
+def test_pr_curve_rejects_non_binary_label(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from anendektos_spark.functions.classify import pr_curve
+    df = spark.createDataFrame([(1, 2)], "score long, label int")
+    with _pytest.raises(Exception) as ei:
+        pr_curve(df, "score", "label").collect()
+    assert "must be 0/1" in str(ei.value)
