@@ -1183,6 +1183,32 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_bfs_levels"] = lambda s, d: graph.bfs_levels(
         graph.synth_links(s, 5_000, 2_000), [0, 1], max_depth=4
     )
+    # per-domain URL provenance audit (which domains dominate the
+    # corpus) — URLs synthesized deterministically onto the documents
+    # so the extraction path is genuinely exercised on both engines
+    q["text_url_domains"] = lambda s, d: textstats.url_domain_stats(
+        _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" http://site"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".example"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(".com")).otherwise(
+                    F.lit(".org")
+                ),
+                F.lit("/p"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" https://Mirror"),
+                        (F.col("doc_id") % 97).cast("string"),
+                        F.lit(".example.org/q"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
     # threshold-sweep precision/recall curve for a keep/drop filter
     # (score = n_chars, label = is-English — the audit run before
     # committing a quality cutoff; distinct-score-grain relation)
@@ -4365,6 +4391,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["graph_bfs_levels"] = graph.bfs_levels_sql(
         graph.synth_links_sql(5_000, 2_000), [0, 1], max_depth=4
+    )
+    o["text_url_domains"] = textstats.url_domain_stats_sql(
+        "(SELECT doc_id, text || ' http://site' || CAST(doc_id % 97 AS VARCHAR)"
+        " || '.example' || CASE WHEN doc_id % 3 = 0 THEN '.com' ELSE '.org' END"
+        " || '/p' || CASE WHEN doc_id % 5 = 0 THEN ' https://Mirror'"
+        " || CAST(doc_id % 97 AS VARCHAR) || '.example.org/q' ELSE '' END"
+        " AS text FROM documents)"
     )
     o["quality_pr_curve"] = classify.pr_curve_sql(
         "documents", "n_chars", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"

@@ -381,3 +381,24 @@ def test_pr_curve_rejects_non_binary_label(spark):
     with _pytest.raises(Exception) as ei:
         pr_curve(df, "score", "label").collect()
     assert "must be 0/1" in str(ei.value)
+
+
+# --------------------------------------------------------------------------
+# url_domain_stats
+# --------------------------------------------------------------------------
+
+def test_url_domain_stats_hand_report(spark):
+    rows = [
+        (1, "see http://A.Example.COM/x then https://b.org/y and "
+            "http://a.example.com/z again"),
+        (2, "only https://B.ORG/path here"),
+        (3, "no urls at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from anendektos_spark.functions.textstats import url_domain_stats
+    got = {r.domain: r for r in url_domain_stats(df).collect()}
+    assert set(got) == {"a.example.com", "b.org"}
+    a = got["a.example.com"]
+    assert (a.tld, a.n_docs, a.n_hits) == ("com", 1, 2)
+    b = got["b.org"]
+    assert (b.tld, b.n_docs, b.n_hits) == ("org", 2, 2)
