@@ -274,7 +274,19 @@ def pr_curve(
     quantize continuous scores upstream (e.g. calibrate_scores
     percentiles or an integer bucket) so the curve relation stays
     thousands of rows, not corpus-sized. The single-partition window
-    is over that small relation only; the corpus is never re-read."""
+    is over that small relation only; the corpus is never re-read.
+
+    Split as :func:`pr_partials` (the mergeable per-score integer
+    counts — shards/epochs merge by per-key addition, so
+    streaming.stream_pr_partials maintains the curve continuously) +
+    :func:`pr_finish` (the windows over the small relation)."""
+    return pr_finish(pr_partials(df, score_col, label_col), scale)
+
+
+def pr_partials(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """The mergeable per-distinct-score (pos, neg) count half of
+    :func:`pr_curve` — pure integer sums, so per-epoch/per-shard
+    partials merge by per-key addition with no precision loss."""
     lab = F.col("_lab")
     checked = F.when((lab == 0) | (lab == 1), lab).otherwise(
         F.raise_error(
@@ -284,7 +296,7 @@ def pr_curve(
             )
         )
     )
-    per = (
+    return (
         df.select(
             F.col(score_col).alias("threshold"),
             F.col(label_col).cast("long").alias("_lab"),
@@ -296,6 +308,11 @@ def pr_curve(
             (F.count(F.lit(1)) - F.sum("_lab")).alias("_neg"),
         )
     )
+
+
+def pr_finish(per: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Cumulative-confusion windows over the distinct-score partial
+    relation (the non-mergeable half of :func:`pr_curve`)."""
     wc = (
         Window.orderBy(F.col("threshold").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1098,3 +1098,54 @@ def read_datacard(spark: SparkSession, partials_dir: str) -> DataFrame:
         )
     )
     return datacard_finish(merged)
+
+
+def stream_pr_partials(
+    stream: DataFrame,
+    score_col: str,
+    label_col: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    available_now: bool = False,
+):
+    """Continuously maintained precision/recall curve: each micro-batch
+    aggregates to the per-distinct-score (pos, neg) integer counts
+    (classify.pr_partials — the mergeable half of pr_curve) and commits
+    the distinct-scores-row relation under the epoch-keyed exactly-once
+    overwrite protocol. ``read_pr_curve`` merges by per-key addition
+    and runs the cumulative windows — bit-identical to a batch pr_curve
+    over the union of all streamed rows (pure integer sums commute).
+    State per epoch is O(distinct scores) — quantize continuous scores
+    upstream, same contract as the batch op."""
+    from .functions.classify import pr_partials
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        pr_partials(batch, score_col, label_col).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pr_curve(
+    spark: SparkSession, partials_dir: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Merge the streamed per-epoch (threshold, pos, neg) partials by
+    integer addition and emit the full precision/recall curve."""
+    from pyspark.sql import functions as SF
+
+    from .functions.classify import pr_finish
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("threshold")
+        .agg(SF.sum("_pos").alias("_pos"), SF.sum("_neg").alias("_neg"))
+    )
+    return pr_finish(merged, scale)

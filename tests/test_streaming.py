@@ -731,3 +731,36 @@ def test_stream_datacard_partials_match_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in streaming.read_datacard(spark, out).collect())
     want = sorted(tuple(r) for r in textstats.corpus_datacard(df).collect())
     assert got and got == want
+
+
+def test_stream_pr_partials_match_batch(spark, tmp_path):
+    """Continuously maintained PR curve: merging the streamed per-epoch
+    (threshold, pos, neg) integer partials must reproduce the batch
+    pr_curve over the same rows bit-exactly."""
+    from anendektos_spark import streaming
+    from anendektos_spark.functions import classify
+
+    rows = [(i, (i * 7) % 5, 1 if (i * 13) % 3 == 0 else 0)
+            for i in range(200)]
+    schema = "rid long, score long, label int"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "in")
+    # every score value appears in BOTH epochs → merge-by-addition is
+    # actually exercised
+    df.filter(F.col("rid") < 100).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("rid") >= 100).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    streaming.stream_pr_partials(
+        stream, "score", "label", ckpt, out, available_now=True
+    ).awaitTermination(180)
+    assert len(list(__import__("pathlib").Path(out).glob("epoch=*"))) >= 2
+    got = sorted(tuple(r) for r in streaming.read_pr_curve(spark, out).collect())
+    want = sorted(
+        tuple(r) for r in classify.pr_curve(df, "score", "label").collect()
+    )
+    assert got and got == want
