@@ -245,6 +245,20 @@ NEXT_ROTATION = [
     "dedup_cluster_sizes",
     "text_retrieval_eval",
     "dedup_substring_clean",
+    # final round-4 additions (collocation mining, phrase search, LPA
+    # communities, degree report, tool HHI, corpus data card, tool-chain
+    # stationary distribution, BFS seed levels, URL provenance,
+    # threshold-sweep PR curve)
+    "text_collocations",
+    "text_phrase_search",
+    "graph_communities",
+    "graph_degree_stats",
+    "transcript_tool_hhi",
+    "corpus_datacard",
+    "transcript_tool_stationary",
+    "graph_bfs_levels",
+    "text_url_domains",
+    "quality_pr_curve",
 ]
 
 
