@@ -1527,10 +1527,12 @@ def collocations(
       pure pair/unigram counts, no corpus total, stable for both rare
       and stopword-adjacent pairs.
 
-    Both are integer end-to-end (DECIMAL(38,0) for the score's
-    products), so the DuckDB mirror is bit-exact. Capacity: the score
-    numerator cnt_pair·T_u·scale must stay within 38 digits — safe past
-    10¹⁹ corpus tokens.
+    Both are integer end-to-end (DECIMAL(38,0) for the score's AND the
+    dice's products), so the DuckDB mirror is bit-exact. Capacity: the
+    score numerator cnt_pair·T_u·scale must stay within 38 digits, i.e.
+    cnt_pair·T_u ≤ 10³² — for a head pair (cnt_pair within a few orders
+    of T_u) that bounds the corpus at roughly 10¹⁶ tokens; rarer pairs
+    extend proportionally (cnt_pair ~ 10⁶ is safe to T_u ~ 10²⁶).
 
     Shape: two narrow explode scans (unigram / zipped-bigram grain) →
     two map-side-combined count aggregates; the ``min_count`` filter
@@ -1580,7 +1582,10 @@ def collocations(
         f" * _total * {scale}) / (CAST(cnt_w1 AS DECIMAL(38,0)) * cnt_w2))"
         f" AS BIGINT)"
     )
-    dice = f"CAST((2 * cnt_pair * {scale}L) div (cnt_w1 + cnt_w2) AS BIGINT)"
+    dice = (
+        f"CAST(floor((CAST(cnt_pair AS DECIMAL(38,0)) * 2 * {scale})"
+        f" / (cnt_w1 + cnt_w2)) AS BIGINT)"
+    )
     return (
         j.select(
             "w1", "w2",
@@ -1704,7 +1709,13 @@ def phrase_search_sql(rel: str, phrase: str) -> str:
     """DuckDB mirror of :func:`phrase_search`."""
     terms = [t for t in phrase.strip().split() if t]
     k = len(terms)
-    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    # Escape single quotes so a token containing ' cannot produce
+    # malformed (or injectable) oracle SQL; the Spark path binds the
+    # same tokens via createDataFrame, so both engines see identical
+    # phrase terms.
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in enumerate(terms)
+    )
     toks = "regexp_split_to_array(trim(text), '\\s+')"
     return f"""
         WITH t AS (SELECT doc_id, {toks} AS toks FROM ({rel})),
@@ -1805,7 +1816,7 @@ def datacard_finish(
             F.sum("n_chars").cast("long").alias("total_chars"),
             F.sum("n_toks").cast("long").alias("total_tokens"),
             F.count(F.lit(1)).cast("long").alias("n_langs"),
-            F.sum(F.col("n_docs") * F.col("n_docs")).cast("long").alias("sum_sq"),
+            F.sum(F.col("n_docs").cast("decimal(38,0)") * F.col("n_docs")).alias("sum_sq"),
             F.max(F.when(F.col("_rn") == 1, F.col("lng"))).alias("top_lang"),
             F.max(F.when(F.col("_rn") == 1, F.col("n_docs")))
             .cast("long").alias("top_docs"),

@@ -1174,7 +1174,7 @@ def tool_concentration(
         .agg(
             F.sum("cnt").cast("long").alias("n_calls"),
             F.count(F.lit(1)).cast("long").alias("n_tools"),
-            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("sum_sq"),
             F.max(F.when(F.col("_rn") == 1, F.col("tool"))).alias("top_tool"),
             F.max(F.when(F.col("_rn") == 1, F.col("cnt")))
             .cast("long")
