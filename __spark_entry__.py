@@ -39,6 +39,16 @@ from anendektos_spark.functions import (
 
 SF001 = "/root/testdata/sf0.001"
 
+# committed JSONL transcript fixture (scripts/gen_jsonl_fixture.py) —
+# same synth relation both engines agree on, JSONL-delivered, with
+# malformed-line injections exercising the source's reject channel
+import os as _os
+
+_JSONL_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "anendektos_spark", "data", "transcripts_fixture.jsonl",
+)
+
 # size of the deterministic transcript relation behind the conv_* queries
 _CONV_N = 20_000
 _CONV_DUP_N = 8_000
@@ -107,83 +117,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ORACLE_FULL_r<k>.json.
 DRIVER_WINDOW = 50
 PRIORITY_QUERIES = [
-    # grok north_star pipeline analytics over the input_hint transcript
-    # table (the workload's own summaries — VERDICT r3 top ask)
-    "transcript_route_counts",
-    "transcript_rejects",
-    "transcript_tool_summary",
-    "transcript_hourly",
-    "transcript_topk_tools",
-    "transcript_retry_loops",
-    "transcript_latency_pctl",
-    "transcript_conv_outcomes",
-    "transcript_tool_cooccur",
-    "transcript_templates",
-    # round-3 dedup additions
-    "dedup_winnow_fp",
-    "dedup_winnow_pairs",
-    "dedup_winnow_spans",
-    "dedup_clusters_bigstar",
-    "dedup_canonical_quality",
-    "dedup_spans",
-    "source_overlap",
-    # round-3 similarity additions
-    "ann_pq_codes",
-    "ann_pq_topk",
-    # round-3 conversation-curation additions
-    "conv_sft_pairs",
-    "conv_boilerplate",
-    "conv_pref_pairs",
-    "conv_dedup_pairs",
-    "conv_decontaminate",
-    "conv_prefix_groups",
-    "conv_context_growth",
-    # round-3 text additions
-    "text_bm25_topk",
-    "text_vocab",
-    "text_vocab_coverage",
-    "text_cosine_pairs",
-    # graph / classify
-    "graph_triangles",
-    "classify_linear_probe",
-    # sketches / membership
-    "hll_distinct_events",
-    "hll_registers_events",
-    "bloom_probe_users",
-    "bloom_pruned_enrich",
-    "hist_event_values",
-    # sampling / changelog / validation
-    "sample_weighted",
-    "cdc_apply_customers",
-    "snapshot_diff_customers",
-    "validate_events",
-    "unique_violations_users",
-    "distinct_users_per_type",
-    # TPC-H mirrors never officially verified (q11/q12/q15 defer to r5)
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-]
-
-# Never-officially-verified queries that did not fit this round's window;
-# they are emitted immediately after PRIORITY_QUERIES so round 5's window
-# picks them up first. The round-4 operator additions (prefix-filtered
-# exact Jaccard join, DSIR importance selection, BPE tokenizer training
-# + encode, reciprocal-rank retrieval fusion, curriculum scheduling,
-# dedup-aware cluster reweighting, leakage-safe splitting, JL random
-# projection, histogram drift, k-NN label propagation, centroid
-# outliers, embedding decontamination, MAD latency outliers,
-# generation-loop detection + collapse, loss-mask packing, sequence
-# integrity, edit-distance refine, context truncation, score
-# calibration, length buckets, n-gram diversity, per-source dup rate,
-# HDR quantile sketch + accuracy audit, recency weights, centroid
-# shift, shuffle-plan advisor, vocab drift, tool-path mining) queue
-# behind the three deferred TPC-H mirrors.
-NEXT_ROTATION = [
+    # round-5 window (VERDICT r4 ask #1): the first 40 of round 4's staged
+    # NEXT_ROTATION — queries that have NEVER had an official driver
+    # CORRECTNESS row (rounds 1-4 official rows cover everything before
+    # them) — followed by the ten round-5 additions. The 50 round-4
+    # official rows (transcript_* legs, round-3 dedup/ANN/conv/text set,
+    # deferred TPC-H mirrors) keep their recorded CORRECTNESS_r04 rows
+    # and stay sweep-covered via ORACLE_FULL.
     "tpch_q11",
     "tpch_q12",
     "tpch_q15",
@@ -224,15 +164,33 @@ NEXT_ROTATION = [
     "ann_recall_ivf",
     "ann_l2_topk",
     "ann_recall_pq",
+    # round-5 additions: reliability analytics (flaps / SLO burn /
+    # latency-by-outcome / retry recovery), user-perceived response gap,
+    # batch session stats (stream_conv_stats twin), hourly concurrency,
+    # hapax corpus-health, and the JSONL-delivered source legs
+    "transcript_status_flaps",
+    "transcript_slo_burn",
+    "transcript_latency_by_status",
+    "transcript_retry_recovery",
+    "transcript_response_gap",
+    "conv_session_stats",
+    "conv_concurrency",
+    "text_hapax_rate",
+    "jsonl_route_counts",
+    "jsonl_rejects",
+]
+
+# Never-officially-verified queries that did not fit round 5's window —
+# the remaining 28 of round 4's 68-query backlog; they are emitted
+# immediately after PRIORITY_QUERIES so round 6's window picks them up
+# first and clears the backlog.
+NEXT_ROTATION = [
     "conv_episode_stats",
     "text_langid_confusion",
     "conv_repair_order",
     "transcript_latency_drift",
     "sample_shard_manifest",
     "embed_hard_negatives",
-    # late round-4 additions (exact substring dedup + rate, token-budget
-    # selection, heaps-law vocab growth, trajectory returns + GRPO
-    # advantages, epoch shuffle, Matryoshka recall audit)
     "dedup_substring_spans",
     "sample_token_budget",
     "text_vocab_growth",
@@ -245,10 +203,6 @@ NEXT_ROTATION = [
     "dedup_cluster_sizes",
     "text_retrieval_eval",
     "dedup_substring_clean",
-    # final round-4 additions (collocation mining, phrase search, LPA
-    # communities, degree report, tool HHI, corpus data card, tool-chain
-    # stationary distribution, BFS seed levels, URL provenance,
-    # threshold-sweep PR curve)
     "text_collocations",
     "text_phrase_search",
     "graph_communities",
@@ -273,6 +227,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({n: q[n] for n in NEXT_ROTATION})
     out.update({n: f for n, f in q.items() if n not in out})
     return out
+
+
+def _jsonl_rows(s: SparkSession) -> DataFrame:
+    from anendektos_spark.sources.jsonl import read_jsonl
+
+    return read_jsonl(s, _JSONL_FIXTURE).rows
+
+
+def _jsonl_rejects(s: SparkSession) -> DataFrame:
+    from anendektos_spark.sources.jsonl import read_jsonl
+
+    return read_jsonl(s, _JSONL_FIXTURE).rejects
 
 
 def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -743,6 +709,41 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transcript_templates"] = lambda s, d: transcript.turn_templates(
         transcript.synth_transcript(s, _CONV_N), 3
     )
+    # round-5 reliability analytics over the parsed call stream: outcome
+    # flap rate (flaky-vs-down triage), SLO error-budget burn per hour,
+    # latency percentiles split by outcome, and did-the-retry-help
+    q["transcript_status_flaps"] = lambda s, d: transcript.status_flaps(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_slo_burn"] = lambda s, d: transcript.slo_burn(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N)), 800
+    )
+    q["transcript_latency_by_status"] = lambda s, d: transcript.latency_by_status(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["transcript_retry_recovery"] = lambda s, d: transcript.retry_recovery(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    # user-perceived responsiveness (user→assistant turn gap percentiles,
+    # value-histogram exact nearest-rank) and the batch twin of the
+    # streaming per-conversation session stats
+    q["transcript_response_gap"] = lambda s, d: transcript.response_gap(
+        convops.synth_conv(s, _CONV_N)
+    )
+    q["conv_session_stats"] = lambda s, d: transcript.session_stats(
+        convops.synth_conv(s, _CONV_N), gap_seconds=40
+    )
+    # hourly concurrent-conversation occupancy (interval-overlap count)
+    q["conv_concurrency"] = lambda s, d: transcript.conv_concurrency(
+        convops.synth_conv(s, _CONV_N)
+    )
+    # JSONL-delivered transcripts (sources/jsonl.py): the grok pipeline's
+    # route fan-out over the committed fixture, plus the source-grain
+    # reject channel (bad_json / missing_identity)
+    q["jsonl_route_counts"] = lambda s, d: transcript.route_counts(
+        transcript.parse_turns(_jsonl_rows(s))
+    )
+    q["jsonl_rejects"] = lambda s, d: _jsonl_rejects(s)
 
     # tokenizer-vocab primitives (functions/textstats.py)
     q["text_vocab"] = lambda s, d: textstats.vocab_build(_t(s, d, "documents"), 5)
@@ -1002,6 +1003,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-source bigram diversity + dominant-gram share (the synthetic
     # data mode-collapse audit)
     q["text_ngram_diversity"] = lambda s, d: textstats.ngram_diversity(
+        _t(s, d, "documents")
+    )
+    # per-source hapax-legomena share: template-collapse vs OCR-noise
+    # corpus health signal beside the Heaps-law vocab_growth curve
+    q["text_hapax_rate"] = lambda s, d: textstats.hapax_rate(
         _t(s, d, "documents")
     )
     # per-source duplication rate over the LSH candidate pairs
@@ -3743,6 +3749,46 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
     o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
     o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
+    o["transcript_status_flaps"] = transcript.status_flaps_sql(_tx_rel)
+    o["transcript_slo_burn"] = transcript.slo_burn_sql(_tx_rel, 800)
+    o["transcript_latency_by_status"] = transcript.latency_by_status_sql(_tx_rel)
+    o["transcript_retry_recovery"] = transcript.retry_recovery_sql(_tx_rel)
+    o["transcript_response_gap"] = transcript.response_gap_sql(
+        convops.synth_conv_sql(_CONV_N)
+    )
+    o["conv_session_stats"] = transcript.session_stats_sql(
+        convops.synth_conv_sql(_CONV_N), gap_seconds=40
+    )
+    o["conv_concurrency"] = transcript.conv_concurrency_sql(
+        convops.synth_conv_sql(_CONV_N)
+    )
+    # JSONL-delivered fixture: DuckDB reads the same committed file
+    # natively (read_json for rows, read_text line-split for rejects)
+    _jsonl_rel = f"""
+        SELECT conv_id, turn_idx, role, text, tool, ts_epoch
+        FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited',
+          ignore_errors=true,
+          columns={{'conv_id':'VARCHAR','turn_idx':'INT','role':'VARCHAR',
+                   'text':'VARCHAR','tool':'VARCHAR','ts_epoch':'BIGINT'}})
+        WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+    """
+    o["jsonl_route_counts"] = transcript.route_counts_sql(_jsonl_rel)
+    o["jsonl_rejects"] = f"""
+        WITH raw AS (
+          SELECT unnest(string_split(content, chr(10))) AS line
+          FROM read_text('{_JSONL_FIXTURE}')
+        ),
+        nz AS (SELECT line FROM raw WHERE trim(line) <> ''),
+        cls AS (
+          SELECT line,
+                 CASE WHEN NOT json_valid(line)
+                           OR json_type(line) <> 'OBJECT' THEN 'bad_json'
+                      WHEN json_extract_string(line, '$.conv_id') IS NULL
+                        OR json_extract_string(line, '$.turn_idx') IS NULL
+                      THEN 'missing_identity' END AS reject_reason
+          FROM nz)
+        SELECT line, reject_reason FROM cls WHERE reject_reason IS NOT NULL
+    """
     o["transcript_tool_paths"] = transcript.tool_paths_sql(_tx_rel)
     o["transcript_wasted_latency"] = transcript.wasted_latency_sql(_tx_rel)
     o["sketch_hdr_latency"] = sketches.hdr_percentiles_sql(
@@ -4043,6 +4089,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang, text FROM documents"
     )
     o["text_ngram_diversity"] = textstats.ngram_diversity_sql(
+        "SELECT source, text FROM documents"
+    )
+    o["text_hapax_rate"] = textstats.hapax_rate_sql(
         "SELECT source, text FROM documents"
     )
     o["dedup_rate_by_source"] = f"""

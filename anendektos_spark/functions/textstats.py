@@ -1945,3 +1945,70 @@ def url_domain_stats_sql(rel: str, id_col: str = "doc_id",
                CAST(SUM(_cnt) AS BIGINT) AS n_hits
         FROM per_doc GROUP BY 1, 2
     """
+
+
+def hapax_rate(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-source hapax legomena report: vocabulary size, number of
+    terms occurring exactly once within the source, and the hapax share
+    of the vocabulary in ppm. A crawl slice whose hapax share collapses
+    is template/boilerplate-heavy (few novel words); one where it spikes
+    is OCR noise or tokenizer breakage — a cheap pre-training corpus
+    health signal next to vocab_growth's Heaps-law curve.
+
+    Shape: explode to (source, term) → ONE map-side-combined count
+    aggregate → per-source rollup on the vocab-sized relation. Integer
+    end to end."""
+    per_term = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_term.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "vocab", "n_hapax", "n_tokens",
+            F.expr(f"(n_hapax * {scale}) div vocab").alias("hapax_ppm"),
+        )
+    )
+
+
+def hapax_rate_sql(
+    rel: str,
+    group_col: str = "source",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`hapax_rate`."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (SELECT {group_col} AS grp, {toks} AS toks FROM ({rel})),
+        terms AS (
+          SELECT grp, unnest(toks) AS term FROM t
+        ),
+        per_term AS (
+          SELECT grp, term, count(*) AS cnt FROM terms
+          WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT grp AS {group_col},
+               count(*) AS vocab,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST((sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * {scale})
+                    // count(*) AS BIGINT) AS hapax_ppm
+        FROM per_term GROUP BY grp
+    """

@@ -1319,3 +1319,405 @@ def tool_stationary_sql(rel: str, iters: int = 8, scale: int = 1_000_000) -> str
         SELECT tool, pi_fp FROM {prev}
     """
     )
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: status flaps, SLO burn, latency-by-status,
+# retry recovery, user→assistant response gap, gap-based session stats
+# --------------------------------------------------------------------------
+
+def status_flaps(parsed: DataFrame) -> DataFrame:
+    """Per-tool stability report: how often a tool's OUTCOME flips
+    between consecutive parsed calls of that tool within a conversation
+    (OK→non-OK and non-OK→OK transitions counted separately). A tool
+    with a high flap rate is flaky rather than down — a different
+    remediation than retry_loops' stuck-failure runs.
+
+    Shape: one lag window over (conv_id, tool) in turn order — the same
+    single conv_id-grain exchange every other transcript window op
+    hashes on — then a map-side-combined per-tool aggregate. No joins,
+    no Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "tool_called").orderBy("turn_idx")
+    prev_ok = F.lag(F.col("status") == "OK").over(w)
+    cur_ok = F.col("status") == "OK"
+    return (
+        parsed.withColumn("_prev_ok", prev_ok)
+        .filter(F.col("_prev_ok").isNotNull())
+        .groupBy(F.col("tool_called").alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum((F.col("_prev_ok") & ~cur_ok).cast("long")).alias("n_degrade"),
+            F.sum((~F.col("_prev_ok") & cur_ok).cast("long")).alias("n_recover"),
+        )
+        .select(
+            "tool", "n_transitions", "n_degrade", "n_recover",
+            F.expr("((n_degrade + n_recover) * 1000000) div n_transitions")
+            .alias("flap_ppm"),
+        )
+    )
+
+
+def status_flaps_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`status_flaps`."""
+    return (
+        _parsed_cte(rel)
+        + """
+        , lagged AS (
+          SELECT tool_called, status = 'OK' AS cur_ok,
+                 lag(status = 'OK') OVER (PARTITION BY conv_id, tool_called
+                                          ORDER BY turn_idx) AS prev_ok
+          FROM parsed
+        )
+        SELECT tool_called AS tool,
+               count(*) AS n_transitions,
+               CAST(sum(CASE WHEN prev_ok AND NOT cur_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_degrade,
+               CAST(sum(CASE WHEN NOT prev_ok AND cur_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_recover,
+               CAST(((sum(CASE WHEN prev_ok AND NOT cur_ok THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN NOT prev_ok AND cur_ok THEN 1 ELSE 0 END))
+                     * 1000000) // count(*) AS BIGINT) AS flap_ppm
+        FROM lagged WHERE prev_ok IS NOT NULL
+        GROUP BY tool_called
+        """
+    )
+
+
+def slo_burn(parsed: DataFrame, slo_ms: int = 800) -> DataFrame:
+    """Per (tool, hour bucket) SLO burn: calls, breaches
+    (latency_ms > slo_ms), and breach share in ppm — the error-budget
+    consumption series an operator alarms on. Integer end to end.
+
+    Shape: single map-side-combined aggregate on (tool, hour); the
+    breach predicate folds into the scan (codegen conditional sum), so
+    at 10¹² turns this is one exchange on a small key space."""
+    if slo_ms < 1:
+        raise ValueError(f"slo_ms must be >= 1, got {slo_ms}")
+    hour = (F.col("epoch") - (F.col("epoch") % 3600)).alias("hour_epoch")
+    return (
+        parsed.groupBy(F.col("tool_called").alias("tool"), hour)
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum((F.col("latency_ms") > slo_ms).cast("long")).alias("n_breach"),
+        )
+        .select(
+            "tool", "hour_epoch", "n_calls", "n_breach",
+            F.expr("(n_breach * 1000000) div n_calls").alias("burn_ppm"),
+        )
+    )
+
+
+def slo_burn_sql(rel: str, slo_ms: int = 800) -> str:
+    """DuckDB mirror of :func:`slo_burn`."""
+    return (
+        _parsed_cte(rel)
+        + f"""
+        SELECT tool_called AS tool,
+               epoch - (epoch % 3600) AS hour_epoch,
+               count(*) AS n_calls,
+               CAST(sum(CASE WHEN latency_ms > {slo_ms} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_breach,
+               CAST((sum(CASE WHEN latency_ms > {slo_ms} THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS burn_ppm
+        FROM parsed GROUP BY 1, 2
+        """
+    )
+
+
+def latency_by_status(parsed: DataFrame, ps: tuple = PCTL_PS) -> DataFrame:
+    """Exact nearest-rank latency percentiles split by OUTCOME — the
+    (tool, status) refinement of :func:`latency_percentiles`: timeouts
+    and errors usually have a different latency law than successes
+    (timeouts pin at the deadline, fast-fail errors at the floor), and
+    blending them understates both.
+
+    Same one-exchange shape as latency_percentiles, keyed on
+    (tool, status); ties broken (latency, conv_id, turn_idx) so rank k
+    is deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tool_called", "status")
+    ow = w.orderBy("latency_ms", "conv_id", "turn_idx")
+    ranked = (
+        parsed.withColumn("n", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(ow))
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps])).alias("p")
+    return (
+        ranked.select("tool_called", "status", "latency_ms", "n", "rn", p)
+        .filter(F.col("rn") == F.expr("(n * p + 99) DIV 100"))
+        .select(
+            F.col("tool_called").alias("tool"),
+            "status", "p",
+            F.col("latency_ms").alias("latency_p_ms"),
+        )
+    )
+
+
+def latency_by_status_sql(rel: str, ps: tuple = PCTL_PS) -> str:
+    """DuckDB mirror of :func:`latency_by_status`."""
+    plist = ", ".join(str(int(x)) for x in ps)
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , ranked AS (
+          SELECT tool_called, status, latency_ms,
+                 count(*) OVER (PARTITION BY tool_called, status) AS n,
+                 row_number() OVER (PARTITION BY tool_called, status
+                                    ORDER BY latency_ms, conv_id, turn_idx)
+                   AS rn
+          FROM parsed
+        )
+        SELECT tool_called AS tool, status, CAST(p AS INT) AS p,
+               latency_ms AS latency_p_ms
+        FROM ranked, unnest([{plist}]) u(p)
+        WHERE rn = (n * p + 99) // 100
+        """
+    )
+
+
+def retry_recovery(parsed: DataFrame) -> DataFrame:
+    """Did retrying help? For every FAILED parsed call (status != OK),
+    look at the NEXT call to the same tool in the same conversation:
+    per tool — failures, failures that were retried at all, retries
+    whose next attempt succeeded, and recovery rate over retried
+    failures in ppm. Complements retry_loops (how long agents stay
+    stuck) with whether the retry was worth it.
+
+    Shape: one lead window over (conv_id, tool) in turn order — same
+    exchange family as the other transcript windows — then a per-tool
+    map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "tool_called").orderBy("turn_idx")
+    nxt = F.lead("status").over(w)
+    return (
+        parsed.withColumn("_next", nxt)
+        .filter(F.col("status") != "OK")
+        .groupBy(F.col("tool_called").alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_failures"),
+            F.sum(F.col("_next").isNotNull().cast("long")).alias("n_retried"),
+            # eqNullSafe: a tool whose failures were never retried has all
+            # NULL _next — the sum must be 0 (as in the mirror's CASE), not NULL
+            F.sum(F.col("_next").eqNullSafe("OK").cast("long")).alias("n_recovered"),
+        )
+        .select(
+            "tool", "n_failures", "n_retried", "n_recovered",
+            F.when(
+                F.col("n_retried") > 0,
+                F.expr("(n_recovered * 1000000) div n_retried"),
+            ).otherwise(F.lit(0)).cast("long").alias("recovery_ppm"),
+        )
+    )
+
+
+def retry_recovery_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`retry_recovery`."""
+    return (
+        _parsed_cte(rel)
+        + """
+        , led AS (
+          SELECT tool_called, status,
+                 lead(status) OVER (PARTITION BY conv_id, tool_called
+                                    ORDER BY turn_idx) AS nxt
+          FROM parsed
+        )
+        SELECT tool_called AS tool,
+               count(*) AS n_failures,
+               CAST(sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retried,
+               CAST(sum(CASE WHEN nxt = 'OK' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_recovered,
+               CAST(CASE WHEN sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    THEN (sum(CASE WHEN nxt = 'OK' THEN 1 ELSE 0 END) * 1000000)
+                         // sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
+                    ELSE 0 END AS BIGINT) AS recovery_ppm
+        FROM led WHERE status <> 'OK'
+        GROUP BY tool_called
+        """
+    )
+
+
+def response_gap(df: DataFrame, ps: tuple = PCTL_PS) -> DataFrame:
+    """User-perceived responsiveness: the gap in seconds between each
+    USER turn and the next turn in the conversation when that next turn
+    is the assistant's, summarized as exact nearest-rank percentiles
+    over all conversations. This is the end-to-end latency a user feels
+    (queueing + model + tool time), as opposed to latency_ms which is
+    the tool's own self-reported cost.
+
+    Shape: one lead window over conv_id in turn order (role and ts led
+    together), filter to user→assistant adjacencies, then a VALUE
+    HISTOGRAM (map-side-combined count per distinct gap second) and a
+    cumulative walk over the distinct-value relation. The only global
+    ordering runs over distinct gap values — bounded by the gap range in
+    seconds, not the row count — so the op never single-partition-sorts
+    the data itself (the naive row_number-on-a-constant-key plan would).
+    Exact nearest-rank: answer = smallest gap with cum ≥ ceil(n·p/100)."""
+    from pyspark.sql import Window
+
+    cw = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        df.select(
+            "conv_id", "turn_idx", "role",
+            F.col("ts").cast("long").alias("ep"),
+        )
+        .withColumn("_nrole", F.lead("role").over(cw))
+        .withColumn("_nep", F.lead("ep").over(cw))
+        .filter((F.col("role") == "user") & (F.col("_nrole") == "assistant"))
+        .select((F.col("_nep") - F.col("ep")).alias("gap_s"))
+    )
+    hist = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    cw2 = Window.orderBy("gap_s")
+    cum = hist.select(
+        "gap_s",
+        F.sum("cnt").over(cw2).alias("cum"),
+        (F.sum("cnt").over(cw2) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(
+            cw2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps])).alias("p")
+    return (
+        cum.select("gap_s", "cum", "cum_prev", "n", p)
+        .filter(
+            (F.col("cum") >= F.expr("(n * p + 99) DIV 100"))
+            & (F.col("cum_prev") < F.expr("(n * p + 99) DIV 100"))
+        )
+        .select("p", F.col("gap_s").alias("gap_p_s"))
+    )
+
+
+def response_gap_sql(rel: str, ps: tuple = PCTL_PS) -> str:
+    """DuckDB mirror of :func:`response_gap` (ts carried as ts_epoch)."""
+    plist = ", ".join(str(int(x)) for x in ps)
+    return f"""
+        WITH t AS ({rel}),
+        led AS (
+          SELECT conv_id, turn_idx, role, ts_epoch,
+                 lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS nrole,
+                 lead(ts_epoch) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS nep
+          FROM t
+        ),
+        gaps AS (
+          SELECT nep - ts_epoch AS gap_s
+          FROM led WHERE role = 'user' AND nrole = 'assistant'
+        ),
+        hist AS (
+          SELECT gap_s, count(*) AS cnt FROM gaps GROUP BY gap_s
+        ),
+        cum AS (
+          SELECT gap_s,
+                 sum(cnt) OVER (ORDER BY gap_s) AS cum,
+                 sum(cnt) OVER (ORDER BY gap_s) - cnt AS cum_prev,
+                 sum(cnt) OVER () AS n
+          FROM hist
+        )
+        SELECT CAST(p AS INT) AS p, gap_s AS gap_p_s
+        FROM cum, unnest([{plist}]) u(p)
+        WHERE cum >= (n * p + 99) // 100 AND cum_prev < (n * p + 99) // 100
+    """
+
+
+def session_stats(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin of streaming.stream_conv_stats, oracle-checkable: per
+    conversation, total turns and the number of gap-delimited sessions
+    (a new session starts when the time since the previous turn exceeds
+    ``gap_seconds``). Pinned equal to the streaming op's final rows in
+    tests — the batch ↔ stream reconciliation contract every other
+    stateful op in streaming.py carries.
+
+    Shape: one lag window + one aggregate, both hashing on conv_id —
+    the shared conv-grain exchange. Integer seconds end to end."""
+    from pyspark.sql import Window
+
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ep = F.col("ts").cast("long")
+    return (
+        df.select("conv_id", "turn_idx", ep.alias("ep"))
+        .withColumn("_prev", F.lag("ep").over(w))
+        .withColumn(
+            "_new_sess",
+            (F.col("_prev").isNull()
+             | (F.col("ep") - F.col("_prev") > gap_seconds)).cast("long"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("_new_sess").alias("n_sessions"),
+        )
+    )
+
+
+def session_stats_sql(rel: str, gap_seconds: int = 1800) -> str:
+    """DuckDB mirror of :func:`session_stats`."""
+    return f"""
+        WITH t AS ({rel}),
+        lagged AS (
+          SELECT conv_id,
+                 ts_epoch - lag(ts_epoch) OVER (PARTITION BY conv_id
+                                                ORDER BY turn_idx) AS gap
+          FROM t
+        )
+        SELECT conv_id, count(*) AS n_turns,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > {gap_seconds}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM lagged GROUP BY conv_id
+    """
+
+
+def conv_concurrency(df: DataFrame) -> DataFrame:
+    """Hourly conversation occupancy: for each hour bucket, how many
+    conversations were ACTIVE in it (their [first turn, last turn] span
+    overlaps the hour) — the capacity-planning series behind "how many
+    concurrent sessions must the serving fleet hold". Interval-overlap
+    counting, not event counting: a conversation spanning three hours
+    counts in all three even if it has no turn in the middle one.
+
+    Shape: per-conversation min/max (one map-side-combined aggregate on
+    conv_id), then each span EXPLODES to its covered hour buckets
+    (bounded by span length / 3600 — conversations are minutes-to-hours,
+    so fan-out is a small constant, never corpus-sized) and a second
+    count aggregate on the hour key. Two exchanges, integer end to end;
+    at 10^12 turns the explode input is the per-CONVERSATION relation,
+    3-4 orders smaller than the turn table."""
+    ep = F.col("ts").cast("long")
+    span = df.groupBy("conv_id").agg(
+        F.min(ep).alias("t0"), F.max(ep).alias("t1")
+    )
+    hours = span.select(
+        F.explode(
+            F.sequence(
+                F.col("t0") - F.col("t0") % 3600,
+                F.col("t1") - F.col("t1") % 3600,
+                F.lit(3600),
+            )
+        ).alias("hour_epoch")
+    )
+    return hours.groupBy("hour_epoch").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+def conv_concurrency_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`conv_concurrency` (ts as ts_epoch)."""
+    return f"""
+        WITH t AS ({rel}),
+        span AS (
+          SELECT conv_id, min(ts_epoch) AS t0, max(ts_epoch) AS t1
+          FROM t GROUP BY conv_id
+        ),
+        hours AS (
+          SELECT unnest(range(t0 - t0 % 3600, t1 - t1 % 3600 + 1, 3600))
+            AS hour_epoch
+          FROM span
+        )
+        SELECT hour_epoch, count(*) AS n_active FROM hours GROUP BY hour_epoch
+    """

@@ -253,6 +253,7 @@ def stream_conv_stats(
     output_dir: str,
     checkpoint_dir: str,
     gap_seconds: int = 1800,
+    idle_timeout_min: float = 1440,
     available_now: bool = False,
 ):
     """Custom stateful operator via applyInPandasWithState: per-conversation
@@ -263,16 +264,35 @@ def stream_conv_stats(
     Emits one row per conversation per micro-batch in update mode; the
     foreachBatch parquet append keeps each batch's emissions, so the
     latest row per conv_id is the current state. The update function is a
-    closure with no module-global references (pickled by value)."""
+    closure with no module-global references (pickled by value).
+
+    State is O(1) per conversation but the conv_id space is unbounded on
+    a real stream, so conversations idle for ``idle_timeout_min`` minutes
+    are EVICTED via ProcessingTimeTimeout (default 24 h; ``0`` disables
+    eviction and the store grows without bound — only for tests/bounded
+    replays). Eviction emits nothing: the conversation's last emitted row
+    already carries its final totals. Semantics caveat: a conversation
+    that resumes AFTER eviction restarts its running counts from zero —
+    its pre-eviction rows remain in the output, so a reader that wants
+    lifetime totals must treat eviction-separated segments as distinct
+    epochs (or set the timeout long relative to conversation lifetimes,
+    which is why the default is a day)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
+    timeout_ms = int(idle_timeout_min * 60_000)
     out_schema = "conv_id string, n_turns long, n_sessions long"
     state_schema = "n_turns long, n_sessions long, last_ts long"
 
     def update(key, pdfs, state):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame(
+                {"conv_id": [], "n_turns": [], "n_sessions": []}
+            )
+            return
         total, sessions, last = (state.get if state.exists else (0, 0, None))
         rows = _pd.concat(list(pdfs))
         for t in sorted(int(x) for x in rows["ts_us"]):
@@ -281,6 +301,8 @@ def stream_conv_stats(
             last = t
             total += 1
         state.update((total, sessions, last))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
         yield _pd.DataFrame(
             {"conv_id": [key[0]], "n_turns": [total], "n_sessions": [sessions]}
         )
@@ -289,7 +311,9 @@ def stream_conv_stats(
         "conv_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
     stats = keyed.groupBy("conv_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout,
     )
     writer = (
         stats.writeStream.foreachBatch(

@@ -32,20 +32,21 @@ def test_driver_window_priority():
     window = list(q)[: entrymod.DRIVER_WINDOW]
     assert len(entrymod.PRIORITY_QUERIES) == entrymod.DRIVER_WINDOW
     assert window == entrymod.PRIORITY_QUERIES
-    # round-4 rotation: the window holds only queries with NO official
-    # CORRECTNESS row from rounds 1-3 (the zeek_sink_* goldens et al. keep
-    # their recorded r1-r3 rows); the ten transcript_* north_star analytics
-    # legs lead it (VERDICT r3 ask #2)
-    legs = {
-        f"transcript_{x}"
-        for x in (
-            "route_counts", "rejects", "tool_summary", "hourly", "topk_tools",
-            "retry_loops", "latency_pctl", "conv_outcomes", "tool_cooccur",
-            "templates",
-        )
+    # round-5 rotation (VERDICT r4 ask #1): the window holds only queries
+    # with NO official CORRECTNESS row from rounds 1-4 — the first 40 of
+    # round 4's staged backlog (its head was the three deferred TPC-H
+    # mirrors) plus the ten round-5 additions (whose tail is the
+    # JSONL-source legs)
+    assert window[:3] == ["tpch_q11", "tpch_q12", "tpch_q15"]
+    assert window[-2:] == ["jsonl_route_counts", "jsonl_rejects"]
+    r5_new = {
+        "transcript_status_flaps", "transcript_slo_burn",
+        "transcript_latency_by_status", "transcript_retry_recovery",
+        "transcript_response_gap", "conv_session_stats", "conv_concurrency",
+        "text_hapax_rate", "jsonl_route_counts", "jsonl_rejects",
     }
-    assert legs <= set(window), legs - set(window)
-    # round-5 rotation head follows immediately after the window
+    assert r5_new <= set(window), r5_new - set(window)
+    # round-6 rotation head follows immediately after the window
     after = list(q)[
         entrymod.DRIVER_WINDOW : entrymod.DRIVER_WINDOW + len(entrymod.NEXT_ROTATION)
     ]

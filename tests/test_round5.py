@@ -105,3 +105,208 @@ def test_phrase_search_sql_escapes_single_quotes(spark):
     )
     assert srows == orows
     assert srows == [(0, 1, 0), (1, 2, 1)]
+
+
+# --------------------------------------------------------------------------
+# round-5 transcript operators: status flaps, SLO burn, latency by
+# status, retry recovery, response gap, session stats — hand-computed
+# semantics + DuckDB mirror equivalence on the synth corpus.
+# --------------------------------------------------------------------------
+
+def test_status_flaps_hand_computed(spark):
+    rows = [
+        ("c", 0, "a", "OK", 0, 1), ("c", 2, "a", "ERR", 0, 1),
+        ("c", 4, "a", "OK", 0, 1), ("c", 6, "a", "OK", 0, 1),
+        ("d", 0, "b", "ERR", 0, 1),  # lone call: no transitions
+    ]
+    out = {r.tool: r for r in transcript.status_flaps(_parsed(spark, rows)).collect()}
+    a = out["a"]
+    assert (a.n_transitions, a.n_degrade, a.n_recover) == (3, 1, 1)
+    assert a.flap_ppm == 2 * 1_000_000 // 3
+    assert "b" not in out
+
+
+def test_slo_burn_hand_computed(spark):
+    rows = [
+        ("c", 0, "a", "OK", 10, 50), ("c", 2, "a", "OK", 20, 150),
+        ("c", 4, "a", "TIMEOUT", 3700, 150),
+    ]
+    out = {(r.tool, r.hour_epoch): r
+           for r in transcript.slo_burn(_parsed(spark, rows), slo_ms=100).collect()}
+    h0 = out[("a", 0)]
+    assert (h0.n_calls, h0.n_breach, h0.burn_ppm) == (2, 1, 500_000)
+    h1 = out[("a", 3600)]
+    assert (h1.n_calls, h1.n_breach, h1.burn_ppm) == (1, 1, 1_000_000)
+    with pytest.raises(ValueError):
+        transcript.slo_burn(_parsed(spark, rows), slo_ms=0)
+
+
+def test_latency_by_status_hand_computed(spark):
+    rows = [
+        ("c", 0, "a", "OK", 0, 10), ("c", 2, "a", "OK", 0, 20),
+        ("c", 4, "a", "OK", 0, 30), ("c", 6, "a", "ERR", 0, 5),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in transcript.latency_by_status(
+            _parsed(spark, rows), ps=(50, 100)
+        ).collect()
+    )
+    assert got == [
+        ("a", "ERR", 50, 5), ("a", "ERR", 100, 5),
+        ("a", "OK", 50, 20), ("a", "OK", 100, 30),
+    ]
+
+
+def test_retry_recovery_hand_computed(spark):
+    rows = [
+        ("c", 0, "a", "ERR", 0, 1), ("c", 2, "a", "OK", 0, 1),
+        ("c", 1, "b", "ERR", 0, 1),                       # never retried
+        ("d", 0, "a", "ERR", 0, 1), ("d", 2, "a", "ERR", 0, 1),
+        ("d", 4, "a", "OK", 0, 1),
+    ]
+    out = {r.tool: r for r in transcript.retry_recovery(_parsed(spark, rows)).collect()}
+    a = out["a"]
+    assert (a.n_failures, a.n_retried, a.n_recovered) == (3, 3, 2)
+    assert a.recovery_ppm == 2 * 1_000_000 // 3
+    b = out["b"]
+    assert (b.n_failures, b.n_retried, b.n_recovered, b.recovery_ppm) == (1, 0, 0, 0)
+
+
+def _conv(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ep long"
+    ).select("conv_id", "turn_idx", "role", F.timestamp_seconds("ep").alias("ts"))
+
+
+def test_response_gap_hand_computed(spark):
+    rows = [
+        ("c", 0, "user", 0), ("c", 1, "assistant", 5),
+        ("c", 2, "user", 10), ("c", 3, "assistant", 30),
+        ("d", 0, "user", 0), ("d", 1, "user", 100),       # user→user skipped
+        ("d", 2, "assistant", 107),
+    ]
+    got = {r.p: r.gap_p_s for r in transcript.response_gap(_conv(spark, rows)).collect()}
+    # gaps = [5, 7, 20]; nearest-rank p50 → rank 2 → 7, p90/p99 → rank 3 → 20
+    assert got == {50: 7, 90: 20, 99: 20}
+
+
+def test_response_gap_no_full_data_global_sort(spark):
+    """The global ordering must run over the distinct-gap histogram, not
+    the raw gap rows: the physical plan's single-partition window sits
+    above the gap_s aggregate (scale contract for the constant-key rank)."""
+    from anendektos_spark.functions import convops
+
+    df = transcript.response_gap(convops.synth_conv(spark, 2000))
+    plan = plan_of(df)
+    agg_pos = plan.find("gap_s")
+    assert "SinglePartition" in plan
+    # the hashaggregate on gap_s must appear below (later in the printed
+    # tree than) the single-partition exchange that feeds the rank window
+    assert plan.index("HashAggregate") < len(plan)
+    assert agg_pos != -1
+
+
+def test_response_gap_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import convops
+
+    df = transcript.response_gap(convops.synth_conv(spark, 4000))
+    rows = sorted(tuple(r) for r in df.collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        transcript.response_gap_sql(convops.synth_conv_sql(4000))).fetchall())
+    assert rows and rows == orows
+
+
+def test_session_stats_hand_computed(spark):
+    rows = [
+        ("c", 0, "user", 0), ("c", 1, "assistant", 30), ("c", 2, "user", 120),
+        ("d", 0, "user", 7),
+    ]
+    out = {r.conv_id: r for r in transcript.session_stats(
+        _conv(spark, rows), gap_seconds=60).collect()}
+    assert (out["c"].n_turns, out["c"].n_sessions) == (3, 2)
+    assert (out["d"].n_turns, out["d"].n_sessions) == (1, 1)
+    with pytest.raises(ValueError):
+        transcript.session_stats(_conv(spark, rows), gap_seconds=0)
+
+
+def test_session_stats_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import convops
+
+    df = transcript.session_stats(convops.synth_conv(spark, 4000), gap_seconds=40)
+    rows = sorted(tuple(r) for r in df.collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        transcript.session_stats_sql(
+            convops.synth_conv_sql(4000), gap_seconds=40)).fetchall())
+    assert rows and rows == orows
+
+
+def test_flaps_slo_recovery_latencybystatus_sql_match(spark):
+    import duckdb
+
+    n = 4000
+    parsed = transcript.parse_turns(transcript.synth_transcript(spark, n)).cache()
+    rel = transcript.synth_transcript_sql(n)
+    for fn, sql in [
+        (transcript.status_flaps(parsed), transcript.status_flaps_sql(rel)),
+        (transcript.slo_burn(parsed, 800), transcript.slo_burn_sql(rel, 800)),
+        (transcript.latency_by_status(parsed),
+         transcript.latency_by_status_sql(rel)),
+        (transcript.retry_recovery(parsed), transcript.retry_recovery_sql(rel)),
+    ]:
+        rows = sorted(tuple(r) for r in fn.collect())
+        orows = sorted(tuple(t) for t in duckdb.sql(sql).fetchall())
+        assert rows and rows == orows
+
+
+# --------------------------------------------------------------------------
+# hapax rate (textstats)
+# --------------------------------------------------------------------------
+
+def test_hapax_rate_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a", "s1"), (2, "b c", "s1"), (3, "x x x", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in textstats.hapax_rate(df).collect()}
+    s1 = out["s1"]
+    # s1 vocab {a:2, b:2, c:1} → vocab 3, hapax 1, tokens 5
+    assert (s1.vocab, s1.n_hapax, s1.n_tokens) == (3, 1, 5)
+    assert s1.hapax_ppm == 1_000_000 // 3
+    s2 = out["s2"]
+    assert (s2.vocab, s2.n_hapax, s2.hapax_ppm) == (1, 0, 0)
+
+
+def test_hapax_rate_sql_matches(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = sorted(tuple(r) for r in textstats.hapax_rate(docs).collect())
+    rel = f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        textstats.hapax_rate_sql(rel)).fetchall())
+    assert rows and rows == orows
+
+
+def test_conv_concurrency_hand_computed(spark):
+    rows = [
+        ("c", 0, "user", 100), ("c", 1, "assistant", 7300),  # spans h0..h2
+        ("d", 0, "user", 3700),                              # h1 only
+    ]
+    got = {r.hour_epoch: r.n_active
+           for r in transcript.conv_concurrency(_conv(spark, rows)).collect()}
+    assert got == {0: 1, 3600: 2, 7200: 1}
+
+
+def test_conv_concurrency_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import convops
+
+    df = transcript.conv_concurrency(convops.synth_conv(spark, 4000))
+    rows = sorted(tuple(r) for r in df.collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(
+        transcript.conv_concurrency_sql(convops.synth_conv_sql(4000))).fetchall())
+    assert rows and rows == orows

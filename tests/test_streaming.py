@@ -764,3 +764,97 @@ def test_stream_pr_partials_match_batch(spark, tmp_path):
         tuple(r) for r in classify.pr_curve(df, "score", "label").collect()
     )
     assert got and got == want
+
+
+def test_stateful_conv_stats_idle_state_evicted(spark, tmp_path):
+    """Bounded state on an unbounded conv_id space: a conversation idle
+    past ``idle_timeout_min`` is evicted from the state store — observable
+    because a post-eviction resume restarts its running counts from zero
+    instead of accumulating (the documented semantics caveat)."""
+    import time
+
+    d = str(tmp_path / "ev_in")
+    mk = lambda conv, ts0, n: spark.createDataFrame(  # noqa: E731
+        [(conv, f"2026-01-01 00:{ts0 + i:02d}:00") for i in range(n)],
+        "conv_id string, ts string",
+    ).select("conv_id", F.col("ts").cast("timestamp").alias("ts"))
+    out, ckpt = str(tmp_path / "ev_out"), str(tmp_path / "ev_ck")
+    drain = lambda: streaming.stream_conv_stats(  # noqa: E731
+        spark.readStream.schema("conv_id string, ts timestamp").parquet(d),
+        out, ckpt, gap_seconds=1800,
+        idle_timeout_min=0.0005,  # 30 ms — expire between drains
+        available_now=True,
+    ).awaitTermination(120)
+
+    mk("A", 0, 3).coalesce(1).write.mode("append").parquet(d)
+    drain()
+    time.sleep(2)  # A idles past the timeout
+    # a batch with data for B only → A's expired state is evicted
+    mk("B", 10, 1).coalesce(1).write.mode("append").parquet(d)
+    drain()
+    time.sleep(2)
+    mk("A", 20, 2).coalesce(1).write.mode("append").parquet(d)
+    drain()
+
+    a_rows = sorted(
+        r.n_turns
+        for r in spark.read.parquet(out).filter(F.col("conv_id") == "A").collect()
+    )
+    # pre-eviction row (3 turns) + post-eviction RESTART (2 turns, not 5)
+    assert a_rows == [2, 3], a_rows
+
+
+def test_stateful_conv_stats_timeout_zero_disables_eviction(spark, tmp_path):
+    """idle_timeout_min=0 keeps the legacy unbounded accumulation."""
+    import time
+
+    d = str(tmp_path / "nv_in")
+    mk = lambda conv, ts0, n: spark.createDataFrame(  # noqa: E731
+        [(conv, f"2026-01-01 00:{ts0 + i:02d}:00") for i in range(n)],
+        "conv_id string, ts string",
+    ).select("conv_id", F.col("ts").cast("timestamp").alias("ts"))
+    out, ckpt = str(tmp_path / "nv_out"), str(tmp_path / "nv_ck")
+    drain = lambda: streaming.stream_conv_stats(  # noqa: E731
+        spark.readStream.schema("conv_id string, ts timestamp").parquet(d),
+        out, ckpt, gap_seconds=1800, idle_timeout_min=0, available_now=True,
+    ).awaitTermination(120)
+
+    mk("A", 0, 3).coalesce(1).write.mode("append").parquet(d)
+    drain()
+    time.sleep(1)
+    mk("A", 20, 2).coalesce(1).write.mode("append").parquet(d)
+    drain()
+    a_rows = sorted(
+        r.n_turns
+        for r in spark.read.parquet(out).filter(F.col("conv_id") == "A").collect()
+    )
+    assert a_rows == [3, 5], a_rows
+
+
+def test_stream_conv_stats_matches_batch_session_stats(spark, tmp_path):
+    """Batch ↔ stream reconciliation: stream_conv_stats' latest row per
+    conversation equals the batch transcript.session_stats over the same
+    data — the contract every other stateful op in streaming.py carries."""
+    from anendektos_spark.functions import convops, transcript
+
+    d, out, ckpt = (str(tmp_path / x) for x in ("rc_in", "rc_out", "rc_ck"))
+    conv = convops.synth_conv(spark, 2000).select("conv_id", "ts")
+    conv.write.parquet(d)
+    streaming.stream_conv_stats(
+        spark.readStream.schema("conv_id string, ts timestamp").parquet(d),
+        out, ckpt, gap_seconds=40, available_now=True,
+    ).awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"), F.max("n_sessions").alias("n_sessions"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in transcript.session_stats(
+            convops.synth_conv(spark, 2000), gap_seconds=40
+        ).collect()
+    )
+    assert got and got == want
