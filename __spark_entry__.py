@@ -213,6 +213,8 @@ NEXT_ROTATION = [
     "graph_bfs_levels",
     "text_url_domains",
     "quality_pr_curve",
+    # late round-5 additions (registered after the round-5 window froze)
+    "events_cohort_retention",
 ]
 
 
@@ -640,6 +642,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["hist_event_values"] = lambda s, d: logops.value_histogram(
         _t(s, d, "events"), "value", 0.0, 20.0, 10
+    )
+    # cohort-retention matrix: users cohorted by first-seen day, counted
+    # when active again age_days later (integer day grain, ppm shares)
+    q["events_cohort_retention"] = lambda s, d: logops.cohort_retention(
+        _t(s, d, "events")
     )
 
     # --- the north_star transcript pipeline itself (functions/transcript.py):
@@ -3738,6 +3745,9 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM bb GROUP BY 1
     """
+    o["events_cohort_retention"] = logops.cohort_retention_sql(
+        "SELECT user_id, ts FROM events"
+    )
 
     _tx_rel = transcript.synth_transcript_sql(_CONV_N)
     o["transcript_parse"] = transcript.parse_turns_sql(_tx_rel)

@@ -1022,3 +1022,65 @@ def shuffle_plan_sql(
                (kb + {tb} - 1) // {tb} AS salt_factor
         FROM k WHERE kb > {tb}
     """
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention matrix over the event log: users are
+    cohorted by their FIRST-seen day, and each (cohort_day, age_days)
+    cell counts how many of that cohort's users were active again
+    age_days later, plus the retention share in ppm of the cohort's
+    size. Day arithmetic is integer microseconds-per-day floor division
+    (``unix_micros div 86.4e9``) — timezone-free and bit-identical in
+    both engines.
+
+    Shape at 10^12 events: one (user, day) distinct (map-side-combined,
+    output is active-user-days — orders smaller than events), one
+    user-grain min aggregate for first-seen, a user-keyed hash join
+    between those two user-grain relations (events are never
+    self-joined), a (cohort, age) count aggregate, and a broadcast-size
+    join back to cohort sizes. first-seen is a mergeable min, so the
+    matrix maintains incrementally under daily appends."""
+    # integer DIV, not float /: double rounding at day boundaries would
+    # disagree with DuckDB's exact `//` on epoch_us values near 1.7e15
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    active = events.select("user_id", day.alias("day")).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(sizes, "cohort_day")
+        .select(
+            "cohort_day", "age_days", "n_users", "cohort_size",
+            F.expr("(n_users * 1000000) div cohort_size").alias("retention_ppm"),
+        )
+    )
+
+
+def cohort_retention_sql(rel: str) -> str:
+    """DuckDB mirror of :func:`cohort_retention`."""
+    return f"""
+        WITH active AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS day
+          FROM ({rel})
+        ),
+        first AS (
+          SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id
+        ),
+        cells AS (
+          SELECT f.cohort_day, a.day - f.cohort_day AS age_days,
+                 count(*) AS n_users
+          FROM active a JOIN first f USING (user_id)
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY 1
+        )
+        SELECT c.cohort_day, c.age_days, c.n_users, s.cohort_size,
+               (c.n_users * 1000000) // s.cohort_size AS retention_ppm
+        FROM cells c JOIN sizes s USING (cohort_day)
+    """

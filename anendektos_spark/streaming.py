@@ -1173,3 +1173,53 @@ def read_pr_curve(
         .agg(SF.sum("_pos").alias("_pos"), SF.sum("_neg").alias("_neg"))
     )
     return pr_finish(merged, scale)
+
+
+def stream_slo_partials(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    slo_ms: int = 800,
+    available_now: bool = False,
+):
+    """Continuously maintained SLO error-budget burn: each micro-batch
+    grok-parses its transcript turns and aggregates them to the
+    (tool, hour) call/breach integer partials (transcript.slo_burn minus
+    the final ratio), committed to an epoch-keyed partition under the
+    same exactly-once overwrite-per-epoch protocol as the other partial
+    streams. State per epoch is O(tools × hours-in-batch);
+    ``read_slo_burn`` merges by integer addition and re-derives burn_ppm
+    — bit-identical to a batch slo_burn over the union of all streamed
+    turns (counts commute; the ratio is computed once, after the merge)."""
+    from .functions.transcript import parse_turns, slo_burn
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        slo_burn(parse_turns(batch), slo_ms).drop("burn_ppm").write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_slo_burn(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merge the streamed per-epoch (tool, hour) partials by integer
+    addition and emit the full burn report (transcript.slo_burn shape)."""
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("tool", "hour_epoch")
+        .agg(
+            F.sum("n_calls").alias("n_calls"),
+            F.sum("n_breach").alias("n_breach"),
+        )
+        .select(
+            "tool", "hour_epoch", "n_calls", "n_breach",
+            F.expr("(n_breach * 1000000) div n_calls").alias("burn_ppm"),
+        )
+    )

@@ -310,3 +310,43 @@ def test_conv_concurrency_sql_matches(spark):
     orows = sorted(tuple(t) for t in duckdb.sql(
         transcript.conv_concurrency_sql(convops.synth_conv_sql(4000))).fetchall())
     assert rows and rows == orows
+
+
+# --------------------------------------------------------------------------
+# cohort retention (logops)
+# --------------------------------------------------------------------------
+
+def test_cohort_retention_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    d = 86_400  # seconds per day
+    rows = [  # (user, epoch_s): u1 day0+day1+day2, u2 day0 only, u3 day1+day3
+        (1, 10), (1, d + 5), (1, 2 * d + 1), (1, 2 * d + 2),
+        (2, 20),
+        (3, d + 9), (3, 3 * d),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long").select(
+        "user_id", F.timestamp_seconds("ts_s").alias("ts")
+    )
+    out = {(r.cohort_day, r.age_days): r
+           for r in logops.cohort_retention(df).collect()}
+    # cohort day0 = {u1, u2}: age0 → 2, age1 → 1 (u1), age2 → 1 (u1)
+    assert out[(0, 0)].n_users == 2 and out[(0, 0)].cohort_size == 2
+    assert out[(0, 0)].retention_ppm == 1_000_000
+    assert out[(0, 1)].n_users == 1 and out[(0, 1)].retention_ppm == 500_000
+    assert out[(0, 2)].n_users == 1
+    # cohort day1 = {u3}: age0 → 1, age2 → 1
+    assert out[(1, 0)].n_users == 1 and out[(1, 2)].n_users == 1
+    assert len(out) == 5
+
+
+def test_cohort_retention_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import logops
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    rows = sorted(tuple(r) for r in logops.cohort_retention(ev).collect())
+    orows = sorted(tuple(t) for t in duckdb.sql(logops.cohort_retention_sql(
+        f"SELECT * FROM read_parquet('{sf}/events.parquet')")).fetchall())
+    assert rows and rows == orows

@@ -858,3 +858,30 @@ def test_stream_conv_stats_matches_batch_session_stats(spark, tmp_path):
         ).collect()
     )
     assert got and got == want
+
+
+def test_stream_slo_partials_match_batch(spark, tmp_path):
+    """Epoch-partial SLO burn folded at read time equals the batch
+    transcript.slo_burn over the union of all streamed turns."""
+    from anendektos_spark.functions import transcript
+
+    d, out, ckpt = (str(tmp_path / x) for x in ("slo_in", "slo_out", "slo_ck"))
+    tx = transcript.synth_transcript(spark, 4000)
+    # two appends → two epochs, so the read-side merge genuinely folds
+    tx.filter(F.col("conv_id") < "conv7").write.mode("append").parquet(d)
+    drain = lambda: streaming.stream_slo_partials(  # noqa: E731
+        spark.readStream.schema(tx.schema).parquet(d),
+        out, ckpt, slo_ms=500, available_now=True,
+    ).awaitTermination(120)
+    drain()
+    tx.filter(F.col("conv_id") >= "conv7").write.mode("append").parquet(d)
+    drain()
+
+    got = sorted(
+        tuple(r) for r in streaming.read_slo_burn(spark, out).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in transcript.slo_burn(transcript.parse_turns(tx), 500).collect()
+    )
+    assert got and got == want
