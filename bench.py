@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "text_ngram_diversity", "sketch_hdr_latency",
     "dedup_substring_spans", "sample_epoch_shuffle", "transcript_returns",
     "transcript_grpo_adv", "embed_matryoshka_recall", "text_vocab_growth",
+    # round-5 additions (suite grows; the frozen core block stays the
+    # round-over-round comparable basis)
+    "transcript_status_flaps", "transcript_slo_burn",
+    "transcript_retry_recovery", "transcript_response_gap",
+    "conv_session_stats", "conv_concurrency", "text_hapax_rate",
+    "events_cohort_retention",
 ]
 
 

@@ -514,3 +514,78 @@ def test_hdr_histogram_partial_combine_and_sketch_grain_walk(spark):
     p.collect()
     pp = p._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pp and "Join" not in pp
+
+
+def test_round5_plan_shapes(spark):
+    """Executed-plan pins for the round-5 ops' 100-TB contracts:
+
+    - status_flaps / retry_recovery: TWO hash exchanges — the
+      (conv, tool) window sort, then the tool-grain rollup — with a
+      partial (map-side) aggregate BEFORE the second exchange and no
+      joins; the rollup's shuffle moves pre-combined per-task rows,
+      never the turn relation twice;
+    - slo_burn: ONE exchange (the (tool, hour) aggregate), no window,
+      no join;
+    - session_stats: ONE conv_id exchange shared by the lag window and
+      the final aggregate;
+    - cohort_retention: joins run at USER grain only — the events scan
+      feeds exactly one corpus-sized aggregate, and no plan node joins
+      two corpus-sized relations (no events self-join)."""
+    from anendektos_spark.functions import convops, logops, transcript
+
+    parsed = transcript.parse_turns(transcript.synth_transcript(spark, 640))
+
+    for op in (transcript.status_flaps, transcript.retry_recovery):
+        d = op(parsed)
+        d.collect()
+        p = d._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan ==")[0]
+        assert p.count("Exchange hashpartitioning") == 2, op.__name__
+        # map-side combine before the rollup exchange
+        ex2 = p.index("Exchange hashpartitioning")
+        assert "partial_count" in p[ex2:], op.__name__
+        assert "Join" not in p, op.__name__
+
+    d = transcript.slo_burn(parsed, 800)
+    d.collect()
+    p = d._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p and "Window" not in p
+
+    d = transcript.session_stats(convops.synth_conv(spark, 640))
+    d.collect()
+    p = d._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+    ev = spark.createDataFrame(
+        [(i % 50, i * 3600) for i in range(400)], "user_id long, ep long"
+    ).select("user_id", F.timestamp_seconds("ep").alias("ts"))
+    d = logops.cohort_retention(ev)
+    d.collect()
+    p = d._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    # joins exist (user-grain + cohort-size), but never a cartesian
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_response_gap_rank_window_is_post_aggregate(spark):
+    """The scale contract of response_gap: the SinglePartition exchange
+    that feeds the percentile rank must consume the OUTPUT of the gap_s
+    hash aggregate (distinct-value histogram), never the raw gap rows —
+    pin by asserting the single-partition exchange sits ABOVE a
+    HashAggregate on gap_s in the executed tree."""
+    from anendektos_spark.functions import convops, transcript
+
+    d = transcript.response_gap(convops.synth_conv(spark, 2000))
+    d.collect()
+    p = d._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    sp = p.index("Exchange SinglePartition")
+    # a partial_count(1) keyed by gap_s must appear AFTER (deeper than)
+    # the single-partition exchange in the printed tree
+    agg = p.index("partial_count")
+    assert agg > sp, "rank window must run over the gap_s histogram"
+    assert "gap_s" in p[agg - 400:agg + 200]
