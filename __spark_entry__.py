@@ -215,6 +215,7 @@ NEXT_ROTATION = [
     "quality_pr_curve",
     # late round-5 additions (registered after the round-5 window froze)
     "events_cohort_retention",
+    "embed_label_balance",
 ]
 
 
@@ -949,6 +950,10 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # squared L2) from their own label's centroid
     q["embed_centroid_outliers"] = lambda s, d: similarity.centroid_outliers(
         _t(s, d, "embeddings"), top_n=5, dims=64
+    )
+    # class-balance datacard: per-label share + deviation from uniform
+    q["embed_label_balance"] = lambda s, d: similarity.label_balance(
+        _t(s, d, "embeddings")
     )
     # robust per-tool latency anomalies over a deterministically spiked
     # parse (every 97th epoch ×40 — the stuck-call tail a mean misses)
@@ -4256,6 +4261,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, vec_id, d2, CAST(rk AS INT) AS outlier_rank, n
         FROM r WHERE rk <= 5
     """
+    o["embed_label_balance"] = similarity.label_balance_sql(
+        "SELECT * FROM embeddings"
+    )
     o["transcript_latency_mad"] = transcript.latency_mad_outliers_sql(
         _tx_rel, spike=(97, 40)
     )

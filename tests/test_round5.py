@@ -350,3 +350,35 @@ def test_cohort_retention_sql_matches(spark):
     orows = sorted(tuple(t) for t in duckdb.sql(logops.cohort_retention_sql(
         f"SELECT * FROM read_parquet('{sf}/events.parquet')")).fetchall())
     assert rows and rows == orows
+
+
+# --------------------------------------------------------------------------
+# embed_label_balance: class-balance datacard (round-5 slot 10)
+# --------------------------------------------------------------------------
+
+def test_label_balance_hand_exact(spark):
+    from anendektos_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else ("b" if i < 9 else "c")) for i in range(10)],
+        "vec_id long, label string",
+    )
+    out = {r.label: r for r in similarity.label_balance(df).collect()}
+    assert out["a"].cnt == 6 and out["a"].share_ppm == 600_000
+    assert out["b"].share_ppm == 300_000 and out["c"].share_ppm == 100_000
+    # uniform share over k=3 labels is 333333 ppm (floor)
+    assert out["a"].dev_uniform_ppm == 600_000 - 333_333
+    assert out["c"].dev_uniform_ppm == 333_333 - 100_000
+
+
+def test_label_balance_plan_decimal_and_broadcast(spark):
+    from anendektos_spark.functions import similarity
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "vec_id long, label string")
+    out = similarity.label_balance(df)
+    ext = plan_of(out, "extended")
+    assert "decimal(38,0)" in ext  # share product runs in decimal, not long
+    phys = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastExchange" in phys
+    assert out.schema["share_ppm"].dataType.typeName() == "long"
