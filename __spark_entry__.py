@@ -216,6 +216,9 @@ NEXT_ROTATION = [
     # late round-5 additions (registered after the round-5 window froze)
     "events_cohort_retention",
     "embed_label_balance",
+    "transcript_error_cascade",
+    "conv_outcome_by_depth",
+    "text_length_outliers",
 ]
 
 
@@ -720,6 +723,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-5 reliability analytics over the parsed call stream: outcome
     # flap rate (flaky-vs-down triage), SLO error-budget burn per hour,
     # latency percentiles split by outcome, and did-the-retry-help
+    # failure-cascade lift + failure-rate-by-depth curve (round-5 late)
+    q["transcript_error_cascade"] = lambda s, d: transcript.error_cascade(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    q["conv_outcome_by_depth"] = lambda s, d: transcript.outcome_by_depth(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
     q["transcript_status_flaps"] = lambda s, d: transcript.status_flaps(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
@@ -1019,6 +1029,10 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # per-source hapax-legomena share: template-collapse vs OCR-noise
     # corpus health signal beside the Heaps-law vocab_growth curve
+    # per-source robust doc-length screen (round-5 late)
+    q["text_length_outliers"] = lambda s, d: textstats.length_outliers(
+        _t(s, d, "documents")
+    )
     q["text_hapax_rate"] = lambda s, d: textstats.hapax_rate(
         _t(s, d, "documents")
     )
@@ -3764,6 +3778,8 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
     o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
     o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
+    o["transcript_error_cascade"] = transcript.error_cascade_sql(_tx_rel)
+    o["conv_outcome_by_depth"] = transcript.outcome_by_depth_sql(_tx_rel)
     o["transcript_status_flaps"] = transcript.status_flaps_sql(_tx_rel)
     o["transcript_slo_burn"] = transcript.slo_burn_sql(_tx_rel, 800)
     o["transcript_latency_by_status"] = transcript.latency_by_status_sql(_tx_rel)
@@ -4105,6 +4121,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_ngram_diversity"] = textstats.ngram_diversity_sql(
         "SELECT source, text FROM documents"
+    )
+    o["text_length_outliers"] = textstats.length_outliers_sql(
+        "SELECT doc_id, source, n_chars FROM documents"
     )
     o["text_hapax_rate"] = textstats.hapax_rate_sql(
         "SELECT source, text FROM documents"

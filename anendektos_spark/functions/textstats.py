@@ -2012,3 +2012,107 @@ def hapax_rate_sql(
                     // count(*) AS BIGINT) AS hapax_ppm
         FROM per_term GROUP BY grp
     """
+
+
+def length_outliers(
+    docs: DataFrame, k: int = 4, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-source robust document-length screen: exact nearest-rank
+    median and MAD of ``n_chars`` within each source, plus how many and
+    what share (ppm) of the source's documents sit more than ``k`` MADs
+    from its median — the crawl-health check that catches a source whose
+    slice suddenly ships truncated snippets or concatenated mega-pages,
+    which a mean/stddev screen misses under the heavy-tailed length
+    distributions web corpora actually have.
+
+    Median/MAD use the same integer nearest-rank definition as
+    transcript.latency_mad_outliers (value at rank ``(n+1) DIV 2``, ties
+    broken by (value, doc_id)), so the report is bit-identical across
+    engines. Scale shape: ONE hash exchange on source serves both rank
+    windows and both median extractions (same-key windows → single
+    Exchange with in-partition re-sorts), then a map-side-combined
+    groupBy on the small source domain; the ppm share is DECIMAL(38,0)
+    fixed point. A degenerate source where every doc equals the median
+    has mad=0 and flags any deviation — the conventional MAD edge,
+    shared by both engines."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    len_o = w.orderBy("n_chars", "doc_id")
+    step1 = docs.select(
+        "source", "doc_id", "n_chars",
+        F.count("*").over(w).alias("n"),
+        F.row_number().over(len_o).alias("rn1"),
+    )
+    med_rank = F.expr("(n + 1) DIV 2")
+    med = F.max(F.when(F.col("rn1") == med_rank, F.col("n_chars"))).over(w)
+    step2 = step1.withColumn("med_chars", med).withColumn(
+        "dev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    dev_o = w.orderBy("dev", "doc_id")
+    step3 = step2.withColumn("rn2", F.row_number().over(dev_o))
+    mad = F.max(F.when(F.col("rn2") == med_rank, F.col("dev"))).over(w)
+    flagged = step3.withColumn("mad_chars", mad).withColumn(
+        "out", (F.col("dev") > k * F.col("mad_chars")).cast("long")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med_chars").alias("med_chars"),
+            F.max("mad_chars").alias("mad_chars"),
+            F.sum("out").alias("n_outliers"),
+        )
+        .select(
+            "source", "n_docs", "med_chars", "mad_chars", "n_outliers",
+            F.expr(
+                f"(cast(n_outliers as decimal(38,0)) * {scale}) div n_docs"
+            ).alias("outlier_ppm"),
+        )
+    )
+
+
+def length_outliers_sql(
+    rel: str, k: int = 4, scale: int = 1_000_000
+) -> str:
+    """DuckDB mirror of :func:`length_outliers`."""
+    return f"""
+        WITH d AS ({rel}),
+        s1 AS (
+          SELECT source, doc_id, n_chars,
+                 count(*) OVER (PARTITION BY source) AS n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rn1
+          FROM d
+        ),
+        s2 AS (
+          SELECT *,
+                 max(CASE WHEN rn1 = (n + 1) // 2 THEN n_chars END)
+                   OVER (PARTITION BY source) AS med_chars
+          FROM s1
+        ),
+        s3 AS (
+          SELECT *, abs(n_chars - med_chars) AS dev,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY abs(n_chars - med_chars),
+                                             doc_id) AS rn2
+          FROM s2
+        ),
+        s4 AS (
+          SELECT *,
+                 max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                   OVER (PARTITION BY source) AS mad_chars
+          FROM s3
+        )
+        SELECT source, count(*) AS n_docs,
+               max(med_chars) AS med_chars,
+               max(mad_chars) AS mad_chars,
+               CAST(sum(CASE WHEN dev > {k} * mad_chars THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(CAST(sum(CASE WHEN dev > {k} * mad_chars
+                                  THEN 1 ELSE 0 END) AS HUGEINT)
+                    * {scale} // count(*) AS BIGINT) AS outlier_ppm
+        FROM s4 GROUP BY source
+    """

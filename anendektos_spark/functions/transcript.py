@@ -1721,3 +1721,156 @@ def conv_concurrency_sql(rel: str) -> str:
         )
         SELECT hour_epoch, count(*) AS n_active FROM hours GROUP BY hour_epoch
     """
+
+
+def error_cascade(parsed: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Failure-cascade report: per tool, the probability (ppm) that the
+    NEXT parsed call in the same conversation fails GIVEN this tool's
+    call failed, beside the tool's unconditional next-call failure rate
+    and the lift between them — the signal that separates "one bad call
+    poisons the conversation" cascades (kill the episode early, retrain
+    the recovery behavior) from independent flakiness (route the tool to
+    retry_recovery instead). Conversations contribute only consecutive
+    parsed-call pairs; a tool's final calls have no successor and drop.
+
+    Scale shape: the lead() window rides the SAME single conv_id hash
+    exchange every transcript window op shares (plan-pinned family,
+    test_plans.py), then ONE map-side-combined groupBy on the small tool
+    domain. All probability arithmetic runs ppm fixed-point with the
+    count product cast to DECIMAL(38,0) BEFORE the multiply — identical
+    to the HUGEINT DuckDB mirror at any count (the ADVICE-r4 wrap
+    lesson); div-by-zero is CASE-guarded so ANSI mode agrees."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nx = parsed.select(
+        "tool_called",
+        (F.col("status") != "OK").alias("f"),
+        F.lead("status").over(wl).alias("ns"),
+    )
+    pairs = nx.filter(F.col("ns").isNotNull()).select(
+        "tool_called", "f", (F.col("ns") != "OK").alias("nf")
+    )
+    agg = pairs.groupBy("tool_called").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("f").cast("long")).alias("n_fail"),
+        F.sum((F.col("f") & F.col("nf")).cast("long")).alias("n_ff"),
+        F.sum(F.col("nf").cast("long")).alias("n_nf"),
+    )
+    casc = (
+        f"CASE WHEN n_fail = 0 THEN NULL ELSE "
+        f"(cast(n_ff as decimal(38,0)) * {scale}) div n_fail END"
+    )
+    base = f"(cast(n_nf as decimal(38,0)) * {scale}) div n_pairs"
+    return agg.select(
+        F.col("tool_called").alias("tool"),
+        "n_pairs",
+        "n_fail",
+        F.expr(casc).alias("cascade_ppm"),
+        F.expr(base).alias("base_next_fail_ppm"),
+        (F.expr(casc) - F.expr(base)).alias("lift_ppm"),
+    )
+
+
+def error_cascade_sql(rel: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`error_cascade` (HUGEINT ppm products,
+    floor-div == Spark's truncating div on the all-non-negative
+    operands)."""
+    casc = (
+        f"CASE WHEN n_fail = 0 THEN NULL ELSE CAST("
+        f"CAST(n_ff AS HUGEINT) * {scale} // n_fail AS BIGINT) END"
+    )
+    base = f"CAST(CAST(n_nf AS HUGEINT) * {scale} // n_pairs AS BIGINT)"
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , nx AS (
+          SELECT tool_called, (status <> 'OK') AS f,
+                 lead(status) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS ns
+          FROM parsed
+        ),
+        pairs AS (SELECT tool_called, f, (ns <> 'OK') AS nf
+                  FROM nx WHERE ns IS NOT NULL),
+        agg AS (
+          SELECT tool_called, count(*) AS n_pairs,
+                 sum(CASE WHEN f THEN 1 ELSE 0 END) AS n_fail,
+                 sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS n_ff,
+                 sum(CASE WHEN nf THEN 1 ELSE 0 END) AS n_nf
+          FROM pairs GROUP BY tool_called
+        )
+        SELECT tool_called AS tool,
+               n_pairs, CAST(n_fail AS BIGINT) AS n_fail,
+               {casc} AS cascade_ppm,
+               {base} AS base_next_fail_ppm,
+               {casc} - {base} AS lift_ppm
+        FROM agg
+        """
+    )
+
+
+def outcome_by_depth(parsed: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Failure rate by conversation depth: conversations bucketed by
+    parsed-call count into power-of-two buckets (1, 2-3, 4-7, ...), per
+    bucket the conversation count and the share (ppm) whose FINAL call
+    failed — the curve that tells you whether long agent sessions rot
+    (failure share climbing with depth → context or loop pathology) or
+    whether failures are front-loaded. Folds :func:`conv_outcomes`, so
+    the whole operator is one conv_id shuffle + one tiny bucket groupBy;
+    the bucket key is floor(log2(n_calls)) computed as the bit length of
+    a BIGINT (integer end-to-end, no float log)."""
+    oc = conv_outcomes(parsed)
+    # bit-length bucket: 1→0, 2-3→1, 4-7→2 ... (n_calls >= 1 by grouping);
+    # derived from the integer's binary-string length, not float log2,
+    # to be engine-exact at any depth
+    bucket = (
+        "(case when n_calls >= 1 then cast(length(bin(n_calls)) as int) - 1 "
+        "else null end)"
+    )
+    b = oc.select(
+        F.expr(bucket).alias("depth_bucket"),
+        F.col("failed").cast("long").alias("fl"),
+    )
+    return (
+        b.groupBy("depth_bucket")
+        .agg(F.count(F.lit(1)).alias("n_convs"), F.sum("fl").alias("n_failed"))
+        .select(
+            "depth_bucket",
+            F.expr("cast(pow(2, depth_bucket) as long)").alias("min_calls"),
+            "n_convs",
+            "n_failed",
+            F.expr(
+                f"(cast(n_failed as decimal(38,0)) * {scale}) div n_convs"
+            ).alias("failed_ppm"),
+        )
+    )
+
+
+def outcome_by_depth_sql(rel: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`outcome_by_depth` (bit_length-derived
+    bucket; DuckDB's bit_length counts the BIGINT's fixed 64 bits, so the
+    bucket is 63 - leading zeros via the bin-string trim, identical to
+    Spark's length(bin(n)) - 1)."""
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , oc AS (
+          SELECT conv_id, count(*) AS n_calls,
+                 max_by(status, turn_idx) <> 'OK' AS failed
+          FROM parsed GROUP BY conv_id
+        ),
+        b AS (
+          SELECT length(ltrim(bin(CAST(n_calls AS BIGINT)), '0')) - 1
+                   AS depth_bucket,
+                 CASE WHEN failed THEN 1 ELSE 0 END AS fl
+          FROM oc
+        )
+        SELECT CAST(depth_bucket AS INT) AS depth_bucket,
+               CAST(2 ** depth_bucket AS BIGINT) AS min_calls,
+               count(*) AS n_convs,
+               CAST(sum(fl) AS BIGINT) AS n_failed,
+               CAST(CAST(sum(fl) AS HUGEINT) * {scale} // count(*) AS BIGINT)
+                 AS failed_ppm
+        FROM b GROUP BY depth_bucket
+        """
+    )

@@ -382,3 +382,86 @@ def test_label_balance_plan_decimal_and_broadcast(spark):
     phys = plan_of(out)
     assert "BroadcastNestedLoopJoin" in phys or "BroadcastExchange" in phys
     assert out.schema["share_ppm"].dataType.typeName() == "long"
+
+
+# --------------------------------------------------------------------------
+# late round-5 operators: error cascade, outcome-by-depth, length outliers
+# --------------------------------------------------------------------------
+
+def test_error_cascade_hand_exact(spark):
+    # conv A: dns FAIL -> dns FAIL -> dns OK ; conv B: dns OK -> dns OK
+    rows = [
+        ("A", 0, "dns", "TIMEOUT", 0, 1), ("A", 1, "dns", "TIMEOUT", 0, 1),
+        ("A", 2, "dns", "OK", 0, 1),
+        ("B", 0, "dns", "OK", 0, 1), ("B", 1, "dns", "OK", 0, 1),
+    ]
+    out = {r.tool: r for r in transcript.error_cascade(
+        _parsed(spark, rows)).collect()}
+    d = out["dns"]
+    # pairs with a successor: A0->A1, A1->A2, B0->B1 = 3
+    assert d.n_pairs == 3 and d.n_fail == 2
+    # after a failure: A0->A1 (fail), A1->A2 (ok) => cascade 1/2
+    assert d.cascade_ppm == 500_000
+    # next-call failure overall: only A0->A1 => 1/3
+    assert d.base_next_fail_ppm == 333_333
+    assert d.lift_ppm == 500_000 - 333_333
+
+
+def test_error_cascade_no_failures_null_cascade(spark):
+    rows = [("A", 0, "conn", "OK", 0, 1), ("A", 1, "conn", "OK", 0, 1)]
+    r = transcript.error_cascade(_parsed(spark, rows)).collect()[0]
+    assert r.n_fail == 0 and r.cascade_ppm is None and r.lift_ppm is None
+
+
+def test_outcome_by_depth_hand_exact(spark):
+    # conv lengths: 1 (failed), 2, 3 (failed), 4 -> buckets 0,1,1,2
+    rows = []
+    for cid, n, fail in [("a", 1, True), ("b", 2, False),
+                         ("c", 3, True), ("d", 4, False)]:
+        for i in range(n):
+            last = i == n - 1
+            rows.append((cid, i, "dns", "FAIL" if (fail and last) else "OK",
+                         0, 1))
+    out = {r.depth_bucket: r for r in transcript.outcome_by_depth(
+        _parsed(spark, rows)).collect()}
+    assert out[0].min_calls == 1 and out[0].n_convs == 1
+    assert out[0].failed_ppm == 1_000_000
+    assert out[1].min_calls == 2 and out[1].n_convs == 2
+    assert out[1].failed_ppm == 500_000
+    assert out[2].min_calls == 4 and out[2].failed_ppm == 0
+
+
+def test_length_outliers_hand_exact(spark):
+    # source s1: lengths 10x8 and one 500 -> med 10, mad 0 edge avoided by
+    # adding spread: use 8,9,10,11,12 and 500
+    rows = [(i, "t", "en", "s1", c)
+            for i, c in enumerate([8, 9, 10, 11, 12, 500])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = textstats.length_outliers(df, k=4).collect()[0]
+    # n=6, med rank (6+1) DIV 2 = 3 -> value 10; devs sorted 0,1,1,2,2,490
+    # mad rank 3 -> 1; outliers: dev > 4 -> only 500 (dev 490)
+    assert r.n_docs == 6 and r.med_chars == 10 and r.mad_chars == 1
+    assert r.n_outliers == 1 and r.outlier_ppm == 166_666
+
+
+def test_round5_late_single_exchange_plans(spark):
+    """Plan pins: cascade/depth ride one conv_id exchange; length
+    outliers ride one source exchange; ppm math is decimal(38,0)."""
+    from tests.test_plans import plan_of
+
+    rows = [("A", 0, "dns", "OK", 0, 1), ("A", 1, "dns", "OK", 0, 1)]
+    casc = transcript.error_cascade(_parsed(spark, rows))
+    ext = plan_of(casc, "extended")
+    assert "decimal(38,0)" in ext
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lo = textstats.length_outliers(docs)
+    phys = plan_of(lo)
+    # both rank windows + both median extractions share ONE source exchange
+    assert phys.count("hashpartitioning(source") <= 1 or \
+        phys.count("Exchange hashpartitioning(source") == 1
+    assert "decimal(38,0)" in plan_of(lo, "extended")
