@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "transcript_retry_recovery", "transcript_response_gap",
     "conv_session_stats", "conv_concurrency", "text_hapax_rate",
     "events_cohort_retention",
+    # late round-5 additions
+    "embed_label_balance", "transcript_error_cascade",
+    "conv_outcome_by_depth", "text_length_outliers",
 ]
 
 
