@@ -219,6 +219,7 @@ NEXT_ROTATION = [
     "transcript_error_cascade",
     "conv_outcome_by_depth",
     "text_length_outliers",
+    "embed_pca_top",
 ]
 
 
@@ -960,6 +961,10 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # squared L2) from their own label's centroid
     q["embed_centroid_outliers"] = lambda s, d: similarity.centroid_outliers(
         _t(s, d, "embeddings"), top_n=5, dims=64
+    )
+    # top principal component via fixed-point power iteration (ABTT axis)
+    q["embed_pca_top"] = lambda s, d: similarity.pca_power(
+        _t(s, d, "embeddings"), iters=6, dims=64
     )
     # class-balance datacard: per-label share + deviation from uniform
     q["embed_label_balance"] = lambda s, d: similarity.label_balance(
@@ -4280,6 +4285,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, vec_id, d2, CAST(rk AS INT) AS outlier_rank, n
         FROM r WHERE rk <= 5
     """
+    o["embed_pca_top"] = similarity.pca_power_sql(
+        "SELECT embedding FROM embeddings", iters=6, dims=64
+    )
     o["embed_label_balance"] = similarity.label_balance_sql(
         "SELECT * FROM embeddings"
     )

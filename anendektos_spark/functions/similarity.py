@@ -1272,3 +1272,168 @@ def label_balance_sql(
                         - {scale} // k) AS BIGINT) AS dev_uniform_ppm
         FROM b, t
     """
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Python mirror of Spark's truncating integral `div` (toward zero)."""
+    if b == 0:
+        raise ZeroDivisionError("trunc_div by zero")
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pca_power(
+    emb: DataFrame,
+    iters: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp: int = 10_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top principal component of the embedding cloud by fixed-point
+    power iteration — the dominant direction that "all-but-the-top"
+    post-processing removes before similarity search, and the axis whose
+    drift between snapshots signals an encoder/config change that
+    per-dim centroid monitors smear out. Output: one row per dimension
+    with the integer mean (``mean_q``, fp units) and the component
+    (``component_q``, renormalized each round to max |entry| = scale),
+    i.e. the full affine whitening step.
+
+    Integer end-to-end, so engines and partitionings agree bit-for-bit:
+    coordinates floor-quantized to ``fp`` units (the centroid_shift
+    contract), per-dim means by truncating division, each iteration
+    w = Cᵀ(Cv) with the row dot in exact LONG (|c|·scale·dims ≤ 1.3e12)
+    and the per-dim sum in DECIMAL(38,0) ≡ HUGEINT, then renormalized by
+    max|w| with sign-safe truncating division. Starting vector is
+    all-``scale``; a centered-to-zero (degenerate) corpus yields the
+    zero vector rather than dividing by zero.
+
+    Scale shape: the quantized+centered corpus is persisted ONCE and
+    each of the ``iters`` (default 6) rounds is one scan over it — a
+    narrow map computing the row dot, then ONE map-side-combined
+    ``dims``-key aggregate whose shuffle carries 64 partial rows per
+    mapper. Driver state is the 64-int vector per round (model-sized,
+    the k-means-centroid precedent); nothing data-sized leaves the
+    executors. DuckDB mirror: :func:`pca_power_sql` replays the whole
+    fit as one unrolled-CTE query (the PageRank/GD-oracle pattern)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    q = emb.select(
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"cast(floor(cast(x as double) * {fp}) as long))"
+        ).alias("q")
+    )
+    sums = (
+        q.select(F.posexplode("q").alias("j", "x"))
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not sums:
+        raise ValueError("pca_power: empty corpus")
+    n = int(sums[0]["n"])
+    mu = [0] * dims
+    for r in sums:
+        mu[r["j"]] = _trunc_div(int(r["s"]), n)
+    mu_lit = "array(" + ",".join(f"{m}L" for m in mu) + ")"
+    c = q.select(
+        F.expr(f"zip_with(q, {mu_lit}, (a, b) -> a - b)").alias("c")
+    ).persist()
+    try:
+        v = [scale] * dims
+        for _ in range(iters):
+            v_lit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+            w_rows = (
+                c.select(
+                    F.expr(
+                        f"aggregate(zip_with(c, {v_lit}, (a, b) -> a * b), "
+                        f"0L, (acc, x) -> acc + x)"
+                    ).alias("dot"),
+                    F.posexplode("c").alias("j", "cx"),
+                )
+                .groupBy("j")
+                .agg(
+                    F.sum(
+                        F.col("dot").cast("decimal(38,0)") * F.col("cx")
+                    ).alias("w")
+                )
+                .collect()
+            )
+            w = [0] * dims
+            for r in w_rows:
+                w[r["j"]] = int(r["w"])
+            mx = max(abs(x) for x in w)
+            if mx == 0:
+                v = [0] * dims
+                break
+            v = [_trunc_div(x * scale, mx) for x in w]
+    finally:
+        c.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(j, mu[j], v[j]) for j in range(dims)],
+        "dim int, mean_q long, component_q long",
+    )
+
+
+def pca_power_sql(
+    rel: str,
+    iters: int = 6,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    fp: int = 10_000,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`pca_power` as ONE unrolled-CTE query:
+    means CTE, then per iteration a row-dot CTE + a per-dim HUGEINT sum
+    + a sign-safe renormalization (CASE-wrapped ``//`` ≡ truncating
+    ``div``); a degenerate all-zero round yields the zero vector."""
+
+    def tdiv(x: str, d: str) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN ({x}) // ({d}) "
+            f"ELSE -((-({x})) // ({d})) END"
+        )
+
+    parts = [
+        f"WITH e AS (SELECT list_transform({vec_col}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {fp}) AS BIGINT)) AS q "
+        f"FROM ({rel}))",
+        f"dims AS (SELECT unnest(range({dims})) AS j)",
+        "meta AS (SELECT count(*) AS n FROM e)",
+        f"m AS (SELECT j, CAST({tdiv('sum(q[j+1])', 'max(n)')} AS BIGINT)"
+        f" AS mu FROM e CROSS JOIN dims CROSS JOIN meta GROUP BY j)",
+        "ml AS (SELECT list(mu ORDER BY j) AS mus FROM m)",
+        f"c AS (SELECT list_transform(range({dims}), "
+        f"j -> q[j+1] - mus[j+1]) AS c FROM e CROSS JOIN ml)",
+        f"v0 AS (SELECT j, CAST({scale} AS BIGINT) AS vv FROM dims)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f"vl{p} AS (SELECT list(vv ORDER BY j) AS v FROM v{p})")
+        parts.append(
+            f"d{k} AS (SELECT c, list_reduce(list_transform("
+            f"range({dims}), j -> c[j+1] * v[j+1]), (a, b) -> a + b) "
+            f"AS dot FROM c CROSS JOIN vl{p})"
+        )
+        parts.append(
+            f"w{k} AS (SELECT j, sum(CAST(dot AS HUGEINT) * c[j+1]) AS w "
+            f"FROM d{k} CROSS JOIN dims GROUP BY j)"
+        )
+        parts.append(f"mx{k} AS (SELECT max(abs(w)) AS mx FROM w{k})")
+        parts.append(
+            f"v{k} AS (SELECT j, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST({tdiv(f'w * {scale}', 'mx')} AS BIGINT) END AS vv "
+            f"FROM w{k} CROSS JOIN mx{k})"
+        )
+    parts.append(
+        f"SELECT CAST(m.j AS INT) AS dim, m.mu AS mean_q, "
+        f"v{iters}.vv AS component_q "
+        f"FROM m JOIN v{iters} ON m.j = v{iters}.j"
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]

@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     # late round-5 additions
     "embed_label_balance", "transcript_error_cascade",
-    "conv_outcome_by_depth", "text_length_outliers",
+    "conv_outcome_by_depth", "text_length_outliers", "embed_pca_top",
 ]
 
 

@@ -465,3 +465,78 @@ def test_round5_late_single_exchange_plans(spark):
     assert phys.count("hashpartitioning(source") <= 1 or \
         phys.count("Exchange hashpartitioning(source") == 1
     assert "decimal(38,0)" in plan_of(lo, "extended")
+
+
+# --------------------------------------------------------------------------
+# embed_pca_top: fixed-point power-iteration principal component
+# --------------------------------------------------------------------------
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pca_power_axis_aligned(spark):
+    from anendektos_spark.functions import similarity
+
+    # variance lives entirely on axis 1; axis 0 constant, axis 2 zero
+    vecs = [[0.5, -0.8, 0.0], [0.5, 0.8, 0.0], [0.5, -0.4, 0.0],
+            [0.5, 0.4, 0.0]]
+    out = {r.dim: r for r in similarity.pca_power(
+        _emb(spark, vecs), iters=4, dims=3).collect()}
+    assert out[0].mean_q == 5000 and out[1].mean_q == 0
+    assert out[0].component_q == 0 and out[2].component_q == 0
+    assert abs(out[1].component_q) == 1_000_000
+
+
+def test_pca_power_degenerate_zero_vector(spark):
+    from anendektos_spark.functions import similarity
+
+    vecs = [[0.3, 0.7], [0.3, 0.7], [0.3, 0.7]]
+    out = {r.dim: r for r in similarity.pca_power(
+        _emb(spark, vecs), iters=3, dims=2).collect()}
+    assert out[0].component_q == 0 and out[1].component_q == 0
+    # float32(0.7) = 0.69999998..., so the floor-quantized mean is 6999
+    assert out[0].mean_q == 3000 and out[1].mean_q == 6999
+
+
+def test_pca_power_dominant_axis_wins(spark):
+    from anendektos_spark.functions import similarity
+
+    # axis 0 spread ±0.9, axis 1 spread ±0.1 -> component max-abs on axis 0
+    vecs = [[0.9, 0.1], [-0.9, -0.1], [0.9, -0.1], [-0.9, 0.1]]
+    out = {r.dim: r for r in similarity.pca_power(
+        _emb(spark, vecs), iters=4, dims=2).collect()}
+    assert abs(out[0].component_q) == 1_000_000
+    assert abs(out[1].component_q) < 200_000
+
+
+def test_pca_power_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    rows = sorted(tuple(r) for r in similarity.pca_power(
+        emb, iters=3, dims=64).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    sql = similarity.pca_power_sql(
+        "SELECT embedding FROM embeddings", iters=3, dims=64
+    )
+    orows = sorted(tuple(t) for t in con.sql(sql).fetchall())
+    assert rows == orows
+
+
+def test_pca_power_validation(spark):
+    from anendektos_spark.functions import similarity
+
+    with pytest.raises(ValueError):
+        similarity.pca_power(_emb(spark, [[0.1]]), iters=0, dims=1)
+    with pytest.raises(ValueError):
+        similarity.pca_power(_emb(spark, []), iters=2, dims=2)
