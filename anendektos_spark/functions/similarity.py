@@ -1241,6 +1241,15 @@ def label_balance(
     (a LONG ``cnt * 10^6`` would wrap past ~9.2e12 rows per label — the
     exact width asymmetry ADVICE r4 flagged in tool_concentration)."""
     by = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return _balance_from_counts(by, label_col, scale)
+
+
+def _balance_from_counts(
+    by: DataFrame, label_col: str, scale: int
+) -> DataFrame:
+    """Share/deviation tail of :func:`label_balance` over a pre-counted
+    (label, cnt) relation — shared with the streaming partial fold
+    (streaming.read_label_balance) so stream == batch is the same code."""
     tot = by.agg(
         F.sum("cnt").alias("_tot"), F.count(F.lit(1)).alias("_k")
     )

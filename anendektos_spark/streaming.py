@@ -1223,3 +1223,54 @@ def read_slo_burn(spark: SparkSession, partials_dir: str) -> DataFrame:
             F.expr("(n_breach * 1000000) div n_calls").alias("burn_ppm"),
         )
     )
+
+
+def stream_label_partials(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    label_col: str = "label",
+    available_now: bool = False,
+):
+    """Continuously maintained class-balance datacard: each micro-batch
+    aggregates its labeled rows to (label, cnt) integer partials —
+    similarity.label_balance minus the final share arithmetic — committed
+    to an epoch-keyed partition under the same exactly-once
+    overwrite-per-epoch protocol as the other partial streams. State per
+    epoch is O(labels); ``read_label_balance`` merges by integer
+    addition and re-derives the shares through the SAME code path as the
+    batch operator, so stream == batch bit-for-bit (counts commute; the
+    DECIMAL(38,0) ratio is computed once, after the merge)."""
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        batch.groupBy(label_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_label_balance(
+    spark: SparkSession,
+    partials_dir: str,
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Merge the streamed per-epoch (label, cnt) partials by integer
+    addition and emit the full class-balance report (shape and
+    arithmetic of similarity.label_balance — same shared tail)."""
+    from .functions.similarity import _balance_from_counts
+
+    by = (
+        spark.read.parquet(partials_dir)
+        .groupBy(label_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _balance_from_counts(by, label_col, scale)

@@ -885,3 +885,28 @@ def test_stream_slo_partials_match_batch(spark, tmp_path):
         for r in transcript.slo_burn(transcript.parse_turns(tx), 500).collect()
     )
     assert got and got == want
+
+
+def test_stream_label_partials_match_batch(spark, tmp_path):
+    """Epoch-partial label counts folded at read time equal the batch
+    similarity.label_balance over the union of all streamed rows."""
+    from anendektos_spark.functions import similarity
+
+    d, out, ckpt = (str(tmp_path / x) for x in ("lb_in", "lb_out", "lb_ck"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 30).write.mode("append").parquet(d)
+    drain = lambda: streaming.stream_label_partials(  # noqa: E731
+        spark.readStream.schema(emb.schema).parquet(d),
+        out, ckpt, available_now=True,
+    ).awaitTermination(120)
+    drain()
+    emb.filter(F.col("vec_id") >= 30).write.mode("append").parquet(d)
+    drain()
+
+    got = sorted(
+        tuple(r) for r in streaming.read_label_balance(spark, out).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.label_balance(emb).collect()
+    )
+    assert got and got == want
