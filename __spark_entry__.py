@@ -220,6 +220,8 @@ NEXT_ROTATION = [
     "conv_outcome_by_depth",
     "text_length_outliers",
     "embed_pca_top",
+    "embed_whiten",
+    "funnel_latency",
 ]
 
 
@@ -271,6 +273,9 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_functions.py (its internals are engine-specific).
     q["approx_profile"] = lambda s, d: logops.approx_profile_portable(_t(s, d, "events"))
     q["funnel_steps"] = lambda s, d: logops.funnel(_t(s, d, "events"))
+    q["funnel_latency"] = lambda s, d: logops.funnel_latency(
+        _t(s, d, "events")
+    )
     q["rate_spikes"] = lambda s, d: logops.rate_spikes(_t(s, d, "events"))
 
     # --- general relational engine (filter/agg/join/sort/limit,
@@ -965,6 +970,11 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top principal component via fixed-point power iteration (ABTT axis)
     q["embed_pca_top"] = lambda s, d: similarity.pca_power(
         _t(s, d, "embeddings"), iters=6, dims=64
+    )
+    # ABTT whitening: fit the top component, remove it from every vector
+    q["embed_whiten"] = lambda s, d: similarity.whiten_top_component(
+        _t(s, d, "embeddings"),
+        similarity.pca_power(_t(s, d, "embeddings"), iters=6, dims=64),
     )
     # class-balance datacard: per-label share + deviation from uniform
     q["embed_label_balance"] = lambda s, d: similarity.label_balance(
@@ -2276,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
                  AS furthest_stage
         FROM s2
     """
+    o["funnel_latency"] = logops.funnel_latency_sql()
     o["rate_spikes"] = """
         WITH c AS (SELECT event_type,
                           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
@@ -4287,6 +4298,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["embed_pca_top"] = similarity.pca_power_sql(
         "SELECT embedding FROM embeddings", iters=6, dims=64
+    )
+    o["embed_whiten"] = similarity.whiten_top_component_sql(
+        "SELECT vec_id, embedding FROM embeddings", iters=6, dims=64
     )
     o["embed_label_balance"] = similarity.label_balance_sql(
         "SELECT * FROM embeddings"

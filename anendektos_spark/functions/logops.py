@@ -1084,3 +1084,107 @@ def cohort_retention_sql(rel: str) -> str:
                (c.n_users * 1000000) // s.cohort_size AS retention_ppm
         FROM cells c JOIN sizes s USING (cohort_day)
     """
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ps: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Time-to-convert percentiles per funnel leg: for every consecutive
+    step pair, exact nearest-rank percentiles of the seconds between the
+    user's ordered first-reach times (:func:`funnel` output), over the
+    users who completed the leg — the "how long does view→click take"
+    curve that conversion COUNTS alone can't show (a leg whose p90 blows
+    up is a UX regression even at flat conversion).
+
+    Shape: funnel's per-user first-reach relation (user-grain, k fixed
+    joins), then per leg a VALUE HISTOGRAM in whole seconds and the
+    cumulative walk over the (stage, gap_s) relation — the response_gap
+    scale contract: the only ordered windows run per stage over distinct
+    gap values, bounded by the gap range, never the user count. Exact
+    nearest-rank: answer = smallest gap with cum ≥ ceil(n·p/100);
+    integer end-to-end (micros DIV 10⁶), engine-exact."""
+    from pyspark.sql import Window
+
+    f = funnel(events, steps)
+    legs = None
+    for i in range(1, len(steps)):
+        a, b = f"t_{steps[i - 1]}", f"t_{steps[i]}"
+        leg = f.filter(F.col(b).isNotNull()).select(
+            F.lit(f"{steps[i - 1]}->{steps[i]}").alias("stage"),
+            F.expr(f"(`{b}` - `{a}`) div 1000000").alias("gap_s"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    hist = legs.groupBy("stage", "gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("stage").orderBy("gap_s")
+    cum = hist.select(
+        "stage", "gap_s",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_users"),
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps])).alias("p")
+    return (
+        cum.select("stage", "gap_s", "cum", "cum_prev", "n_users", p)
+        .filter(
+            (F.col("cum") >= F.expr("(n_users * p + 99) DIV 100"))
+            & (F.col("cum_prev") < F.expr("(n_users * p + 99) DIV 100"))
+        )
+        .select("stage", "p", F.col("gap_s").alias("gap_p_s"), "n_users")
+    )
+
+
+def funnel_latency_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ps: tuple = (50, 90, 99),
+    table: str = "events",
+) -> str:
+    """DuckDB mirror of :func:`funnel_latency` (the funnel CTE chain of
+    the funnel_steps oracle, then the same histogram + cumulative
+    nearest-rank walk)."""
+    parts = [
+        f"WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 "
+        f"FROM {table} WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(1, len(steps)):
+        prev = ", ".join(f"t{j}" for j in range(i))
+        guard = f"AND s{i-1}.t{i-1} IS NOT NULL " if i > 1 else ""
+        parts.append(
+            f"s{i} AS (SELECT s{i-1}.user_id, {', '.join('s' + str(i-1) + '.t' + str(j) for j in range(i))}, "
+            f"min(CASE WHEN e.event_type = '{steps[i]}' {guard}"
+            f"AND epoch_us(e.ts) > s{i-1}.t{i-1} "
+            f"THEN epoch_us(e.ts) END) AS t{i} "
+            f"FROM s{i-1} LEFT JOIN {table} e ON e.user_id = s{i-1}.user_id "
+            f"GROUP BY {', '.join(str(k) for k in range(1, i + 2))})"
+        )
+    leg_selects = [
+        f"SELECT '{steps[i-1]}->{steps[i]}' AS stage, "
+        f"(t{i} - t{i-1}) // 1000000 AS gap_s "
+        f"FROM s{len(steps)-1} WHERE t{i} IS NOT NULL"
+        for i in range(1, len(steps))
+    ]
+    parts.append("legs AS (" + " UNION ALL ".join(leg_selects) + ")")
+    parts.append(
+        "hist AS (SELECT stage, gap_s, count(*) AS cnt "
+        "FROM legs GROUP BY 1, 2)"
+    )
+    parts.append(
+        "cum AS (SELECT stage, gap_s, "
+        "sum(cnt) OVER (PARTITION BY stage ORDER BY gap_s) AS cum, "
+        "sum(cnt) OVER (PARTITION BY stage ORDER BY gap_s) - cnt AS cum_prev, "
+        "sum(cnt) OVER (PARTITION BY stage) AS n_users FROM hist)"
+    )
+    pvals = ", ".join(f"({int(x)})" for x in ps)
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT stage, CAST(p.p AS INT) AS p, gap_s AS gap_p_s,
+               CAST(n_users AS BIGINT) AS n_users
+        FROM cum CROSS JOIN (VALUES {pvals}) AS p(p)
+        WHERE cum >= (n_users * p.p + 99) // 100
+          AND cum_prev < (n_users * p.p + 99) // 100
+        """
+    )

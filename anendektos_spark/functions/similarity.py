@@ -1446,3 +1446,102 @@ def pca_power_sql(
         f"FROM m JOIN v{iters} ON m.j = v{iters}.j"
     )
     return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
+
+
+def whiten_top_component(
+    emb: DataFrame,
+    component: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fp: int = 10_000,
+) -> DataFrame:
+    """All-but-the-top whitening: remove the fitted dominant direction
+    from every embedding — the standard post-processing that recovers
+    isotropy (and measurably better cosine retrieval) after
+    :func:`pca_power` showed a fat common axis. Output one row per
+    vector: ``whitened`` = centered fixed-point coordinates minus the
+    integer projection onto the component, i.e.
+    ``w_j = c_j − (⟨c,v⟩ · v_j) div ⟨v,v⟩`` with the projection product
+    in DECIMAL(38,0) and truncating division — bit-identical across
+    engines and partitionings. A zero component (degenerate fit) leaves
+    the centered vectors unchanged rather than dividing by zero.
+
+    Scale shape: ``component`` is MODEL-sized (one row per dim) and is
+    collected to literals — the k-means-centroid precedent — so the
+    transform is a single narrow whole-stage-codegen map over the
+    corpus: no join, no shuffle, no Python. Composes as
+    fit-then-transform: ``whiten_top_component(emb, pca_power(emb))``."""
+    rows = {r["dim"]: (int(r["mean_q"]), int(r["component_q"]))
+            for r in component.collect()}
+    if sorted(rows) != list(range(dims)):
+        raise ValueError(
+            f"component must hold dims 0..{dims - 1}, got {sorted(rows)[:5]}…"
+        )
+    mu = [rows[j][0] for j in range(dims)]
+    v = [rows[j][1] for j in range(dims)]
+    vv = sum(x * x for x in v)
+    mu_lit = "array(" + ",".join(f"{m}L" for m in mu) + ")"
+    v_lit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    c_expr = (
+        f"zip_with(transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {fp}) as long)), {mu_lit}, "
+        f"(a, b) -> a - b)"
+    )
+    cc = emb.select(F.col(id_col), F.expr(c_expr).alias("c"))
+    if vv == 0:
+        return cc.select(id_col, F.col("c").alias("whitened"))
+    return cc.select(
+        id_col,
+        F.expr("aggregate(zip_with(c, " + v_lit +
+               ", (a, b) -> a * b), 0L, (acc, x) -> acc + x)").alias("dot"),
+        "c",
+    ).select(
+        id_col,
+        F.expr(
+            f"zip_with(c, {v_lit}, (cj, vj) -> cj - cast("
+            f"(cast(dot as decimal(38,0)) * vj) div {vv} as long))"
+        ).alias("whitened"),
+    )
+
+
+def whiten_top_component_sql(
+    rel: str,
+    iters: int = 6,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    fp: int = 10_000,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of fit-then-whiten: nests the full
+    :func:`pca_power_sql` unrolled-CTE fit as a subquery, then applies
+    the identical integer projection removal (HUGEINT product,
+    sign-safe ``//`` ≡ truncating ``div``)."""
+    fit = pca_power_sql(rel, iters=iters, dims=dims, vec_col=vec_col,
+                        fp=fp, scale=scale)
+    tdiv = (
+        "CASE WHEN (dot * vl.v[j+1]) >= 0 "
+        "THEN (CAST(dot AS HUGEINT) * vl.v[j+1]) // vl.vv "
+        "ELSE -((-(CAST(dot AS HUGEINT) * vl.v[j+1])) // vl.vv) END"
+    )
+    return f"""
+        WITH comp AS ({fit}),
+        vl AS (SELECT list(component_q ORDER BY dim) AS v,
+                      list(mean_q ORDER BY dim) AS mus,
+                      sum(CAST(component_q AS HUGEINT) * component_q) AS vv
+               FROM comp),
+        cc AS (SELECT {id_col}, list_transform(range({dims}), j ->
+                 CAST(floor(CAST({vec_col}[j + 1] AS DOUBLE) * {fp})
+                      AS BIGINT) - vl.mus[j + 1]) AS c
+               FROM ({rel}) CROSS JOIN vl),
+        d AS (SELECT {id_col}, c,
+                     list_reduce(list_transform(range({dims}),
+                       j -> c[j+1] * vl.v[j+1]), (a, b) -> a + b) AS dot
+              FROM cc CROSS JOIN vl)
+        SELECT {id_col},
+               CASE WHEN vl.vv = 0 THEN c
+                    ELSE list_transform(range({dims}), j ->
+                         c[j+1] - CAST({tdiv} AS BIGINT)) END AS whitened
+        FROM d CROSS JOIN vl
+    """

@@ -87,9 +87,12 @@ BENCH_QUERIES = [
     "transcript_retry_recovery", "transcript_response_gap",
     "conv_session_stats", "conv_concurrency", "text_hapax_rate",
     "events_cohort_retention",
-    # late round-5 additions
+    # late round-5 additions (embed_whiten is left out: it re-runs the
+    # embed_pca_top fit before transforming, so benching both doubles the
+    # iterative-fit time for no extra signal)
     "embed_label_balance", "transcript_error_cascade",
     "conv_outcome_by_depth", "text_length_outliers", "embed_pca_top",
+    "funnel_latency",
 ]
 
 

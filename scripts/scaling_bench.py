@@ -72,6 +72,15 @@ elif job in ("convdedup", "winnow", "prefixjoin", "pack", "substr"):
         spark, n_turns, templates=max(4, n_convs // 12)
     ).write.parquet(d)
     tx = spark.read.parquet(d)
+elif job == "pca":
+    # deterministic pseudo-random embeddings: `replicas` vectors x 64 dims
+    # in [-1, 1] from a hash mix — same input bytes at every level
+    tx = (spark.range(0, replicas, 1, 128)
+          .select(F.col("id").alias("vec_id"),
+                  F.expr("transform(sequence(0, 63), j -> "
+                         "cast((pmod(hash(id, j), 2001) - 1000) / 1000.0 "
+                         "as float))").alias("embedding"))
+          ).persist()
 else:
     tx = synth_transcripts(spark, replicas=replicas, hot_fraction=0.01,
                            malformed_fraction=0.01, partitions=128).persist()
@@ -132,6 +141,11 @@ def build():
             .agg(F.count("*").alias("n_spans"),
                  F.sum("span_len").alias("chars_flagged"))
         )
+    if job == "pca":
+        # fixed-point PCA power iteration (eager: the fit IS the job; the
+        # measurement loop times build()+collect together for this job)
+        from anendektos_spark.functions import similarity
+        return similarity.pca_power(tx, iters=4, dims=64)
     if job == "prefixjoin":
         # exact-threshold similarity self-join (AllPairs prefix filter)
         # over the reassembled conversations, high-threshold regime
@@ -173,8 +187,14 @@ for _ in range(runs):
         # run must not reuse an earlier run's cache (plan-equality cache
         # substitution) — pay the fill cost inside every measurement
         spark.catalog.clearCache()
-    j = build()
-    t0 = time.time(); j.collect(); times.append(time.time() - t0)
+    if job == "pca":
+        # eager fit: the iterations run inside build() (driver-synced
+        # power iteration) — time the whole fit
+        t0 = time.time(); j = build(); j.collect()
+        times.append(time.time() - t0)
+    else:
+        j = build()
+        t0 = time.time(); j.collect(); times.append(time.time() - t0)
     del j
     pygc.collect()
 best = min(times)
@@ -208,6 +228,12 @@ JOB_TITLES = {
         "Job — loss-mask packing (convops.pack_with_masks: per-turn "
         "cumulative window + conv-grain partial aggregate + bucket "
         "packing window, reduced to a 256-row per-bucket digest)"
+    ),
+    "pca": (
+        "Job — fixed-point PCA top component (similarity.pca_power: 4 "
+        "power-iteration rounds over the persisted centered corpus, each "
+        "one scan + a 64-key map-side-combined aggregate; driver holds "
+        "only the 64-int vector per round)"
     ),
     "substr": (
         "Job — exact duplicated-substring spans (dedup."

@@ -540,3 +540,119 @@ def test_pca_power_validation(spark):
         similarity.pca_power(_emb(spark, [[0.1]]), iters=0, dims=1)
     with pytest.raises(ValueError):
         similarity.pca_power(_emb(spark, []), iters=2, dims=2)
+
+
+# --------------------------------------------------------------------------
+# embed_whiten: all-but-the-top removal of the fitted component
+# --------------------------------------------------------------------------
+
+def test_whiten_removes_dominant_axis(spark):
+    from anendektos_spark.functions import similarity
+
+    vecs = [[0.9, 0.1], [-0.9, -0.1], [0.9, -0.1], [-0.9, 0.1]]
+    emb = _emb(spark, vecs)
+    comp = similarity.pca_power(emb, iters=4, dims=2)
+    out = {r.vec_id: list(r.whitened) for r in
+           similarity.whiten_top_component(emb, comp, dims=2).collect()}
+    v = {r.dim: r.component_q for r in comp.collect()}
+    sum_abs_v = abs(v[0]) + abs(v[1])
+    for i, vec in enumerate(vecs):
+        # projection of the whitened vector onto the component is zero up
+        # to the truncation remainder (< sum |v_j| per construction)
+        resid = out[i][0] * v[0] + out[i][1] * v[1]
+        assert abs(resid) < sum_abs_v
+    # the dominant axis-0 magnitude collapsed (was ~9000 fp units)
+    assert all(abs(out[i][0]) < 2000 for i in range(4))
+
+
+def test_whiten_zero_component_returns_centered(spark):
+    from anendektos_spark.functions import similarity
+
+    vecs = [[0.3, 0.7], [0.3, 0.7]]
+    emb = _emb(spark, vecs)
+    comp = similarity.pca_power(emb, iters=2, dims=2)
+    out = similarity.whiten_top_component(emb, comp, dims=2).collect()
+    for r in out:
+        assert list(r.whitened) == [0, 0]  # centered, nothing projected
+
+
+def test_whiten_component_validation(spark):
+    from anendektos_spark.functions import similarity
+
+    emb = _emb(spark, [[0.1, 0.2]])
+    bad = spark.createDataFrame(
+        [(0, 0, 1_000_000)], "dim int, mean_q long, component_q long"
+    )
+    with pytest.raises(ValueError):
+        similarity.whiten_top_component(emb, bad, dims=2)
+
+
+def test_whiten_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = sorted(
+        (r.vec_id, tuple(r.whitened)) for r in
+        similarity.whiten_top_component(
+            emb, similarity.pca_power(emb, iters=3, dims=64)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    sql = similarity.whiten_top_component_sql(
+        "SELECT vec_id, embedding FROM embeddings", iters=3, dims=64
+    )
+    orows = sorted((t[0], tuple(t[1])) for t in con.sql(sql).fetchall())
+    assert got == orows
+
+
+# --------------------------------------------------------------------------
+# funnel_latency: time-to-convert percentiles per funnel leg
+# --------------------------------------------------------------------------
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ep long"
+    ).select("user_id", "event_type", F.timestamp_seconds("ep").alias("ts"))
+
+
+def test_funnel_latency_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    rows = [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 25),
+        (2, "view", 0), (2, "click", 30),
+        (3, "view", 0),                       # never clicked
+        (4, "click", 5), (4, "view", 7),      # click BEFORE view: no leg
+    ]
+    out = {(r.stage, r.p): r for r in logops.funnel_latency(
+        _events(spark, rows), ps=(50, 99)).collect()}
+    # view->click gaps: u1=10, u2=30 (u4 ordered-funnel violation excluded)
+    vc50 = out[("view->click", 50)]
+    assert vc50.gap_p_s == 10 and vc50.n_users == 2
+    assert out[("view->click", 99)].gap_p_s == 30
+    # click->purchase: only u1, gap 15
+    cp = out[("click->purchase", 50)]
+    assert cp.gap_p_s == 15 and cp.n_users == 1
+
+
+def test_funnel_latency_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import logops
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = sorted(tuple(r) for r in logops.funnel_latency(ev).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    orows = sorted(tuple(t) for t in con.sql(
+        logops.funnel_latency_sql()).fetchall())
+    assert got and got == orows
