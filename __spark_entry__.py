@@ -222,6 +222,7 @@ NEXT_ROTATION = [
     "embed_pca_top",
     "embed_whiten",
     "funnel_latency",
+    "events_session_paths",
 ]
 
 
@@ -273,6 +274,9 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_functions.py (its internals are engine-specific).
     q["approx_profile"] = lambda s, d: logops.approx_profile_portable(_t(s, d, "events"))
     q["funnel_steps"] = lambda s, d: logops.funnel(_t(s, d, "events"))
+    q["events_session_paths"] = lambda s, d: logops.session_paths(
+        _t(s, d, "events")
+    )
     q["funnel_latency"] = lambda s, d: logops.funnel_latency(
         _t(s, d, "events")
     )
@@ -2286,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
                  AS furthest_stage
         FROM s2
     """
+    o["events_session_paths"] = logops.session_paths_sql()
     o["funnel_latency"] = logops.funnel_latency_sql()
     o["rate_spikes"] = """
         WITH c AS (SELECT event_type,

@@ -1188,3 +1188,106 @@ def funnel_latency_sql(
           AND cum_prev < (n_users * p.p + 99) // 100
         """
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top in-session event-type trigram paths: the most frequent
+    (step, next, next-next) sequences users actually walk inside one
+    session — the "what do people do after an error" / navigation-flow
+    report. Paths never cross a session boundary (the lead rows must
+    carry the same session ordinal).
+
+    Shape: ONE user_id hash exchange serves everything — the
+    session-flag lag, the running session ordinal, and both event-type
+    leads all share the same (ts, event_id)-ordered sort; then a
+    map-side-combined count on the type³-bounded path key. The final
+    rank is a single-partition window over that ≤|event types|³
+    relation — a bounded domain (tens of types → thousands of rows),
+    never the event count. Ties break (count desc, then path asc), so
+    top_n is deterministic; integer end-to-end."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(new_session).over(run).cast("int").alias("sid"),
+    )
+    # second projection so the leads don't nest inside the running sum
+    # (Spark forbids window-in-window); same key + same order, so
+    # Catalyst reuses the one exchange + sort
+    seq = base.select(
+        F.col("event_type").alias("step_1"),
+        "sid",
+        F.lead("event_type", 1).over(w).alias("step_2"),
+        F.lead("event_type", 2).over(w).alias("step_3"),
+        # session ordinal is monotone within the user's order, so the
+        # trigram stays in-session iff the +2 row is still in the same
+        # session (which implies the +1 row is too)
+        F.lead("sid", 2).over(w).alias("sid_3"),
+    )
+    counts = (
+        seq.filter(F.col("sid_3") == F.col("sid"))
+        .groupBy("step_1", "step_2", "step_3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    rw = Window.orderBy(
+        F.col("n_paths").desc(), "step_1", "step_2", "step_3"
+    )
+    return (
+        counts.select(
+            "step_1", "step_2", "step_3", "n_paths",
+            F.row_number().over(rw).cast("int").alias("path_rank"),
+        )
+        .filter(F.col("path_rank") <= top_n)
+    )
+
+
+def session_paths_sql(
+    gap_seconds: int = 1800, top_n: int = 20, table: str = "events"
+) -> str:
+    """DuckDB mirror of :func:`session_paths`."""
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER w AS prev
+          FROM {table}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CAST(sum(CASE WHEN prev IS NULL
+                               OR us - prev > {gap_seconds} * 1000000
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS INT) AS sid
+          FROM o
+        ),
+        t AS (
+          SELECT event_type AS step_1,
+                 lead(event_type, 1) OVER w AS step_2,
+                 lead(event_type, 2) OVER w AS step_3,
+                 sid, lead(sid, 2) OVER w AS sid_3
+          FROM s
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        c AS (
+          SELECT step_1, step_2, step_3, count(*) AS n_paths
+          FROM t WHERE sid_3 = sid GROUP BY 1, 2, 3
+        )
+        SELECT step_1, step_2, step_3, n_paths,
+               CAST(row_number() OVER (ORDER BY n_paths DESC,
+                    step_1, step_2, step_3) AS INT) AS path_rank
+        FROM c
+        QUALIFY path_rank <= {top_n}
+    """

@@ -656,3 +656,68 @@ def test_funnel_latency_sql_matches(spark):
     orows = sorted(tuple(t) for t in con.sql(
         logops.funnel_latency_sql()).fetchall())
     assert got and got == orows
+
+
+# --------------------------------------------------------------------------
+# events_session_paths: top in-session event-type trigrams
+# --------------------------------------------------------------------------
+
+def _tev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ep long"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("ep").alias("ts"))
+
+
+def test_session_paths_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    rows = [
+        # u1 session A: view click view click  -> trigrams VCV, CVC
+        (1, 0, "view", 0), (1, 1, "click", 10), (1, 2, "view", 20),
+        (1, 3, "click", 30),
+        # u1 session B (gap > 1800s): view click purchase -> VCP
+        (1, 4, "view", 10_000), (1, 5, "click", 10_010),
+        (1, 6, "purchase", 10_020),
+        # u2: view click view -> VCV
+        (2, 7, "view", 0), (2, 8, "click", 5), (2, 9, "view", 9),
+    ]
+    out = {(r.step_1, r.step_2, r.step_3): r for r in
+           logops.session_paths(_tev(spark, rows)).collect()}
+    assert out[("view", "click", "view")].n_paths == 2
+    assert out[("view", "click", "view")].path_rank == 1
+    assert out[("click", "view", "click")].n_paths == 1
+    assert out[("view", "click", "purchase")].n_paths == 1
+    # nothing crosses the A/B session seam: the cross-seam
+    # (view@20, click@30, view@10000) would otherwise lift
+    # view->click->view to 3, and exactly 3 in-session trigrams exist
+    assert len(out) == 3
+
+
+def test_session_paths_single_exchange_plan(spark):
+    from anendektos_spark.functions import logops
+    from tests.test_plans import plan_of
+
+    ev = _tev(spark, [(1, 0, "view", 0)])
+    phys = plan_of(logops.session_paths(ev), "simple")
+    # one user_id exchange feeds the session lag, the running ordinal,
+    # and both leads (stacked Windows over a single Sort); the only other
+    # exchange is on the type^3-bounded path key
+    assert phys.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_session_paths_sql_matches(spark):
+    import duckdb
+    from anendektos_spark.functions import logops
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = sorted(tuple(r) for r in logops.session_paths(ev).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    orows = sorted(tuple(t) for t in con.sql(
+        logops.session_paths_sql()).fetchall())
+    assert got and got == orows
