@@ -223,6 +223,7 @@ NEXT_ROTATION = [
     "embed_whiten",
     "funnel_latency",
     "events_session_paths",
+    "embed_dup_clusters",
 ]
 
 
@@ -403,6 +404,13 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["embed_lsh_dup_pairs"] = lambda s, d: similarity.lsh_dup_pairs(
         _t(s, d, "embeddings"), threshold=0.25, n_planes=12, dims=64
+    )
+    q["embed_dup_clusters"] = lambda s, d: dedup.dup_clusters_bigstar(
+        _t(s, d, "embeddings").select("vec_id"),
+        similarity.lsh_dup_pairs(
+            _t(s, d, "embeddings"), threshold=0.25, n_planes=12, dims=64
+        ),
+        id_col="vec_id",
     )
     q["embed_quantize_int8"] = _embed_quantize
     q["ann_quantized_topk"] = lambda s, d: similarity.quantized_topk(
@@ -3062,6 +3070,29 @@ def oracle_sql() -> dict[str, str]:
                      round({_cos_sql('a.v', 'x.v')}, 4) AS cos_sim
               FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
         SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.25
+    """
+    # semantic near-dup clusters: big-star CC over the embedding LSH
+    # pair graph (same recursive-reachability oracle as dedup_clusters,
+    # with the hyperplane-bucket pair CTE as the edge source)
+    o["embed_dup_clusters"] = f"""
+        WITH RECURSIVE e AS (SELECT vec_id, {_V64} AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket} AS bucket FROM e),
+        cand AS (
+          SELECT a.vec_id AS id_a, x.vec_id AS id_b
+          FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+          WHERE round({_cos_sql('a.v', 'x.v')}, 4) >= 0.25
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand
+        ),
+        reach AS (
+          SELECT vec_id AS node, vec_id AS label FROM embeddings
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS vec_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
     """
     _thresh = sampling.sample_threshold_hex(0.1)
     o["sample_hash"] = f"""

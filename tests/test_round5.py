@@ -721,3 +721,25 @@ def test_session_paths_sql_matches(spark):
     orows = sorted(tuple(t) for t in con.sql(
         logops.session_paths_sql()).fetchall())
     assert got and got == orows
+
+
+def test_embed_dup_clusters_composition(spark):
+    """Big-star CC over the embedding LSH pair graph: two near-identical
+    vectors land in one cluster labeled by the min vec_id; a far vector
+    stays isolated (labels itself)."""
+    from anendektos_spark.functions import dedup, similarity
+
+    # exact duplicate pair (identical vectors share every hyperplane
+    # bucket by construction; a merely-near pair can straddle a plane
+    # whose projection is close to zero) + one far vector
+    near = [0.5] * 64
+    near2 = [0.5] * 64
+    far = [(-1.0) ** j * 0.9 for j in range(64)]
+    emb = _emb(spark, [near, near2, far])
+    out = {r.vec_id: r.cluster_id for r in dedup.dup_clusters_bigstar(
+        emb.select("vec_id"),
+        similarity.lsh_dup_pairs(emb, threshold=0.25, n_planes=12, dims=64),
+        id_col="vec_id",
+    ).collect()}
+    assert out[0] == 0 and out[1] == 0   # merged, min-id label
+    assert out[2] == 2                   # isolated
