@@ -134,9 +134,10 @@ def linear_fit(
 
 def _trunc_div(a: int, b: int) -> int:
     """Integer division truncating toward zero (matches Spark `div` and
-    the CASE-wrapped DuckDB `//` in the oracle)."""
-    q = abs(a) // b
-    return q if a >= 0 else -q
+    the CASE-wrapped DuckDB `//` in the oracle; shared helper)."""
+    from . import iterutils
+
+    return iterutils.trunc_div(a, b)
 
 
 def linear_score(

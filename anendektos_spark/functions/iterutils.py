@@ -34,3 +34,15 @@ def truncate_lineage(df: DataFrame, mode: str, eager: bool = True) -> DataFrame:
     if mode == "reliable":
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def trunc_div(a: int, b: int) -> int:
+    """Driver-side mirror of Spark's truncating integral ``div`` (and of
+    the CASE-wrapped DuckDB ``//`` the oracles use): quotient truncated
+    toward zero, sign-safe for BOTH operands. Shared by every fixed-point
+    fit that folds integer sums on the driver (GD classifier, PCA power
+    iteration) so the engine-exactness contract lives in one place."""
+    if b == 0:
+        raise ZeroDivisionError("trunc_div by zero")
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q

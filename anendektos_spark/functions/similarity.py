@@ -1284,11 +1284,11 @@ def label_balance_sql(
 
 
 def _trunc_div(a: int, b: int) -> int:
-    """Python mirror of Spark's truncating integral `div` (toward zero)."""
-    if b == 0:
-        raise ZeroDivisionError("trunc_div by zero")
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
+    """Python mirror of Spark's truncating integral `div` (shared
+    helper — see iterutils.trunc_div)."""
+    from . import iterutils
+
+    return iterutils.trunc_div(a, b)
 
 
 def pca_power(
@@ -1345,6 +1345,12 @@ def pca_power(
     )
     if not sums:
         raise ValueError("pca_power: empty corpus")
+    seen = sorted(r["j"] for r in sums)
+    if seen != list(range(dims)):
+        raise ValueError(
+            f"pca_power: embeddings are {len(seen)}-dimensional "
+            f"(dims 0..{seen[-1]}), expected dims={dims}"
+        )
     n = int(sums[0]["n"])
     mu = [0] * dims
     for r in sums:

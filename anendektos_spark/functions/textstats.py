@@ -1577,14 +1577,19 @@ def collocations(
                          F.col("cnt").alias("cnt_w2")), "w2")
         .crossJoin(F.broadcast(total))
     )
+    # integral `div`, NOT floor(decimal '/'): Spark's decimal '/' rounds
+    # HALF_UP at a finite result scale BEFORE the floor, so a quotient
+    # within 5e-7 below an integer floors UP vs the DuckDB mirror's exact
+    # HUGEINT `//` (reachable once unigram sums exceed ~2e6); `div`
+    # truncates the exact quotient like `//` on these non-negative
+    # operands at any count
     score = (
-        f"CAST(floor((CAST(cnt_pair - {min_count} AS DECIMAL(38,0))"
-        f" * _total * {scale}) / (CAST(cnt_w1 AS DECIMAL(38,0)) * cnt_w2))"
-        f" AS BIGINT)"
+        f"(CAST(cnt_pair - {min_count} AS DECIMAL(38,0)) * _total"
+        f" * {scale}) div (CAST(cnt_w1 AS DECIMAL(38,0)) * cnt_w2)"
     )
     dice = (
-        f"CAST(floor((CAST(cnt_pair AS DECIMAL(38,0)) * 2 * {scale})"
-        f" / (cnt_w1 + cnt_w2)) AS BIGINT)"
+        f"(CAST(cnt_pair AS DECIMAL(38,0)) * 2 * {scale})"
+        f" div (cnt_w1 + cnt_w2)"
     )
     return (
         j.select(

@@ -198,13 +198,17 @@ def test_response_gap_no_full_data_global_sort(spark):
     from anendektos_spark.functions import convops
 
     df = transcript.response_gap(convops.synth_conv(spark, 2000))
-    plan = plan_of(df)
-    agg_pos = plan.find("gap_s")
-    assert "SinglePartition" in plan
-    # the hashaggregate on gap_s must appear below (later in the printed
-    # tree than) the single-partition exchange that feeds the rank window
-    assert plan.index("HashAggregate") < len(plan)
-    assert agg_pos != -1
+    plan = plan_of(df, "simple")
+    # the single-partition exchange that feeds the rank window must sit
+    # ABOVE (earlier in the printed top-down tree than) the gap_s hash
+    # aggregate it consumes — i.e. the rank runs over the histogram, not
+    # the raw gap rows (see also test_plans.
+    # test_response_gap_rank_window_is_post_aggregate on the executed
+    # plan)
+    sp = plan.index("Exchange SinglePartition")
+    agg = plan.index("HashAggregate")
+    assert sp < agg, "rank window must consume the gap_s histogram"
+    assert "gap_s" in plan[agg:agg + 400]
 
 
 def test_response_gap_sql_matches(spark):
