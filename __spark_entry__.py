@@ -224,6 +224,7 @@ NEXT_ROTATION = [
     "funnel_latency",
     "events_session_paths",
     "embed_dup_clusters",
+    "orders_basket_pairs",
 ]
 
 
@@ -277,6 +278,9 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_steps"] = lambda s, d: logops.funnel(_t(s, d, "events"))
     q["events_session_paths"] = lambda s, d: logops.session_paths(
         _t(s, d, "events")
+    )
+    q["orders_basket_pairs"] = lambda s, d: logops.basket_pairs(
+        _t(s, d, "lineitem")
     )
     q["funnel_latency"] = lambda s, d: logops.funnel_latency(
         _t(s, d, "events")
@@ -2299,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s2
     """
     o["events_session_paths"] = logops.session_paths_sql()
+    o["orders_basket_pairs"] = logops.basket_pairs_sql()
     o["funnel_latency"] = logops.funnel_latency_sql()
     o["rate_spikes"] = """
         WITH c AS (SELECT event_type,

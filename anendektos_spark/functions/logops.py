@@ -1291,3 +1291,105 @@ def session_paths_sql(
         FROM c
         QUALIFY path_rank <= {top_n}
     """
+
+
+def basket_pairs(
+    lineitem: DataFrame,
+    min_pairs: int = 2,
+    top_n: int = 25,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Market-basket affinity over order line items: the top part pairs
+    by co-occurrence count, with integer support and lift — the
+    "frequently bought together" relation (lift > 1e6 ppm ⇒ the pair
+    co-occurs more than independent popularity predicts).
+
+    Scale shape: the pair explosion is a self-join CO-PARTITIONED on the
+    order key, so its cost is Σ basket² — bounded by real basket sizes
+    (TPC-H ≤ 7), never corpus² — and parts are deduped per order first
+    so repeated line numbers don't inflate counts. Popularity joins run
+    at part grain (hash joins on the part key; the totals relation is a
+    broadcast single row). The global top-N is orderBy+limit
+    (TakeOrdered — per-partition heads, no single-partition sort of the
+    pair relation) with the rank window running over the ≤top_n result.
+    All ratios are DECIMAL(38,0)-product fixed point with truncating
+    div, bit-identical to the HUGEINT mirror at any count. Ties break
+    (count desc, part_a, part_b)."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
+    totals = items.agg(
+        F.countDistinct("ok").alias("_n_orders")
+    )
+    b = items.select("ok", F.col("pk").alias("pk_b"))
+    pairs = (
+        items.join(b, "ok")
+        .filter(F.col("pk") < F.col("pk_b"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= min_pairs)
+    )
+    enriched = (
+        pairs.join(
+            part_n.select(F.col("pk").alias("part_a"),
+                          F.col("n_part").alias("n_a")), "part_a")
+        .join(
+            part_n.select(F.col("pk").alias("part_b"),
+                          F.col("n_part").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    top = (
+        enriched.orderBy(
+            F.col("n_together").desc(), "part_a", "part_b"
+        ).limit(top_n)
+    )
+    rw = Window.orderBy(F.col("n_together").desc(), "part_a", "part_b")
+    return top.select(
+        "part_a", "part_b", "n_together",
+        F.expr(
+            f"(cast(n_together as decimal(38,0)) * {scale}) div _n_orders"
+        ).alias("support_ppm"),
+        F.expr(
+            f"(cast(n_together as decimal(38,0)) * _n_orders * {scale})"
+            f" div (cast(n_a as decimal(38,0)) * n_b)"
+        ).alias("lift_ppm"),
+        F.row_number().over(rw).cast("int").alias("pair_rank"),
+    )
+
+
+def basket_pairs_sql(
+    min_pairs: int = 2,
+    top_n: int = 25,
+    scale: int = 1_000_000,
+    table: str = "lineitem",
+) -> str:
+    """DuckDB mirror of :func:`basket_pairs`."""
+    return f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM {table}
+        ),
+        part_n AS (SELECT pk, count(*) AS n_part FROM items GROUP BY pk),
+        totals AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        pairs AS (
+          SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_together
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2
+          HAVING count(*) >= {min_pairs}
+        )
+        SELECT part_a, part_b, n_together,
+               CAST(CAST(n_together AS HUGEINT) * {scale} // n_orders
+                    AS BIGINT) AS support_ppm,
+               CAST(CAST(n_together AS HUGEINT) * n_orders * {scale}
+                    // (CAST(na.n_part AS HUGEINT) * nb.n_part)
+                    AS BIGINT) AS lift_ppm,
+               CAST(row_number() OVER (ORDER BY n_together DESC,
+                    part_a, part_b) AS INT) AS pair_rank
+        FROM pairs
+        JOIN part_n na ON na.pk = part_a
+        JOIN part_n nb ON nb.pk = part_b
+        CROSS JOIN totals
+        QUALIFY pair_rank <= {top_n}
+    """

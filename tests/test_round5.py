@@ -747,3 +747,42 @@ def test_embed_dup_clusters_composition(spark):
     ).collect()}
     assert out[0] == 0 and out[1] == 0   # merged, min-id label
     assert out[2] == 2                   # isolated
+
+
+# --------------------------------------------------------------------------
+# orders_basket_pairs: market-basket co-occurrence with integer lift
+# --------------------------------------------------------------------------
+
+def test_basket_pairs_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    rows = [  # (orderkey, partkey) with a duplicate line to dedup
+        (1, 10), (1, 20), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    )
+    out = {(r.part_a, r.part_b): r for r in logops.basket_pairs(
+        df, min_pairs=2, top_n=5).collect()}
+    # only (10,20) reaches min_pairs=2: together in orders 1,2
+    assert list(out) == [(10, 20)]
+    r = out[(10, 20)]
+    assert r.n_together == 2 and r.pair_rank == 1
+    # support = 2/4 orders; lift = (2·4)/(3·2) = 4/3
+    assert r.support_ppm == 500_000
+    assert r.lift_ppm == 2 * 4 * 1_000_000 // (3 * 2)
+
+
+def test_basket_pairs_dedups_lines_and_validates(spark):
+    from anendektos_spark.functions import logops
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "l_orderkey long, l_partkey long"
+    )
+    r = logops.basket_pairs(df, min_pairs=1, top_n=5).collect()[0]
+    assert r.n_together == 1  # duplicate line didn't inflate the pair
+    with pytest.raises(ValueError):
+        logops.basket_pairs(df, top_n=0)
