@@ -225,6 +225,8 @@ NEXT_ROTATION = [
     "events_session_paths",
     "embed_dup_clusters",
     "orders_basket_pairs",
+    "events_stickiness",
+    "orders_reorder_gap",
 ]
 
 
@@ -278,6 +280,12 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_steps"] = lambda s, d: logops.funnel(_t(s, d, "events"))
     q["events_session_paths"] = lambda s, d: logops.session_paths(
         _t(s, d, "events")
+    )
+    q["events_stickiness"] = lambda s, d: logops.stickiness(
+        _t(s, d, "events")
+    )
+    q["orders_reorder_gap"] = lambda s, d: logops.reorder_gap(
+        _t(s, d, "orders")
     )
     q["orders_basket_pairs"] = lambda s, d: logops.basket_pairs(
         _t(s, d, "lineitem")
@@ -2303,6 +2311,8 @@ def oracle_sql() -> dict[str, str]:
         FROM s2
     """
     o["events_session_paths"] = logops.session_paths_sql()
+    o["events_stickiness"] = logops.stickiness_sql()
+    o["orders_reorder_gap"] = logops.reorder_gap_sql()
     o["orders_basket_pairs"] = logops.basket_pairs_sql()
     o["funnel_latency"] = logops.funnel_latency_sql()
     o["rate_spikes"] = """

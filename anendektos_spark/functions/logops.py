@@ -1393,3 +1393,147 @@ def basket_pairs_sql(
         CROSS JOIN totals
         QUALIFY pair_rank <= {top_n}
     """
+
+
+def stickiness(
+    events: DataFrame, window_days: int = 7, scale: int = 1_000_000
+) -> DataFrame:
+    """DAU / trailing-WAU stickiness per day: distinct daily actives
+    over distinct actives in the trailing ``window_days`` window, in ppm
+    — the engagement ratio (1e6 ⇒ every weekly user shows up daily). Day
+    arithmetic is integer microseconds DIV a day (the cohort_retention
+    contract), so day boundaries agree across engines.
+
+    Shape: ONE (user, day) distinct off the event scan, then the DAU
+    aggregate and — for the trailing window — a bounded ×window_days
+    explode of the USER-DAY relation (each active (user, day) projects
+    onto the next ``window_days`` as-of days) re-distincted and counted.
+    Events are never self-joined and nothing is keyed finer than
+    (user, day); the final join is day-grain. As-of days are restricted
+    to days with observed activity (an inner join on the DAU relation),
+    so the series has no trailing phantom days."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, day + {window_days - 1})")
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        F.expr(f"(cast(dau as decimal(38,0)) * {scale}) div wau").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
+def stickiness_sql(
+    window_days: int = 7, scale: int = 1_000_000, table: str = "events"
+) -> str:
+    """DuckDB mirror of :func:`stickiness`."""
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM {table}
+        ),
+        dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        wau AS (
+          SELECT day, count(*) AS wau FROM (
+            SELECT DISTINCT user_id, ud.day + i AS day
+            FROM ud, range({window_days}) r(i)
+          ) GROUP BY day
+        )
+        SELECT dau.day, dau, wau,
+               CAST(CAST(dau AS HUGEINT) * {scale} // wau AS BIGINT)
+                 AS stickiness_ppm
+        FROM dau JOIN wau ON dau.day = wau.day
+    """
+
+
+def reorder_gap(
+    orders: DataFrame, ps: tuple = (50, 90, 99)
+) -> DataFrame:
+    """Repeat-purchase cadence: exact nearest-rank percentiles of the
+    days between a customer's consecutive orders — the
+    inter-purchase-interval curve behind churn heuristics ("inactive
+    for > p90 gap"). First orders contribute no gap; ties in the
+    per-customer order break on the order key.
+
+    Shape: one lag window on the customer exchange, then the VALUE
+    HISTOGRAM + cumulative walk over distinct gap-day values (the
+    response_gap scale contract — the only global ordering runs over
+    the bounded gap-day domain, never the order count). Integer: day =
+    micros DIV day, gap in whole days, rank = smallest gap with
+    cum ≥ ceil(n·p/100)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", day.alias("day"))
+        .withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select((F.col("day") - F.col("prev")).alias("gap_d"))
+    )
+    hist = gaps.groupBy("gap_d").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = Window.orderBy("gap_d")
+    cum = hist.select(
+        "gap_d",
+        F.sum("cnt").over(cw).alias("cum"),
+        (F.sum("cnt").over(cw) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(
+            cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps])).alias("p")
+    return (
+        cum.select("gap_d", "cum", "cum_prev", "n", p)
+        .filter(
+            (F.col("cum") >= F.expr("(n * p + 99) DIV 100"))
+            & (F.col("cum_prev") < F.expr("(n * p + 99) DIV 100"))
+        )
+        .select("p", F.col("gap_d").alias("gap_p_days"),
+                F.col("n").alias("n_gaps"))
+    )
+
+
+def reorder_gap_sql(ps: tuple = (50, 90, 99), table: str = "orders") -> str:
+    """DuckDB mirror of :func:`reorder_gap`."""
+    pvals = ", ".join(f"({int(x)})" for x in ps)
+    return f"""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                   AS day
+          FROM {table}
+        ),
+        g AS (
+          SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                                      ORDER BY day, o_orderkey) AS gap_d
+          FROM o
+          QUALIFY gap_d IS NOT NULL
+        ),
+        hist AS (SELECT gap_d, count(*) AS cnt FROM g GROUP BY gap_d),
+        cum AS (
+          SELECT gap_d,
+                 sum(cnt) OVER (ORDER BY gap_d) AS cum,
+                 sum(cnt) OVER (ORDER BY gap_d) - cnt AS cum_prev,
+                 sum(cnt) OVER () AS n
+          FROM hist
+        )
+        SELECT CAST(p.p AS INT) AS p, gap_d AS gap_p_days,
+               CAST(n AS BIGINT) AS n_gaps
+        FROM cum CROSS JOIN (VALUES {pvals}) AS p(p)
+        WHERE cum >= (n * p.p + 99) // 100
+          AND cum_prev < (n * p.p + 99) // 100
+    """

@@ -786,3 +786,48 @@ def test_basket_pairs_dedups_lines_and_validates(spark):
     assert r.n_together == 1  # duplicate line didn't inflate the pair
     with pytest.raises(ValueError):
         logops.basket_pairs(df, top_n=0)
+
+
+# --------------------------------------------------------------------------
+# events_stickiness + orders_reorder_gap
+# --------------------------------------------------------------------------
+
+def test_stickiness_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    d = 86_400
+    rows = [  # u1 active day0,1; u2 day0; u3 day2
+        (1, "view", 5), (1, "view", d + 5), (2, "view", 9),
+        (3, "view", 2 * d + 1), (1, "view", d + 99),  # same (user, day) dedups
+    ]
+    out = {r.day: r for r in logops.stickiness(
+        _events(spark, [(u, t, e) for u, t, e in rows]),
+        window_days=2).collect()}
+    # day0: dau {u1,u2}=2, wau(trailing 2d = day-1..day0 actives) = {u1,u2}
+    assert (out[0].dau, out[0].wau) == (2, 2)
+    assert out[0].stickiness_ppm == 1_000_000
+    # day1: dau {u1}; wau = actives on day0 or day1 = {u1,u2}
+    assert (out[1].dau, out[1].wau) == (1, 3 - 1)
+    assert out[1].stickiness_ppm == 500_000
+    # day2: dau {u3}; wau = day1..day2 = {u1,u3}
+    assert (out[2].dau, out[2].wau) == (1, 2)
+    with pytest.raises(ValueError):
+        logops.stickiness(_events(spark, rows), window_days=0)
+
+
+def test_reorder_gap_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    d = 86_400
+    rows = [  # cust1 orders day0, day3, day4 -> gaps 3,1; cust2 day0 only
+        (101, 1, 0), (102, 1, 3 * d), (103, 1, 4 * d),
+        (104, 2, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, ep long"
+    ).select("o_orderkey", "o_custkey",
+             F.timestamp_seconds("ep").alias("o_orderdate"))
+    out = {r.p: r for r in logops.reorder_gap(df, ps=(50, 99)).collect()}
+    # gaps [1, 3]: p50 -> rank 1 -> 1; p99 -> rank 2 -> 3
+    assert out[50].gap_p_days == 1 and out[99].gap_p_days == 3
+    assert out[50].n_gaps == 2
