@@ -227,6 +227,8 @@ NEXT_ROTATION = [
     "orders_basket_pairs",
     "events_stickiness",
     "orders_reorder_gap",
+    "transcript_handoff_outcomes",
+    "orders_cohort_ltv",
 ]
 
 
@@ -280,6 +282,9 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_steps"] = lambda s, d: logops.funnel(_t(s, d, "events"))
     q["events_session_paths"] = lambda s, d: logops.session_paths(
         _t(s, d, "events")
+    )
+    q["orders_cohort_ltv"] = lambda s, d: logops.cohort_ltv(
+        _t(s, d, "orders")
     )
     q["events_stickiness"] = lambda s, d: logops.stickiness(
         _t(s, d, "events")
@@ -754,6 +759,9 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flap rate (flaky-vs-down triage), SLO error-budget burn per hour,
     # latency percentiles split by outcome, and did-the-retry-help
     # failure-cascade lift + failure-rate-by-depth curve (round-5 late)
+    q["transcript_handoff_outcomes"] = lambda s, d: transcript.handoff_outcomes(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
     q["transcript_error_cascade"] = lambda s, d: transcript.error_cascade(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
@@ -2311,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s2
     """
     o["events_session_paths"] = logops.session_paths_sql()
+    o["orders_cohort_ltv"] = logops.cohort_ltv_sql()
     o["events_stickiness"] = logops.stickiness_sql()
     o["orders_reorder_gap"] = logops.reorder_gap_sql()
     o["orders_basket_pairs"] = logops.basket_pairs_sql()
@@ -3845,6 +3854,7 @@ def oracle_sql() -> dict[str, str]:
     o["transcript_topk_tools"] = transcript.topk_tools_sql(_tx_rel, 3)
     o["transcript_retry_loops"] = transcript.category_retry_loops_sql(_tx_rel, 2)
     o["transcript_latency_pctl"] = transcript.latency_percentiles_sql(_tx_rel)
+    o["transcript_handoff_outcomes"] = transcript.handoff_outcomes_sql(_tx_rel)
     o["transcript_error_cascade"] = transcript.error_cascade_sql(_tx_rel)
     o["conv_outcome_by_depth"] = transcript.outcome_by_depth_sql(_tx_rel)
     o["transcript_status_flaps"] = transcript.status_flaps_sql(_tx_rel)

@@ -1537,3 +1537,94 @@ def reorder_gap_sql(ps: tuple = (50, 90, 99), table: str = "orders") -> str:
         WHERE cum >= (n * p.p + 99) // 100
           AND cum_prev < (n * p.p + 99) // 100
     """
+
+
+def cohort_ltv(
+    orders: DataFrame, max_age_months: int = 12
+) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month; per (cohort_month, age_months) the order count, period
+    revenue, and CUMULATIVE revenue per cohort — the payback curve that
+    tells you how fast a cohort earns back acquisition cost and whether
+    newer cohorts monetize slower. Month arithmetic is integer
+    (epoch-day DIV 30 — calendar-month drift is irrelevant to the curve
+    shape and the fixed divisor keeps engines bit-equal); money sums run
+    in DECIMAL(18,2) exactly (order-independent); only the
+    final report columns drop to rounded double (the _dec_sum
+    convention).
+
+    Shape: first-order month is a customer-grain min (mergeable ⇒
+    incremental under appends); orders join that CUSTOMER-grain relation
+    on the customer key (never order×order); ONE (cohort, age) aggregate;
+    the cumulative window runs over the ≤cohorts×ages relation."""
+    if max_age_months < 0:
+        raise ValueError(f"max_age_months must be >= 0, got {max_age_months}")
+    month = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp))"
+        " div 86400000000 div 30"
+    )
+    o = orders.select(
+        "o_custkey",
+        month.alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    j = (
+        o.join(first, "o_custkey")
+        .select(
+            "cohort_month",
+            (F.col("month") - F.col("cohort_month")).alias("age_months"),
+            "price",
+        )
+        .filter(F.col("age_months") <= max_age_months)
+    )
+    agg = j.groupBy("cohort_month", "age_months").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("revenue"),
+    )
+    cw = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # report through the repo's _dec_sum convention: the SUM is exact
+    # decimal (order-independent); only the final report column drops to
+    # rounded double, like every other money-valued oracle query here
+    return agg.select(
+        "cohort_month", "age_months", "n_orders",
+        F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("revenue").over(cw), 2).cast("double").alias(
+            "cum_revenue"
+        ),
+    )
+
+
+def cohort_ltv_sql(max_age_months: int = 12, table: str = "orders") -> str:
+    """DuckDB mirror of :func:`cohort_ltv`."""
+    return f"""
+        WITH o AS (
+          SELECT o_custkey,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                   // 86400000000 // 30 AS month,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM {table}
+        ),
+        first AS (SELECT o_custkey, min(month) AS cohort_month
+                  FROM o GROUP BY 1),
+        j AS (
+          SELECT cohort_month, o.month - cohort_month AS age_months, price
+          FROM o JOIN first USING (o_custkey)
+          WHERE o.month - cohort_month <= {max_age_months}
+        ),
+        agg AS (
+          SELECT cohort_month, age_months, count(*) AS n_orders,
+                 sum(price) AS revenue
+          FROM j GROUP BY 1, 2
+        )
+        SELECT cohort_month, age_months, n_orders,
+               CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+               CAST(round(sum(revenue) OVER (PARTITION BY cohort_month
+                    ORDER BY age_months ROWS UNBOUNDED PRECEDING), 2)
+                    AS DOUBLE) AS cum_revenue
+        FROM agg
+    """

@@ -1874,3 +1874,65 @@ def outcome_by_depth_sql(rel: str, scale: int = 1_000_000) -> str:
         FROM b GROUP BY depth_bucket
         """
     )
+
+
+def handoff_outcomes(parsed: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Tool-handoff failure matrix: for every (tool → next tool) pair of
+    consecutive parsed calls in a conversation, how often the RECEIVING
+    call fails — the directional refinement of tool_transitions (which
+    counts handoffs) and error_cascade (which conditions on the sender's
+    status): a clean sender whose specific successor tool still fails is
+    an interface bug between the two, not flakiness in either alone.
+
+    Shape: one lead() on the shared conv_id exchange (sender's tool,
+    successor's tool + status led together), then ONE map-side-combined
+    groupBy on the ≤tools² pair domain; failure share in ppm with the
+    DECIMAL(38,0) product contract."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nx = parsed.select(
+        F.col("tool_called").alias("tool_from"),
+        F.lead("tool_called").over(wl).alias("tool_to"),
+        F.lead("status").over(wl).alias("to_status"),
+    ).filter(F.col("tool_to").isNotNull())
+    return (
+        nx.groupBy("tool_from", "tool_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_handoffs"),
+            F.sum((F.col("to_status") != "OK").cast("long")).alias(
+                "n_to_fail"
+            ),
+        )
+        .select(
+            "tool_from", "tool_to", "n_handoffs", "n_to_fail",
+            F.expr(
+                f"(cast(n_to_fail as decimal(38,0)) * {scale})"
+                f" div n_handoffs"
+            ).alias("to_fail_ppm"),
+        )
+    )
+
+
+def handoff_outcomes_sql(rel: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`handoff_outcomes`."""
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , nx AS (
+          SELECT tool_called AS tool_from,
+                 lead(tool_called) OVER w AS tool_to,
+                 lead(status) OVER w AS to_status
+          FROM parsed
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT tool_from, tool_to, count(*) AS n_handoffs,
+               CAST(sum(CASE WHEN to_status <> 'OK' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_to_fail,
+               CAST(CAST(sum(CASE WHEN to_status <> 'OK' THEN 1 ELSE 0 END)
+                         AS HUGEINT) * {scale} // count(*) AS BIGINT)
+                 AS to_fail_ppm
+        FROM nx WHERE tool_to IS NOT NULL
+        GROUP BY 1, 2
+        """
+    )

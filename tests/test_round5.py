@@ -831,3 +831,41 @@ def test_reorder_gap_hand_computed(spark):
     # gaps [1, 3]: p50 -> rank 1 -> 1; p99 -> rank 2 -> 3
     assert out[50].gap_p_days == 1 and out[99].gap_p_days == 3
     assert out[50].n_gaps == 2
+
+
+def test_handoff_outcomes_hand_computed(spark):
+    rows = [
+        ("c", 0, "a", "OK", 0, 1), ("c", 1, "b", "ERR", 0, 1),
+        ("c", 2, "a", "OK", 0, 1), ("c", 3, "b", "OK", 0, 1),
+        ("d", 0, "a", "OK", 0, 1), ("d", 1, "b", "ERR", 0, 1),
+    ]
+    out = {(r.tool_from, r.tool_to): r for r in
+           transcript.handoff_outcomes(_parsed(spark, rows)).collect()}
+    ab = out[("a", "b")]
+    # a->b handoffs: c0->c1 (fail), c2->c3 (ok), d0->d1 (fail)
+    assert (ab.n_handoffs, ab.n_to_fail) == (3, 2)
+    assert ab.to_fail_ppm == 2 * 1_000_000 // 3
+    ba = out[("b", "a")]
+    assert (ba.n_handoffs, ba.n_to_fail, ba.to_fail_ppm) == (1, 0, 0)
+
+
+def test_cohort_ltv_hand_computed(spark):
+    from anendektos_spark.functions import logops
+
+    day = 86_400
+    rows = [  # cust1 first month0: orders m0 ($10), m0 ($5), m1 ($20)
+        (1, 1, 0, 10.0), (2, 1, 5 * day, 5.0), (3, 1, 31 * day, 20.0),
+        # cust2 first month1: one order ($7)
+        (4, 2, 31 * day, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, ep long, o_totalprice double"
+    ).select("o_orderkey", "o_custkey", "o_totalprice",
+             F.timestamp_seconds("ep").alias("o_orderdate"))
+    out = {(r.cohort_month, r.age_months): r
+           for r in logops.cohort_ltv(df).collect()}
+    assert out[(0, 0)].n_orders == 2 and out[(0, 0)].revenue == 15.0
+    assert out[(0, 1)].revenue == 20.0 and out[(0, 1)].cum_revenue == 35.0
+    assert out[(1, 0)].revenue == 7.0 and out[(1, 0)].cum_revenue == 7.0
+    with pytest.raises(ValueError):
+        logops.cohort_ltv(df, max_age_months=-1)
