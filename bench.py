@@ -89,10 +89,15 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     # late round-5 additions (embed_whiten is left out: it re-runs the
     # embed_pca_top fit before transforming, so benching both doubles the
-    # iterative-fit time for no extra signal)
+    # iterative-fit time for no extra signal; embed_dup_clusters is left
+    # out for the same reason — it re-runs the LSH pair join that
+    # semantic_dup_pairs/dedup_lsh_jaccard already time, plus an
+    # iterative CC whose per-round cost the graph legs cover)
     "embed_label_balance", "transcript_error_cascade",
     "conv_outcome_by_depth", "text_length_outliers", "embed_pca_top",
-    "funnel_latency",
+    "funnel_latency", "events_session_paths", "orders_basket_pairs",
+    "events_stickiness", "orders_reorder_gap",
+    "transcript_handoff_outcomes", "orders_cohort_ltv",
 ]
 
 
