@@ -229,6 +229,8 @@ NEXT_ROTATION = [
     "orders_reorder_gap",
     "transcript_handoff_outcomes",
     "orders_cohort_ltv",
+    "text_boilerplate_lines",
+    "text_boilerplate_clean",
 ]
 
 
@@ -1076,6 +1078,28 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # per-source hapax-legomena share: template-collapse vs OCR-noise
     # corpus health signal beside the Heaps-law vocab_growth curve
+    # boilerplate-line report + removal over a deterministically
+    # chrome-injected documents view (the raw corpus is single-line with
+    # no repeated lines, so the detector would be vacuously 0-row)
+    def _docs_chrome(s, d):
+        return _t(s, d, "documents").select(
+            "doc_id",
+            F.expr(
+                "concat(text,"
+                " case when doc_id % 2 = 0 then concat(chr(10),"
+                " 'Copyright Example Corp. All rights reserved.')"
+                " else '' end,"
+                " case when doc_id % 3 = 0 then concat(chr(10),"
+                " 'Subscribe to our newsletter today') else '' end)"
+            ).alias("text"),
+        )
+
+    q["text_boilerplate_lines"] = lambda s, d: textstats.boilerplate_lines(
+        _docs_chrome(s, d)
+    )
+    q["text_boilerplate_clean"] = lambda s, d: textstats.boilerplate_clean(
+        _docs_chrome(s, d)
+    )
     # per-source robust doc-length screen (round-5 late)
     q["text_length_outliers"] = lambda s, d: textstats.length_outliers(
         _t(s, d, "documents")
@@ -4199,6 +4223,16 @@ def oracle_sql() -> dict[str, str]:
     o["text_ngram_diversity"] = textstats.ngram_diversity_sql(
         "SELECT source, text FROM documents"
     )
+    _chrome_rel = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||"
+        " 'Copyright Example Corp. All rights reserved.' ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+        " 'Subscribe to our newsletter today' ELSE '' END AS text"
+        " FROM documents"
+    )
+    o["text_boilerplate_lines"] = textstats.boilerplate_lines_sql(_chrome_rel)
+    o["text_boilerplate_clean"] = textstats.boilerplate_clean_sql(_chrome_rel)
     o["text_length_outliers"] = textstats.length_outliers_sql(
         "SELECT doc_id, source, n_chars FROM documents"
     )

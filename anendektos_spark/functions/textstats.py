@@ -2121,3 +2121,149 @@ def length_outliers_sql(
                     * {scale} // count(*) AS BIGINT) AS outlier_ppm
         FROM s4 GROUP BY source
     """
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, idx, line, norm): documents split on newline with the
+    0-based line index, original text preserved and a trimmed ``norm``
+    for frequency matching."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    min_chars: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Cross-document boilerplate-line report: trimmed lines of at least
+    ``min_chars`` characters that appear in ``min_docs``+ distinct
+    documents — navigation chrome, cookie banners, license headers; the
+    content-extraction screen run before any text-quality scoring (a
+    C4-style pipeline drops these lines first or the quality stats
+    measure the template, not the page).
+
+    Shape: newline posexplode (narrow), a (line, doc) DISTINCT pre-
+    aggregate instead of a count-distinct expansion, ONE line-grain
+    count, then orderBy+limit (TakeOrdered) with the rank window over
+    the ≤top_n result — nothing orders more than the line-vocabulary
+    relation. Ties break (doc count desc, line asc)."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    ld = (
+        _doc_lines(docs)
+        .filter(F.length("norm") >= min_chars)
+        .select("norm", "doc_id")
+        .distinct()
+    )
+    counts = (
+        ld.groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    top = counts.orderBy(F.col("n_docs").desc(), "norm").limit(top_n)
+    rw = Window.orderBy(F.col("n_docs").desc(), "norm")
+    return top.select(
+        F.col("norm").alias("line"), "n_docs",
+        F.row_number().over(rw).cast("int").alias("line_rank"),
+    )
+
+
+def boilerplate_lines_sql(
+    rel: str, min_docs: int = 3, min_chars: int = 5, top_n: int = 50
+) -> str:
+    """DuckDB mirror of :func:`boilerplate_lines`."""
+    return f"""
+        WITH d AS ({rel}),
+        p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+        ix AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i FROM p),
+        ld AS (
+          SELECT DISTINCT trim(parts[i + 1]) AS norm, doc_id
+          FROM ix WHERE length(trim(parts[i + 1])) >= {min_chars}
+        ),
+        c AS (SELECT norm, count(*) AS n_docs FROM ld GROUP BY norm
+              HAVING count(*) >= {min_docs})
+        SELECT norm AS line, n_docs,
+               CAST(row_number() OVER (ORDER BY n_docs DESC, norm) AS INT)
+                 AS line_rank
+        FROM c
+        QUALIFY line_rank <= {top_n}
+    """
+
+
+def boilerplate_clean(
+    docs: DataFrame, min_docs: int = 3, min_chars: int = 5
+) -> DataFrame:
+    """Boilerplate-line removal rewrite: each document with every line
+    whose trimmed form is corpus-boilerplate (per the
+    :func:`boilerplate_lines` criterion, no top-N cap) dropped, plus the
+    removed-line count — the clean step closing the detect→remove loop
+    (the line-grain sibling of dedup's substring-clean rewrite).
+    Original line bytes are preserved for kept lines; line order is
+    restored with the array_sort-over-structs idiom (deterministic,
+    no second window pass). A fully-boilerplate document survives as an
+    empty string rather than disappearing.
+
+    Shape: the flagged-line relation is LINE-VOCABULARY-grain; lines
+    left-join it on the trimmed form (hash join on the line key — at
+    corpus scale the flagged relation is usually small enough for AQE to
+    broadcast it), then ONE doc-grain aggregate rebuilds the text."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    flagged = (
+        _doc_lines(docs)
+        .filter(F.length("norm") >= min_chars)
+        .select("norm", "doc_id")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("norm", F.lit(True).alias("_bp"))
+    )
+    lines = _doc_lines(docs).join(flagged, "norm", "left")
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(case when _bp is null"
+                    " then struct(idx, line) end)), s -> s.line)"
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_bp").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def boilerplate_clean_sql(
+    rel: str, min_docs: int = 3, min_chars: int = 5
+) -> str:
+    """DuckDB mirror of :func:`boilerplate_clean`."""
+    return f"""
+        WITH d AS ({rel}),
+        p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+        ix AS (SELECT doc_id, parts, unnest(range(len(parts))) AS i FROM p),
+        l AS (SELECT doc_id, CAST(i AS INT) AS idx, parts[i + 1] AS line,
+                     trim(parts[i + 1]) AS norm
+              FROM ix),
+        flagged AS (
+          SELECT norm FROM (
+            SELECT DISTINCT norm, doc_id FROM l
+            WHERE length(norm) >= {min_chars}
+          ) GROUP BY norm HAVING count(*) >= {min_docs}
+        )
+        SELECT l.doc_id,
+               coalesce(string_agg(CASE WHEN f.norm IS NULL THEN l.line END,
+                                   chr(10) ORDER BY l.idx), '')
+                 AS clean_text,
+               CAST(sum(CASE WHEN f.norm IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed
+        FROM l LEFT JOIN flagged f ON l.norm = f.norm
+        GROUP BY l.doc_id
+    """

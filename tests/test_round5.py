@@ -869,3 +869,40 @@ def test_cohort_ltv_hand_computed(spark):
     assert out[(1, 0)].revenue == 7.0 and out[(1, 0)].cum_revenue == 7.0
     with pytest.raises(ValueError):
         logops.cohort_ltv(df, max_age_months=-1)
+
+
+# --------------------------------------------------------------------------
+# boilerplate-line detection + removal
+# --------------------------------------------------------------------------
+
+def test_boilerplate_lines_hand_computed(spark):
+    docs = _docs(spark, [
+        "unique alpha\nCopyright Corp\nbody one",
+        "unique beta\nCopyright Corp",
+        "Copyright Corp\nunique gamma",
+        "no chrome here",
+    ])
+    out = {r.line: r for r in textstats.boilerplate_lines(
+        docs, min_docs=3, min_chars=5).collect()}
+    assert list(out) == ["Copyright Corp"]
+    assert out["Copyright Corp"].n_docs == 3
+    assert out["Copyright Corp"].line_rank == 1
+    with pytest.raises(ValueError):
+        textstats.boilerplate_lines(docs, min_docs=1)
+
+
+def test_boilerplate_clean_hand_computed(spark):
+    docs = _docs(spark, [
+        "keep one\nCopyright Corp\nkeep two",
+        "Copyright Corp\nkeep three",
+        "Copyright Corp",
+        "  Copyright Corp  \nkeep four",   # trimmed form matches too
+    ])
+    out = {r.doc_id: r for r in textstats.boilerplate_clean(
+        docs, min_docs=3, min_chars=5).collect()}
+    assert out[0].clean_text == "keep one\nkeep two" and out[0].n_removed == 1
+    assert out[1].clean_text == "keep three"
+    # a fully-boilerplate document survives as an empty string
+    assert out[2].clean_text == "" and out[2].n_removed == 1
+    # original bytes (untrimmed) are dropped when the TRIMMED form matches
+    assert out[3].clean_text == "keep four" and out[3].n_removed == 1
