@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "funnel_latency", "events_session_paths", "orders_basket_pairs",
     "events_stickiness", "orders_reorder_gap",
     "transcript_handoff_outcomes", "orders_cohort_ltv",
+    "text_boilerplate_lines", "text_boilerplate_clean",
 ]
 
 
