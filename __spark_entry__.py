@@ -231,6 +231,13 @@ NEXT_ROTATION = [
     "orders_cohort_ltv",
     "text_boilerplate_lines",
     "text_boilerplate_clean",
+    "text_source_divergence",
+    "orders_rfm_segments",
+    "orders_pareto_share",
+    "events_debounce",
+    "events_burstiness",
+    "graph_kcore",
+    "transcript_abandon_hazard",
 ]
 
 
@@ -1099,6 +1106,33 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_boilerplate_clean"] = lambda s, d: textstats.boilerplate_clean(
         _docs_chrome(s, d)
+    )
+    # pairwise corpus-mixture drift between document sources (exact-
+    # rational total-variation distance over unigram distributions)
+    q["text_source_divergence"] = lambda s, d: textstats.source_divergence(
+        _t(s, d, "documents")
+    )
+    # round-5 final batch: RFM grid + revenue-concentration curve over
+    # orders, debounce / burstiness telemetry screens over events,
+    # k-core peel on the skewed synthetic link graph, and the
+    # conversation termination-hazard curve
+    q["orders_rfm_segments"] = lambda s, d: logops.rfm_segments(
+        _t(s, d, "orders")
+    )
+    q["orders_pareto_share"] = lambda s, d: logops.pareto_share(
+        _t(s, d, "orders")
+    )
+    q["events_debounce"] = lambda s, d: logops.debounce_events(
+        _t(s, d, "events")
+    )
+    q["events_burstiness"] = lambda s, d: logops.burstiness(
+        _t(s, d, "events")
+    )
+    q["graph_kcore"] = lambda s, d: graph.kcore(
+        graph.synth_links_skewed(s, 20_000, 1_000), k=12, rounds=6
+    )
+    q["transcript_abandon_hazard"] = lambda s, d: transcript.abandon_hazard(
+        transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
     )
     # per-source robust doc-length screen (round-5 late)
     q["text_length_outliers"] = lambda s, d: textstats.length_outliers(
@@ -4233,6 +4267,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_boilerplate_lines"] = textstats.boilerplate_lines_sql(_chrome_rel)
     o["text_boilerplate_clean"] = textstats.boilerplate_clean_sql(_chrome_rel)
+    o["text_source_divergence"] = textstats.source_divergence_sql(
+        "SELECT source, text FROM documents"
+    )
+    o["orders_rfm_segments"] = logops.rfm_segments_sql()
+    o["orders_pareto_share"] = logops.pareto_share_sql()
+    o["events_debounce"] = logops.debounce_events_sql()
+    o["events_burstiness"] = logops.burstiness_sql()
+    o["graph_kcore"] = graph.kcore_sql(
+        graph.synth_links_skewed_sql(20_000, 1_000), k=12, rounds=6
+    )
+    o["transcript_abandon_hazard"] = transcript.abandon_hazard_sql(_tx_rel)
     o["text_length_outliers"] = textstats.length_outliers_sql(
         "SELECT doc_id, source, n_chars FROM documents"
     )

@@ -502,3 +502,104 @@ def bfs_levels_sql(
         {",".join(rounds)}
         {" UNION ALL ".join(acc)}
     """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    cache: bool = True,
+    checkpoint_every: int = 3,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """k-core peeling → (node, core_deg): iteratively remove nodes of
+    undirected degree < k (and their incident edges) for a FIXED number
+    of rounds; survivors report their degree inside the peeled subgraph.
+    The standard corpus/link-graph densest-region screen (a node in the
+    k-core participates in a subgraph where everyone has ≥ k
+    neighbours — spam farms and boilerplate hubs light up, tendrils
+    peel away).
+
+    Rounds are fixed, not run-to-convergence, so the plan is statically
+    known and the DuckDB oracle replays the identical peel as an
+    unrolled CTE chain — if the peel hasn't converged by ``rounds`` both
+    engines report the same intermediate state. (Peeling is confluent:
+    extra rounds only shrink the set toward the true k-core, never
+    reorder results.)
+
+    Scale shape: the adjacency is symmetrized + deduped ONCE (one
+    exchange); each round is one groupBy(src) degree aggregate
+    (map-side combined) plus two hash semi-joins of the edge relation
+    against the surviving-node set — cost per round is O(|E|) with no
+    node×node pairing, and |E| only decreases. Lineage is truncated
+    every ``checkpoint_every`` rounds exactly like pagerank, so deep
+    peels don't accrete a mile-long plan. Degree counts are exact
+    longs (safe to 9e18 incident edges per node)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    checkpoint = iterutils.resolve_checkpoint_mode(edges, checkpoint)
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if cache:
+        und = und.persist(StorageLevel.MEMORY_AND_DISK)
+    cur = und
+    for it in range(1, rounds + 1):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        cur = cur.join(
+            keep.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+        if checkpoint_every and it % checkpoint_every == 0 and it < rounds:
+            cur = iterutils.truncate_lineage(cur, checkpoint, eager=True)
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+def kcore_sql(edges_rel: str, k: int = 3, rounds: int = 6) -> str:
+    """DuckDB mirror of :func:`kcore` (unrolled peel rounds). Each round's
+    relation is referenced three times by the next (the edge scan plus
+    both endpoint semi-joins), so every CTE is AS MATERIALIZED — without
+    it DuckDB inlines the chain and the plan blows up 3^rounds."""
+    parts = []
+    prev = "e0"
+    for it in range(1, rounds + 1):
+        parts.append(f"""
+        keep{it} AS MATERIALIZED (
+          SELECT src AS node FROM {prev}
+          GROUP BY src HAVING count(*) >= {k}
+        ),
+        e{it} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM {prev} e
+          JOIN keep{it} a ON e.src = a.node
+          JOIN keep{it} b ON e.dst = b.node
+        )""")
+        prev = f"e{it}"
+    return f"""
+        WITH raw AS ({edges_rel}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM raw
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM raw
+          ) WHERE src <> dst
+        ),
+        {",".join(parts)}
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM {prev} GROUP BY src
+    """

@@ -1628,3 +1628,407 @@ def cohort_ltv_sql(max_age_months: int = 12, table: str = "orders") -> str:
                     AS DOUBLE) AS cum_revenue
         FROM agg
     """
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation: customers quartile-scored on Recency (days
+    since last order, lower = better), Frequency (order count) and
+    Monetary (lifetime revenue), then rolled up per (r,f,m) cell —
+    the classic CRM grid (`444` = recent/frequent/big-ticket whales,
+    `111` = lapsed one-shot buyers). Scores are 1..4: one point per
+    quartile threshold the value exceeds, recency reversed.
+
+    Engine-exact by construction: thresholds are exact nearest-rank
+    quartiles computed via the VALUE HISTOGRAM + cumulative walk (the
+    reorder_gap scale contract — the only global windows run over the
+    bounded threshold domains: distinct recency days, distinct order
+    counts, distinct revenue DOLLARS; monetary is segmented at dollar
+    grain exactly so its threshold domain is price-grid-bounded rather
+    than customer-bounded). Revenue itself accumulates in
+    DECIMAL(18,2) cents and reports as BIGINT cents (wraps past ~9e16
+    dollars per cell — a documented non-bound).
+
+    Shape: ONE customer-grain aggregate off the order scan; three tiny
+    histogram walks; the 1-row threshold relation broadcast back over
+    the customer relation; one ≤64-cell rollup. Orders are never
+    self-joined and nothing is keyed finer than the customer."""
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    per_cust = orders.select(
+        "o_custkey", day.alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(price * 100 AS DECIMAL(38,0))")).alias("cents"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("anchor_day"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        (F.col("anchor_day") - F.col("last_day")).alias("rec_d"),
+        "freq",
+        "cents",
+        F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"),
+    )
+
+    def _quartiles(col: str):
+        hist = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cw = Window.orderBy("v")
+        cum = hist.select(
+            "v",
+            F.sum("cnt").over(cw).alias("cum"),
+            (F.sum("cnt").over(cw) - F.col("cnt")).alias("cum_prev"),
+            F.sum("cnt").over(
+                cw.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+            ).alias("n"),
+        )
+        p = F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("p")
+        picked = cum.select("v", "cum", "cum_prev", "n", p).filter(
+            (F.col("cum") >= F.expr("(n * p + 99) DIV 100"))
+            & (F.col("cum_prev") < F.expr("(n * p + 99) DIV 100"))
+        )
+        return picked.groupBy().pivot("p", [25, 50, 75]).agg(
+            F.first("v")
+        ).select(
+            F.col("25").alias(f"{col}_q1"),
+            F.col("50").alias(f"{col}_q2"),
+            F.col("75").alias(f"{col}_q3"),
+        )
+
+    th = (
+        _quartiles("rec_d")
+        .crossJoin(_quartiles("freq"))
+        .crossJoin(_quartiles("dollars"))
+    )
+    scored = base.crossJoin(F.broadcast(th)).select(
+        "cents",
+        (
+            F.lit(4)
+            - (F.col("rec_d") > F.col("rec_d_q1")).cast("int")
+            - (F.col("rec_d") > F.col("rec_d_q2")).cast("int")
+            - (F.col("rec_d") > F.col("rec_d_q3")).cast("int")
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + (F.col("freq") > F.col("freq_q1")).cast("int")
+            + (F.col("freq") > F.col("freq_q2")).cast("int")
+            + (F.col("freq") > F.col("freq_q3")).cast("int")
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + (F.col("dollars") > F.col("dollars_q1")).cast("int")
+            + (F.col("dollars") > F.col("dollars_q2")).cast("int")
+            + (F.col("dollars") > F.col("dollars_q3")).cast("int")
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("CAST(sum(cents) AS BIGINT)").alias("revenue_cents"),
+    )
+
+
+def rfm_segments_sql(table: str = "orders") -> str:
+    """DuckDB mirror of :func:`rfm_segments`."""
+
+    def q(col: str) -> str:
+        return f"""
+        {col}_hist AS (
+          SELECT {col} AS v, count(*) AS cnt FROM base GROUP BY 1
+        ),
+        {col}_cum AS (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+                 sum(cnt) OVER (ORDER BY v) - cnt AS cum_prev,
+                 sum(cnt) OVER () AS n
+          FROM {col}_hist
+        ),
+        {col}_q AS (
+          SELECT max(CASE WHEN p = 25 THEN v END) AS {col}_q1,
+                 max(CASE WHEN p = 50 THEN v END) AS {col}_q2,
+                 max(CASE WHEN p = 75 THEN v END) AS {col}_q3
+          FROM {col}_cum CROSS JOIN (VALUES (25), (50), (75)) AS pp(p)
+          WHERE cum >= (n * p + 99) // 100
+            AND cum_prev < (n * p + 99) // 100
+        )"""
+
+    return f"""
+        WITH pc AS (
+          SELECT o_custkey,
+                 max(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                     // 86400000000) AS last_day,
+                 count(*) AS freq,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS DECIMAL(38,0))) AS cents
+          FROM {table} GROUP BY 1
+        ),
+        anchor AS (SELECT max(last_day) AS anchor_day FROM pc),
+        base AS (
+          SELECT o_custkey, anchor_day - last_day AS rec_d, freq, cents,
+                 CAST(CAST(cents AS HUGEINT) // 100 AS BIGINT) AS dollars
+          FROM pc CROSS JOIN anchor
+        ),
+        {q("rec_d")},
+        {q("freq")},
+        {q("dollars")}
+        SELECT CAST(4 - (rec_d > rec_d_q1)::INT - (rec_d > rec_d_q2)::INT
+                    - (rec_d > rec_d_q3)::INT AS INT) AS r_score,
+               CAST(1 + (freq > freq_q1)::INT + (freq > freq_q2)::INT
+                    + (freq > freq_q3)::INT AS INT) AS f_score,
+               CAST(1 + (dollars > dollars_q1)::INT
+                    + (dollars > dollars_q2)::INT
+                    + (dollars > dollars_q3)::INT AS INT) AS m_score,
+               count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM base CROSS JOIN rec_d_q CROSS JOIN freq_q CROSS JOIN dollars_q
+        GROUP BY 1, 2, 3
+    """
+
+def pareto_share(orders: DataFrame, n_buckets: int = 10,
+                 scale: int = 1_000_000) -> DataFrame:
+    """Revenue-concentration (Lorenz/Pareto) curve: for each decile k of
+    customers ranked by lifetime revenue DESC, the cumulative revenue
+    share in ppm — "the top 10% of customers carry X% of revenue". The
+    whale-dependence report every marketplace runs.
+
+    Ranking is at revenue-DOLLAR grain with deterministic intra-class
+    apportionment: when a decile boundary falls inside a class of
+    customers sharing the same dollar total, that class's exact cents
+    contribute proportionally by customer count (truncating integer
+    div). This keeps the only global ordering on the DISTINCT DOLLAR
+    domain (price-grid-bounded — the reorder_gap scale contract) while
+    remaining bit-identical across engines; cents stay DECIMAL(38,0)
+    throughout.
+
+    Shape: one customer-grain aggregate, one dollar-grain histogram,
+    one cumulative walk over the histogram, a |n_buckets|-element
+    literal explode. No global sort of the customer relation."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    per_cust = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(price * 100 AS DECIMAL(38,0))")).alias("cents"),
+    ).select("cents", F.expr("CAST(cents DIV 100 AS BIGINT)").alias("dollars"))
+    hist = per_cust.groupBy("dollars").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cents").alias("rev"),
+    )
+    cw = Window.orderBy(F.col("dollars").desc())
+    full = cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "dollars", "cnt", "rev",
+        (F.sum("cnt").over(cw)).alias("cum"),
+        (F.sum("cnt").over(cw) - F.col("cnt")).alias("cum_prev"),
+        (F.sum("rev").over(cw) - F.col("rev")).alias("rev_prev"),
+        F.sum("cnt").over(full).alias("n"),
+        F.sum("rev").over(full).alias("total_rev"),
+    )
+    k = F.explode(
+        F.array(*[F.lit(int(i)) for i in range(1, n_buckets + 1)])
+    ).alias("k")
+    return (
+        cum.select("dollars", "cnt", "rev", "cum", "cum_prev", "rev_prev",
+                   "n", "total_rev", k)
+        .filter(
+            (F.col("cum") >= F.expr(f"(n * k) DIV {n_buckets}"))
+            & (F.col("cum_prev") < F.expr(f"(n * k) DIV {n_buckets}"))
+        )
+        .select(
+            "k",
+            F.expr(f"CAST((n * k) DIV {n_buckets} AS BIGINT)").alias(
+                "n_customers"
+            ),
+            F.expr(
+                f"CAST(rev_prev + (rev * ((n * k) DIV {n_buckets} - cum_prev))"
+                f" DIV cnt AS BIGINT)"
+            ).alias("cum_revenue_cents"),
+            F.expr(
+                f"CAST(((rev_prev + (rev * ((n * k) DIV {n_buckets}"
+                f" - cum_prev)) DIV cnt) * {scale}) DIV total_rev AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+def pareto_share_sql(n_buckets: int = 10, scale: int = 1_000_000,
+                     table: str = "orders") -> str:
+    """DuckDB mirror of :func:`pareto_share`."""
+    tgt = f"(n * k) // {n_buckets}"
+    return f"""
+        WITH pc AS (
+          SELECT o_custkey,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS DECIMAL(38,0))) AS cents
+          FROM {table} GROUP BY 1
+        ),
+        -- all mirror arithmetic runs in HUGEINT: DuckDB's // on DECIMAL
+        -- operands routes through DOUBLE and can round the quotient up,
+        -- while HUGEINT // is exact (matches Spark's exact decimal DIV)
+        d AS (SELECT CAST(cents AS HUGEINT) AS cents,
+                     CAST(CAST(cents AS HUGEINT) // 100 AS BIGINT) AS dollars
+              FROM pc),
+        hist AS (
+          SELECT dollars, count(*) AS cnt, sum(cents) AS rev
+          FROM d GROUP BY 1
+        ),
+        cum AS (
+          SELECT dollars, cnt, rev,
+                 sum(cnt) OVER (ORDER BY dollars DESC) AS cum,
+                 sum(cnt) OVER (ORDER BY dollars DESC) - cnt AS cum_prev,
+                 sum(rev) OVER (ORDER BY dollars DESC) - rev AS rev_prev,
+                 sum(cnt) OVER () AS n,
+                 sum(rev) OVER () AS total_rev
+          FROM hist
+        )
+        SELECT CAST(k AS INT) AS k,
+               CAST({tgt} AS BIGINT) AS n_customers,
+               CAST(rev_prev + (rev * ({tgt} - cum_prev)) // cnt
+                    AS BIGINT) AS cum_revenue_cents,
+               CAST(((rev_prev + (rev * ({tgt} - cum_prev)) // cnt)
+                    * {scale}) // total_rev AS BIGINT) AS share_ppm
+        FROM cum CROSS JOIN (SELECT unnest(range(1, {n_buckets + 1})) AS k)
+        WHERE cum >= {tgt} AND cum_prev < {tgt}
+    """
+
+
+def debounce_events(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Debounce audit per event type: how many events arrive within
+    ``window_s`` seconds of the SAME user's previous event of the same
+    type (double-clicks, retry storms, duplicate beacons) and the kept
+    rate in ppm after dropping them. The dedup-by-proximity screen a
+    telemetry ingest runs before billing/metrics.
+
+    Gap semantics: each event compares against its immediate
+    predecessor in (user, type) event order (ties on event_id), not
+    against the last KEPT event — a single lag window, stateless and
+    exactly mirrorable, where the kept-anchored variant would need a
+    sequential scan. Integer seconds (micros DIV 1e6).
+
+    Shape: ONE (user_id, event_type) exchange for the lag window, then
+    a per-type rollup. Nothing driver-side, no self-join."""
+    if window_s < 1:
+        raise ValueError(f"window_s must be >= 1, got {window_s}")
+    w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    flagged = (
+        events.select("event_id", "user_id", "event_type", sec.alias("sec"))
+        .withColumn("prev", F.lag("sec").over(w))
+        .select(
+            "event_type",
+            (
+                F.col("prev").isNotNull()
+                & (F.col("sec") - F.col("prev") < window_s)
+            ).cast("int").alias("bounced"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("bounced").cast("long").alias("n_bounced"),
+        F.expr(
+            "CAST((CAST(count(1) - sum(bounced) AS DECIMAL(38,0))"
+            " * 1000000) DIV count(1) AS BIGINT)"
+        ).alias("kept_ppm"),
+    )
+
+
+def debounce_events_sql(window_s: int = 60, table: str = "events") -> str:
+    """DuckDB mirror of :func:`debounce_events`."""
+    return f"""
+        WITH s AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+          FROM {table}
+        ),
+        f AS (
+          SELECT event_type,
+                 CAST(coalesce(
+                   sec - lag(sec) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY sec, event_id)
+                   < {window_s}, FALSE) AS INT) AS bounced
+          FROM s
+        )
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(bounced) AS BIGINT) AS n_bounced,
+               CAST((CAST(count(*) - sum(bounced) AS HUGEINT) * 1000000)
+                    // count(*) AS BIGINT) AS kept_ppm
+        FROM f GROUP BY 1
+    """
+
+
+def burstiness(events: DataFrame, min_events: int = 5,
+               top_n: int = 100, scale: int = 1_000_000) -> DataFrame:
+    """Per-user inter-arrival burstiness: the squared coefficient of
+    variation of a user's gaps between consecutive events, in ppm —
+    CV² = n·Σg²/(Σg)² − 1. A Poisson (memoryless) user sits at ~1e6;
+    bots on a timer → 0; bursty humans → ≫1e6. The bot/burst screen for
+    rate-limiting and abuse triage, reported for the ``top_n`` most
+    bursty qualifying users.
+
+    Integer end to end: gaps in whole seconds, Σg² accumulated in
+    DECIMAL(38,0) (safe: 10¹² one-year gaps), the CV² ratio a
+    truncating div — bit-equal to the HUGEINT mirror. Zero-duration
+    users (Σg = 0) are excluded with the < min_events crowd.
+
+    Shape: one lag window on the user exchange, one user-grain
+    aggregate reusing that partitioning, then a global top-N via
+    orderBy+limit (TakeOrdered — per-partition heads, never a full
+    sort). Ties break (cv2 desc, user_id)."""
+    if min_events < 2:
+        raise ValueError(f"min_events must be >= 2, got {min_events}")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    gaps = (
+        events.select("event_id", "user_id", sec.alias("sec"))
+        .withColumn("prev", F.lag("sec").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.col("sec") - F.col("prev")).alias("g"))
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("sg2"),
+    ).filter((F.col("n_gaps") >= min_events - 1) & (F.col("sg") > 0))
+    scored = per_user.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.expr("CAST(sg DIV n_gaps AS BIGINT)").alias("mean_gap_s"),
+        F.expr(
+            f"CAST((n_gaps * sg2 * {scale}) DIV (sg * sg) - {scale}"
+            f" AS BIGINT)"
+        ).alias("cv2_ppm"),
+    )
+    return scored.orderBy(F.col("cv2_ppm").desc(), "user_id").limit(top_n)
+
+
+def burstiness_sql(min_events: int = 5, top_n: int = 100,
+                   scale: int = 1_000_000, table: str = "events") -> str:
+    """DuckDB mirror of :func:`burstiness`."""
+    return f"""
+        WITH s AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+          FROM {table}
+        ),
+        g AS (
+          SELECT user_id,
+                 sec - lag(sec) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id) AS g
+          FROM s
+          QUALIFY g IS NOT NULL
+        ),
+        pu AS (
+          SELECT user_id, count(*) AS n_gaps,
+                 sum(CAST(g AS HUGEINT)) AS sg,
+                 sum(CAST(g AS HUGEINT) * g) AS sg2
+          FROM g GROUP BY 1
+          HAVING count(*) >= {min_events - 1} AND sum(g) > 0
+        )
+        SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+               CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+               CAST((n_gaps * sg2 * {scale}) // (sg * sg) - {scale}
+                    AS BIGINT) AS cv2_ppm
+        FROM pu
+        ORDER BY cv2_ppm DESC, user_id
+        LIMIT {top_n}
+    """

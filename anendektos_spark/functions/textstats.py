@@ -2267,3 +2267,117 @@ def boilerplate_clean_sql(
         FROM l LEFT JOIN flagged f ON l.norm = f.norm
         GROUP BY l.doc_id
     """
+
+def source_divergence(
+    docs: DataFrame, scale: int = 1_000_000, text_col: str = "text"
+) -> DataFrame:
+    """Pairwise total-variation distance between the unigram
+    distributions of each document SOURCE, in ppm — the corpus-mixture
+    drift report ("how different is crawl-B's language from crawl-A's")
+    behind mixture re-weighting and contamination triage. TV = ½Σ_t
+    |p_t − q_t| over the union vocabulary; 0 = identical mixes, 1e6 =
+    disjoint.
+
+    Exact-rational evaluation (no per-token ppm truncation, whose
+    rounding would drift between engines): with c/T the per-source
+    token count/total, |c_a/T_a − c_b/T_b| = |c_a·T_b − c_b·T_a| /
+    (T_a·T_b), so TV_ppm = (Σ_common |c_a·T_b − c_b·T_a| +
+    (T_a−S_a)·T_b + (T_b−S_b)·T_a) · scale DIV (2·T_a·T_b), where S_x
+    is the common-token mass — the two tail terms fold in the
+    tokens each side holds exclusively without ever materializing the
+    sparse union. DECIMAL(38,0) throughout (safe to ~10¹⁵ tokens per
+    source against the 38-digit cap: c·T ≤ 10³⁰, ×scale ≤ 10³⁶).
+
+    Shape: one token-grain count shuffle keyed (source, token); the
+    per-source totals relation is source-grain (tiny, broadcast back);
+    the pair join is an inverted-index hash join ON TOKEN between
+    source-tagged vocab relations (cost Σ_t sources(t)² — vocab ×
+    |sources|², never documents²), then ONE per-pair aggregate. Ties:
+    pairs emitted with source_a < source_b lexicographically."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    counts = (
+        docs.select(F.col("source").alias("src"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("src", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("src").agg(
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("tot")
+    )
+    sided = counts.join(F.broadcast(totals), "src")
+    a = sided.select(
+        F.col("src").alias("source_a"), "token",
+        F.col("c").alias("c_a"), F.col("tot").alias("t_a"),
+    )
+    b = sided.select(
+        F.col("src").alias("source_b"), "token",
+        F.col("c").alias("c_b"), F.col("tot").alias("t_b"),
+    )
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+            F.sum(
+                F.expr("abs(CAST(c_a AS DECIMAL(38,0)) * t_b - "
+                       "CAST(c_b AS DECIMAL(38,0)) * t_a)")
+            ).alias("d_common"),
+            F.sum(F.col("c_a").cast("decimal(38,0)")).alias("s_a"),
+            F.sum(F.col("c_b").cast("decimal(38,0)")).alias("s_b"),
+            F.first("t_a").alias("t_a"),
+            F.first("t_b").alias("t_b"),
+        )
+    )
+    return pairs.select(
+        "source_a", "source_b", "n_common_tokens",
+        F.expr(
+            f"CAST(((d_common + (t_a - s_a) * t_b + (t_b - s_b) * t_a)"
+            f" * {scale}) DIV (2 * t_a * t_b) AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
+
+
+def source_divergence_sql(
+    rel: str, scale: int = 1_000_000
+) -> str:
+    """DuckDB mirror of :func:`source_divergence` (HUGEINT arithmetic;
+    shares the tokens/normalize CTE contract with vocab_build_sql)."""
+    return f"""
+        WITH d AS ({rel}),
+        inst AS (
+          SELECT source AS src,
+                 unnest(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+')) AS token
+          FROM d
+        ),
+        counts AS (
+          SELECT src, token, count(*) AS c FROM inst
+          WHERE token <> '' GROUP BY 1, 2
+        ),
+        totals AS (
+          SELECT src, sum(CAST(c AS HUGEINT)) AS tot FROM counts GROUP BY 1
+        ),
+        sided AS (
+          SELECT c.src, c.token, c.c, t.tot
+          FROM counts c JOIN totals t USING (src)
+        ),
+        pairs AS (
+          SELECT a.src AS source_a, b.src AS source_b,
+                 count(*) AS n_common_tokens,
+                 sum(abs(CAST(a.c AS HUGEINT) * b.tot
+                         - CAST(b.c AS HUGEINT) * a.tot)) AS d_common,
+                 sum(CAST(a.c AS HUGEINT)) AS s_a,
+                 sum(CAST(b.c AS HUGEINT)) AS s_b,
+                 any_value(a.tot) AS t_a, any_value(b.tot) AS t_b
+          FROM sided a JOIN sided b ON a.token = b.token
+                                   AND a.src < b.src
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               CAST(n_common_tokens AS BIGINT) AS n_common_tokens,
+               CAST(((d_common + (t_a - s_a) * t_b + (t_b - s_b) * t_a)
+                    * {scale}) // (2 * t_a * t_b) AS BIGINT) AS tv_ppm
+        FROM pairs
+    """

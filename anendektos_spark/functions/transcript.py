@@ -1936,3 +1936,59 @@ def handoff_outcomes_sql(rel: str, scale: int = 1_000_000) -> str:
         GROUP BY 1, 2
         """
     )
+
+def abandon_hazard(parsed: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Discrete termination-hazard curve over conversation depth: for
+    each exact depth t (parsed-call count), the number of conversations
+    that END at t, the number still alive entering t (at-risk set), and
+    the hazard n_ended·scale DIV n_at_risk — P(conversation stops here |
+    it got this far). The session-survival diagnostic that separates
+    "users bail after the first failed call" (early hazard spike) from
+    "agents grind until context exhaustion" (late ramp); the exact-depth
+    complement of :func:`outcome_by_depth`'s bucketed failure shares.
+
+    Shape: ONE conv_id count aggregate (map-side combined), then a
+    depth-grain histogram whose reverse-cumulative at-risk walk runs
+    over the DISTINCT DEPTH relation — bounded by the longest
+    conversation, never the conversation count (the reorder_gap
+    contract). Integer throughout; truncating div matches HUGEINT."""
+    lens = parsed.groupBy("conv_id").agg(F.count(F.lit(1)).alias("depth"))
+    hist = lens.groupBy("depth").agg(F.count(F.lit(1)).alias("n_ended"))
+    w = Window.orderBy(F.col("depth").desc())
+    return (
+        hist.select(
+            "depth", "n_ended",
+            F.sum("n_ended").over(w).alias("n_at_risk"),
+        )
+        .select(
+            "depth",
+            F.col("n_ended").cast("long").alias("n_ended"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.expr(
+                f"CAST((CAST(n_ended AS DECIMAL(38,0)) * {scale})"
+                f" DIV n_at_risk AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+    )
+
+
+def abandon_hazard_sql(rel: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`abandon_hazard`."""
+    return (
+        _parsed_cte(rel)
+        + f"""
+        , lens AS (
+          SELECT conv_id, count(*) AS depth FROM parsed GROUP BY 1
+        ),
+        hist AS (
+          SELECT depth, count(*) AS n_ended FROM lens GROUP BY 1
+        )
+        SELECT depth, CAST(n_ended AS BIGINT) AS n_ended,
+               CAST(sum(n_ended) OVER (ORDER BY depth DESC)
+                    AS BIGINT) AS n_at_risk,
+               CAST((CAST(n_ended AS HUGEINT) * {scale})
+                    // sum(n_ended) OVER (ORDER BY depth DESC)
+                    AS BIGINT) AS hazard_ppm
+        FROM hist
+        """
+    )
