@@ -238,6 +238,11 @@ NEXT_ROTATION = [
     "events_burstiness",
     "graph_kcore",
     "transcript_abandon_hazard",
+    "graph_clustering_coeff",
+    "hist_equidepth_values",
+    "orders_ship_sla",
+    "events_seasonal_spikes",
+    "orders_benford",
 ]
 
 
@@ -1133,6 +1138,27 @@ def _register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["transcript_abandon_hazard"] = lambda s, d: transcript.abandon_hazard(
         transcript.parse_turns(transcript.synth_transcript(s, _CONV_N))
+    )
+    # local clustering coefficient over the skewed link graph (composes
+    # the degree-ordered triangle counter)
+    q["graph_clustering_coeff"] = lambda s, d: graph.clustering_coeff(
+        graph.synth_links_skewed(s, 20_000, 1_000)
+    )
+    # equi-depth histogram boundaries of the event value column
+    q["hist_equidepth_values"] = lambda s, d: logops.hist_equidepth(
+        _t(s, d, "events")
+    )
+    # fulfilment-SLA attainment by order priority (orders ⋈ lineitem)
+    q["orders_ship_sla"] = lambda s, d: logops.ship_sla(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    # diurnal-aware rate anomaly screen (same-hour-of-day baseline)
+    q["events_seasonal_spikes"] = lambda s, d: logops.seasonal_spikes(
+        _t(s, d, "events")
+    )
+    # Benford first-digit audit of order amounts
+    q["orders_benford"] = lambda s, d: logops.benford_screen(
+        _t(s, d, "orders")
     )
     # per-source robust doc-length screen (round-5 late)
     q["text_length_outliers"] = lambda s, d: textstats.length_outliers(
@@ -4278,6 +4304,13 @@ def oracle_sql() -> dict[str, str]:
         graph.synth_links_skewed_sql(20_000, 1_000), k=12, rounds=6
     )
     o["transcript_abandon_hazard"] = transcript.abandon_hazard_sql(_tx_rel)
+    o["graph_clustering_coeff"] = graph.clustering_coeff_sql(
+        graph.synth_links_skewed_sql(20_000, 1_000)
+    )
+    o["hist_equidepth_values"] = logops.hist_equidepth_sql()
+    o["orders_ship_sla"] = logops.ship_sla_sql()
+    o["events_seasonal_spikes"] = logops.seasonal_spikes_sql()
+    o["orders_benford"] = logops.benford_screen_sql()
     o["text_length_outliers"] = textstats.length_outliers_sql(
         "SELECT doc_id, source, n_chars FROM documents"
     )

@@ -603,3 +603,76 @@ def kcore_sql(edges_rel: str, k: int = 3, rounds: int = 6) -> str:
         SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
         FROM {prev} GROUP BY src
     """
+
+def clustering_coeff(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Local clustering coefficient per node, in ppm: 2·T(v)·scale DIV
+    (deg(v)·(deg(v)−1)) for nodes of undirected degree ≥ 2 — how much of
+    each node's neighborhood is itself wired (1e6 = clique corner, 0 =
+    star center). The community-structure complement of
+    :func:`triangle_counts`: spam link-farms sit near 1e6 while organic
+    hubs thin out with degree.
+
+    Composes :func:`triangle_counts` (degree-ordered wedge join — safe
+    on power-law hubs) with the same simple-graph degree relation; nodes
+    with no triangle report 0 via the left join. Integer throughout; the
+    2·T·scale product runs in DECIMAL(38,0) (a clique corner has T ≈
+    deg²/2, so long math would wrap at deg ≈ 2e6 — the decimal keeps the
+    Spark arithmetic identical to the HUGEINT mirror at any degree)."""
+    tri = triangle_counts(edges)
+    a, b = F.col("a"), F.col("b")
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(a != b)
+        .distinct()
+    )
+    deg = (
+        und.select(a.alias("node"))
+        .unionByName(und.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                f"CAST((CAST(coalesce(n_triangles, 0) AS DECIMAL(38,0))"
+                f" * 2 * {scale}) DIV (CAST(deg AS DECIMAL(38,0))"
+                f" * (deg - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )
+
+
+def clustering_coeff_sql(edges_rel: str, scale: int = 1_000_000) -> str:
+    """DuckDB mirror of :func:`clustering_coeff` (wraps the
+    triangle-count mirror as a subquery)."""
+    return f"""
+        WITH raw AS ({edges_rel}),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node
+        ),
+        tri AS ({triangle_counts_sql(edges_rel)})
+        SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST((CAST(coalesce(t.n_triangles, 0) AS HUGEINT)
+                    * 2 * {scale})
+                    // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
+                 AS cc_ppm
+        FROM deg d LEFT JOIN tri t ON d.node = t.node
+        WHERE d.deg >= 2
+    """

@@ -2032,3 +2032,315 @@ def burstiness_sql(min_events: int = 5, top_n: int = 100,
         ORDER BY cv2_ppm DESC, user_id
         LIMIT {top_n}
     """
+
+def hist_equidepth(
+    df: DataFrame, value_col: str = "value", n_bins: int = 10
+) -> DataFrame:
+    """Equi-depth histogram boundaries of a numeric column: for each
+    bin k of ``n_bins``, the exact nearest-rank upper boundary (the
+    value at rank ceil(n·k/n_bins)) — the quantile sketch behind
+    range-partition planning, z-order bucket sizing and skew detection,
+    where fixed-width bins (:func:`value_histogram`) waste resolution on
+    long tails.
+
+    Values map to the micro-integer grid first (round(v·1e6) as long —
+    the value_histogram contract, deterministic in both engines), and
+    boundaries come from the VALUE HISTOGRAM + cumulative walk: the only
+    global ordering runs over the distinct micro-value relation
+    (value-grid-bounded, the reorder_gap contract), never a sort of the
+    row stream. NULLs drop (profile_columns owns null counts).
+
+    Returns (bin int, upper_micro long, upper double, n_cum long)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v_i = F.round(F.col(value_col).cast("decimal(26,6)") * 1_000_000, 0).cast(
+        "long"
+    )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(v_i.alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cw = Window.orderBy("v")
+    cum = hist.select(
+        "v",
+        F.sum("cnt").over(cw).alias("cum"),
+        (F.sum("cnt").over(cw) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(
+            cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    k = F.explode(
+        F.array(*[F.lit(int(i)) for i in range(1, n_bins + 1)])
+    ).alias("bin")
+    return (
+        cum.select("v", "cum", "cum_prev", "n", k)
+        .filter(
+            (F.col("cum") >= F.expr(f"(n * bin + {n_bins - 1}) DIV {n_bins}"))
+            & (F.col("cum_prev") < F.expr(f"(n * bin + {n_bins - 1}) DIV {n_bins}"))
+        )
+        .select(
+            "bin",
+            F.col("v").alias("upper_micro"),
+            (F.col("v") / F.lit(1_000_000.0)).alias("upper"),
+            F.expr(f"CAST((n * bin + {n_bins - 1}) DIV {n_bins} AS BIGINT)").alias(
+                "n_cum"
+            ),
+        )
+    )
+
+
+def hist_equidepth_sql(
+    value_col: str = "value", n_bins: int = 10, table: str = "events"
+) -> str:
+    """DuckDB mirror of :func:`hist_equidepth`."""
+    tgt = f"(n * k + {n_bins - 1}) // {n_bins}"
+    return f"""
+        WITH hist AS (
+          SELECT CAST(round(CAST({value_col} AS DECIMAL(26,6)) * 1000000, 0)
+                      AS BIGINT) AS v,
+                 count(*) AS cnt
+          FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+        ),
+        cum AS (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+                 sum(cnt) OVER (ORDER BY v) - cnt AS cum_prev,
+                 sum(cnt) OVER () AS n
+          FROM hist
+        )
+        SELECT CAST(k AS INT) AS bin, v AS upper_micro,
+               v / 1000000.0 AS upper,
+               CAST({tgt} AS BIGINT) AS n_cum
+        FROM cum CROSS JOIN (SELECT unnest(range(1, {n_bins + 1})) AS k)
+        WHERE cum >= {tgt} AND cum_prev < {tgt}
+    """
+
+
+def ship_sla(
+    orders: DataFrame, lineitem: DataFrame,
+    slas: tuple = (30, 60, 90), scale: int = 1_000_000,
+) -> DataFrame:
+    """Fulfilment-SLA attainment by order priority: per priority class,
+    the line-item count and the ppm share shipped within each
+    ``slas``-day window of the order date — the ops dashboard behind
+    "URGENT orders ship in 30 days 99% of the time". Integer day
+    arithmetic (micros DIV day) on both sides of the join.
+
+    Shape: ONE hash join lineitem⋈orders on the order key (big⋈big,
+    co-partitioned — at TPC-H scale both sides are bucketed/sorted by
+    orderkey, so the exchange is free under storage-partitioned joins),
+    then one ≤|priorities| aggregate with conditional sums folded
+    map-side. The share arithmetic is DECIMAL(38,0)·scale with
+    truncating div (engine-exact past 10¹² line items)."""
+    if not slas:
+        raise ValueError("slas must be non-empty")
+    day = "unix_micros(cast({} as timestamp)) div 86400000000"
+    o = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.expr(day.format("o_orderdate")).alias("od"),
+    )
+    li = lineitem.select(
+        "l_orderkey", F.expr(day.format("l_shipdate")).alias("sd")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", (F.col("sd") - F.col("od")).alias("lag_d")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_items")]
+    shares = []
+    for s in slas:
+        aggs.append(
+            F.sum((F.col("lag_d") <= s).cast("long")).alias(f"_w{s}")
+        )
+        shares.append(
+            F.expr(
+                f"CAST((CAST(_w{s} AS DECIMAL(38,0)) * {scale})"
+                f" DIV n_items AS BIGINT)"
+            ).alias(f"within{s}_ppm")
+        )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(*aggs)
+        .select("o_orderpriority", "n_items", *shares)
+    )
+
+
+def ship_sla_sql(
+    slas: tuple = (30, 60, 90), scale: int = 1_000_000,
+    orders_table: str = "orders", lineitem_table: str = "lineitem",
+) -> str:
+    """DuckDB mirror of :func:`ship_sla`."""
+    cols = ", ".join(
+        f"CAST((CAST(sum(CASE WHEN lag_d <= {s} THEN 1 ELSE 0 END)"
+        f" AS HUGEINT) * {scale}) // count(*) AS BIGINT) AS within{s}_ppm"
+        for s in slas
+    )
+    return f"""
+        WITH j AS (
+          SELECT o.o_orderpriority,
+                 epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+                 - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+                   AS lag_d
+          FROM {lineitem_table} l
+          JOIN {orders_table} o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority, count(*) AS n_items, {cols}
+        FROM j GROUP BY 1
+    """
+
+
+def seasonal_spikes(
+    events: DataFrame, min_ratio_ppm: int = 2_000_000,
+    min_base_events: int = 8, scale: int = 1_000_000,
+) -> DataFrame:
+    """Seasonal-naive anomaly screen: hourly event counts compared
+    against the SAME-HOUR-OF-DAY baseline for that event type (mean
+    over all observed days, computed leave-in), emitting the (type,
+    day, hour) cells whose count is ≥ ``min_ratio_ppm`` of baseline —
+    the diurnal-aware complement of :func:`rate_spikes`' trailing
+    window, which flags every morning ramp on a nocturnal service.
+    ratio = n/(total/n_days) evaluated as n·n_days·scale DIV total
+    (exact integers, no baseline rounding). Types whose hod baseline
+    has fewer than ``min_base_events`` events are skipped (a spike over
+    a 1-event baseline is noise).
+
+    Shape: one (type, day, hod) count aggregate off the scan, one
+    (type, hod) rollup of THAT relation (tiny), a hash join back on
+    (type, hod), and a codegen filter. Day/hour are integer micros
+    arithmetic — no timezone-dependent truncation."""
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    hod = F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
+    cells = (
+        events.select("event_type", day.alias("day"), hod.alias("hod"))
+        .groupBy("event_type", "day", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = cells.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    ).filter(F.col("total") >= min_base_events)
+    return (
+        cells.join(base, ["event_type", "hod"])
+        .select(
+            "event_type", "day", "hod", "n", "total", "n_days",
+            F.expr(
+                f"CAST((CAST(n AS DECIMAL(38,0)) * n_days * {scale})"
+                f" DIV total AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+        .filter(F.col("ratio_ppm") >= min_ratio_ppm)
+    )
+
+
+def seasonal_spikes_sql(
+    min_ratio_ppm: int = 2_000_000, min_base_events: int = 8,
+    scale: int = 1_000_000, table: str = "events",
+) -> str:
+    """DuckDB mirror of :func:`seasonal_spikes`."""
+    return f"""
+        WITH cells AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+                 count(*) AS n
+          FROM {table} GROUP BY 1, 2, 3
+        ),
+        base AS (
+          SELECT event_type, hod, sum(n) AS total, count(*) AS n_days
+          FROM cells GROUP BY 1, 2
+          HAVING sum(n) >= {min_base_events}
+        )
+        SELECT c.event_type, c.day, c.hod, c.n,
+               CAST(b.total AS BIGINT) AS total,
+               CAST(b.n_days AS BIGINT) AS n_days,
+               CAST((CAST(c.n AS HUGEINT) * b.n_days * {scale}) // b.total
+                    AS BIGINT) AS ratio_ppm
+        FROM cells c JOIN base b USING (event_type, hod)
+        WHERE (CAST(c.n AS HUGEINT) * b.n_days * {scale}) // b.total
+              >= {min_ratio_ppm}
+    """
+
+
+# Benford first-digit probabilities log10(1 + 1/d) in ppm, rounded to the
+# nearest ppm — literal constants so no engine evaluates a log
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+               45757)
+
+
+def benford_screen(
+    orders: DataFrame, amount_col: str = "o_totalprice",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Benford first-digit screen over an amount column: observed
+    first-significant-digit distribution of the cent amounts vs the
+    Benford expectation, with the absolute deviation per digit — the
+    classic fabricated-numbers tripwire (auditing, synthetic-data QA).
+    Amounts are fixed to integer cents (round(v·100), the micro-grid
+    contract); zero/negative amounts drop (no leading digit). The first
+    digit comes from the decimal-string head — pure integer/string ops,
+    identical in both engines.
+
+    Shape: one narrow map + one 9-key aggregate + a broadcast of the
+    9-row totals; everything folds map-side."""
+    cents = F.round(F.col(amount_col).cast("decimal(26,6)") * 100, 0).cast(
+        "long"
+    )
+    digits = (
+        orders.select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            )
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    exp_arr = "array({})".format(", ".join(str(p) for p in BENFORD_PPM))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                f"CAST((CAST(n AS DECIMAL(38,0)) * {scale}) DIV _total"
+                f" AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.expr(f"CAST(element_at({exp_arr}, digit) AS BIGINT)").alias(
+                "exp_ppm"
+            ),
+            F.expr(
+                f"abs(CAST((CAST(n AS DECIMAL(38,0)) * {scale}) DIV _total"
+                f" AS BIGINT) - element_at({exp_arr}, digit))"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def benford_screen_sql(
+    amount_col: str = "o_totalprice", scale: int = 1_000_000,
+    table: str = "orders",
+) -> str:
+    """DuckDB mirror of :func:`benford_screen`."""
+    exp_list = ", ".join(str(p) for p in BENFORD_PPM)
+    return f"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(round(
+                   CAST({amount_col} AS DECIMAL(26,6)) * 100, 0)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM {table}
+          WHERE CAST(round(CAST({amount_col} AS DECIMAL(26,6)) * 100, 0)
+                AS BIGINT) > 0
+        ),
+        counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        total AS (SELECT sum(n) AS _total FROM counts),
+        expd AS (SELECT CAST(generate_subscripts(l, 1) AS INT) AS digit,
+                        unnest(l) AS exp_ppm
+                 FROM (SELECT [{exp_list}] AS l))
+        SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+               CAST((CAST(c.n AS HUGEINT) * {scale}) // _total AS BIGINT)
+                 AS obs_ppm,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+               abs(CAST((CAST(c.n AS HUGEINT) * {scale}) // _total
+                   AS BIGINT) - e.exp_ppm) AS dev_ppm
+        FROM counts c CROSS JOIN total JOIN expd e USING (digit)
+    """

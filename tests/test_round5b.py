@@ -216,3 +216,106 @@ def test_abandon_hazard_hand_computed(spark):
     assert out[2].hazard_ppm == 2 * 1_000_000 // 3
     assert (out[3].n_ended, out[3].n_at_risk) == (1, 1)
     assert out[3].hazard_ppm == 1_000_000
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coeff
+# --------------------------------------------------------------------------
+
+def test_clustering_coeff_hand_computed(spark):
+    # triangle 1-2-3 plus tail 3-4: corners of the triangle close fully,
+    # node 3's neighborhood (1,2,4) has 1 of 3 possible links
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out = {r.node: r for r in graph.clustering_coeff(edges).collect()}
+    assert set(out) == {1, 2, 3}  # deg-1 node 4 excluded
+    assert (out[1].cc_ppm, out[2].cc_ppm) == (1_000_000, 1_000_000)
+    assert out[3].deg == 3 and out[3].n_triangles == 1
+    assert out[3].cc_ppm == 2 * 1_000_000 // (3 * 2)
+
+
+def test_clustering_coeff_no_triangles(spark):
+    # path graph: every deg>=2 node reports 0 via the left join
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.cc_ppm for r in graph.clustering_coeff(edges).collect()}
+    assert out == {2: 0}
+
+
+# --------------------------------------------------------------------------
+# hist_equidepth_values
+# --------------------------------------------------------------------------
+
+def test_hist_equidepth_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (2.0,), (3.0,), (None,)], "value double"
+    )
+    out = {r.bin: r for r in logops.hist_equidepth(df, n_bins=2).collect()}
+    # n=4 (null drops): median boundary = rank 2 -> 1.0; max -> 3.0
+    assert (out[1].upper, out[1].n_cum) == (1.0, 2)
+    assert out[1].upper_micro == 1_000_000
+    assert (out[2].upper, out[2].n_cum) == (3.0, 4)
+    with pytest.raises(ValueError):
+        logops.hist_equidepth(df, n_bins=0)
+
+
+# --------------------------------------------------------------------------
+# orders_ship_sla
+# --------------------------------------------------------------------------
+
+def test_ship_sla_hand_computed(spark):
+    o = _orders(spark, [(1, 1, 10.0, 0)]).withColumn(
+        "o_orderpriority", F.lit("1-URGENT")
+    )
+    li = spark.createDataFrame(
+        [(1, 10), (1, 40), (1, 100)], "l_orderkey long, d long"
+    ).select("l_orderkey",
+             F.timestamp_seconds(F.col("d") * 86_400).alias("l_shipdate"))
+    r = logops.ship_sla(o, li).collect()[0]
+    assert r.o_orderpriority == "1-URGENT" and r.n_items == 3
+    assert r.within30_ppm == 1_000_000 // 3
+    assert r.within60_ppm == 2_000_000 // 3
+    assert r.within90_ppm == 2_000_000 // 3
+    with pytest.raises(ValueError):
+        logops.ship_sla(o, li, slas=())
+
+
+# --------------------------------------------------------------------------
+# events_seasonal_spikes
+# --------------------------------------------------------------------------
+
+def test_seasonal_spikes_hand_computed(spark):
+    d = 86_400
+    rows = (
+        # "click" hour 0 over four days: 1,1,1,5 events -> day-3 ratio
+        # 5·4/8 = 2.5x fires; the 1-count days sit at 0.5x
+        [(i, 1, "click", day * d + i) for day, cnt in
+         [(0, 1), (1, 1), (2, 1)] for i in range(cnt)]
+        + [(100 + i, 1, "click", 3 * d + i) for i in range(5)]
+        # sparse type below min_base_events: never reported
+        + [(200, 1, "view", 0), (201, 1, "view", d)]
+    )
+    out = logops.seasonal_spikes(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.event_type, r.day, r.hod) == ("click", 3, 0)
+    assert (r.n, r.total, r.n_days) == (5, 8, 4)
+    assert r.ratio_ppm == 5 * 4 * 1_000_000 // 8
+
+
+# --------------------------------------------------------------------------
+# orders_benford
+# --------------------------------------------------------------------------
+
+def test_benford_hand_computed(spark):
+    rows = [(i + 1, 1, p, 0) for i, p in
+            enumerate([1.00, 1.50, 2.00, 19.99, 0.0, -5.0])]
+    out = {r.digit: r for r in logops.benford_screen(
+        _orders(spark, rows)).collect()}
+    # cents 100,150,200,1999 (zero/negative drop): digits 1,1,2,1
+    assert set(out) == {1, 2}
+    assert (out[1].n, out[1].obs_ppm) == (3, 750_000)
+    assert out[1].exp_ppm == 301_030
+    assert out[1].dev_ppm == 750_000 - 301_030
+    assert (out[2].n, out[2].obs_ppm) == (1, 250_000)
+    assert out[2].dev_ppm == 250_000 - 176_091
