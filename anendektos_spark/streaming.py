@@ -1274,3 +1274,103 @@ def read_label_balance(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return _balance_from_counts(by, label_col, scale)
+
+def stream_debounce(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_s: int = 60,
+    idle_timeout_min: float = 60,
+    available_now: bool = False,
+):
+    """KEPT-ANCHORED debounce as a stateful stream: an event is kept iff
+    it is ≥ ``window_s`` seconds after the last KEPT event of the same
+    (user, event_type) — the true throttle semantics a billing/alerting
+    ingest wants, which the batch screen
+    (functions/logops.debounce_events) deliberately approximates with
+    the immediate-predecessor gap because the kept-anchored chain is a
+    SEQUENTIAL fold (each verdict depends on the previous verdict, not
+    just the previous row) and belongs exactly here, in
+    applyInPandasWithState.
+
+    Every event is emitted once, annotated ``kept`` — the op is a
+    row-grain annotator, so downstream sinks filter kept (billing) or
+    ¬kept (abuse forensics). State is ONE long per live (user, type)
+    key — the last kept second — and idle keys are expired via
+    ProcessingTimeTimeout after ``idle_timeout_min`` minutes (the
+    bounded-state contract of stream_degenerate_runs; a user resuming
+    after expiry has their first event kept, so set the timeout ≫
+    window_s — with the default 60 min vs 60 s the approximation only
+    affects a user silent for an hour, whose next event a fresh fold
+    would keep anyway; ``0`` disables eviction, tests/bounded replays
+    only). Timeout expiry emits nothing.
+
+    Ordering contract as the other stateful ops: rows are sorted by
+    (sec, event_id) within a batch; the source delivers a key's events
+    in nondecreasing time order across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if window_s < 1:
+        raise ValueError(f"window_s must be >= 1, got {window_s}")
+    out_schema = (
+        "user_id long, event_type string, event_id long, sec long, "
+        "kept boolean"
+    )
+    state_schema = "last_kept long"
+    win = int(window_s)
+    timeout_ms = int(idle_timeout_min * 60_000)
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        cols = ("user_id", "event_type", "event_id", "sec", "kept")
+        out = {c: [] for c in cols}
+        if state.hasTimedOut:
+            state.remove()
+            yield _pd.DataFrame(out)
+            return
+        (last_kept,) = state.get if state.exists else (None,)
+        rows = _pd.concat(list(pdfs)).sort_values(["sec", "event_id"])
+        for eid, sec in zip(rows["event_id"], rows["sec"]):
+            sec = int(sec)
+            kept = last_kept is None or sec - last_kept >= win
+            if kept:
+                last_kept = sec
+            out["user_id"].append(key[0])
+            out["event_type"].append(key[1])
+            out["event_id"].append(int(eid))
+            out["sec"].append(sec)
+            out["kept"].append(kept)
+        state.update((int(last_kept),))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        yield _pd.DataFrame(out)
+
+    keyed = stream.select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("sec"),
+    )
+    annotated = keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        annotated.writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(output_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_debounced(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Fold stream_debounce emissions: every event exactly once with its
+    kept verdict (events are emitted in exactly one batch, so this is a
+    plain read — no reconciling aggregate needed)."""
+    return spark.read.parquet(output_dir).select(
+        "user_id", "event_type", "event_id", "sec", "kept"
+    )

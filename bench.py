@@ -99,6 +99,15 @@ BENCH_QUERIES = [
     "events_stickiness", "orders_reorder_gap",
     "transcript_handoff_outcomes", "orders_cohort_ltv",
     "text_boilerplate_lines", "text_boilerplate_clean",
+    # final round-5 batch: CRM/revenue analytics over orders, telemetry
+    # screens over events, mixture drift over documents, the iterative
+    # k-core peel + clustering coefficient on the skewed synth graph,
+    # and the transcript termination-hazard curve
+    "orders_rfm_segments", "orders_pareto_share", "orders_ship_sla",
+    "orders_benford", "events_debounce", "events_burstiness",
+    "events_seasonal_spikes", "hist_equidepth_values",
+    "text_source_divergence", "graph_kcore", "graph_clustering_coeff",
+    "transcript_abandon_hazard",
 ]
 
 

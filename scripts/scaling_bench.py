@@ -72,6 +72,23 @@ elif job in ("convdedup", "winnow", "prefixjoin", "pack", "substr"):
         spark, n_turns, templates=max(4, n_convs // 12)
     ).write.parquet(d)
     tx = spark.read.parquet(d)
+elif job == "kcore":
+    # deterministic skewed link graph: `replicas` edges over replicas//30
+    # nodes (the synth_links_skewed octave shape — power-law-ish hubs).
+    # The CANONICAL (symmetrized, deduped) adjacency is materialized to
+    # DISK up front and the job runs kcore(symmetrized=True): at corpus
+    # scale the adjacency is built once and reused across k/rounds
+    # sweeps, so the one-time symmetrize must not be re-paid inside
+    # every timed rep (the measurement loop clearCache()s per run).
+    import tempfile
+    from anendektos_spark.functions import graph
+    raw = graph.synth_links_skewed(spark, replicas, max(1000, replicas // 30))
+    und = (raw.unionByName(raw.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")).distinct())
+    d = tempfile.mkdtemp() + "/edges"
+    und.repartition(128).write.parquet(d)
+    tx = spark.read.parquet(d)
 elif job == "pca":
     # deterministic pseudo-random embeddings: `replicas` vectors x 64 dims
     # in [-1, 1] from a hash mix — same input bytes at every level
@@ -141,6 +158,17 @@ def build():
             .agg(F.count("*").alias("n_spans"),
                  F.sum("span_len").alias("chars_flagged"))
         )
+    if job == "kcore":
+        # iterative k-core peel (6 fixed rounds: degree aggregate + two
+        # endpoint semi-joins per round), reduced to a one-row digest so
+        # the measurement is the per-round shuffles, not row collection
+        from anendektos_spark.functions import graph
+        return (
+            graph.kcore(tx, k=12, rounds=6, symmetrized=True)
+            .groupBy()
+            .agg(F.count("*").alias("n_nodes"),
+                 F.sum("core_deg").alias("sum_core_deg"))
+        )
     if job == "pca":
         # fixed-point PCA power iteration (eager: the fit IS the job; the
         # measurement loop times build()+collect together for this job)
@@ -182,14 +210,17 @@ def build():
 import gc as pygc
 times = []
 for _ in range(runs):
-    if job in ("convdedup", "winnow"):
+    if job in ("convdedup", "winnow", "kcore"):
         # these operators persist shared relations internally; a later
         # run must not reuse an earlier run's cache (plan-equality cache
         # substitution) — pay the fill cost inside every measurement
         spark.catalog.clearCache()
-    if job == "pca":
-        # eager fit: the iterations run inside build() (driver-synced
-        # power iteration) — time the whole fit
+    if job in ("pca", "kcore"):
+        # eager work inside build(): pca's power iteration is
+        # driver-synced, and kcore's mid-peel lineage truncation
+        # (eager localCheckpoint at round 3) materializes rounds 1-3
+        # during plan construction — time build()+collect together or
+        # half the peel escapes the measurement
         t0 = time.time(); j = build(); j.collect()
         times.append(time.time() - t0)
     else:
@@ -234,6 +265,11 @@ JOB_TITLES = {
         "power-iteration rounds over the persisted centered corpus, each "
         "one scan + a 64-key map-side-combined aggregate; driver holds "
         "only the 64-int vector per round)"
+    ),
+    "kcore": (
+        "Job — iterative k-core peel (graph.kcore: symmetrize+dedup once, "
+        "then 6 rounds of degree aggregate + two endpoint semi-joins with "
+        "lineage truncation, one-row digest; throughput = input edges/s)"
     ),
     "substr": (
         "Job — exact duplicated-substring spans (dedup."

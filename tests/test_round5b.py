@@ -319,3 +319,21 @@ def test_benford_hand_computed(spark):
     assert out[1].dev_ppm == 750_000 - 301_030
     assert (out[2].n, out[2].obs_ppm) == (1, 250_000)
     assert out[2].dev_ppm == 250_000 - 176_091
+
+
+def test_kcore_symmetrized_input_equivalent(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    und = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    a = sorted(map(tuple, graph.kcore(edges, k=2, rounds=2,
+                                      cache=False).collect()))
+    b = sorted(map(tuple, graph.kcore(und, k=2, rounds=2, cache=False,
+                                      symmetrized=True).collect()))
+    assert a == b and a

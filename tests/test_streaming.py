@@ -910,3 +910,99 @@ def test_stream_label_partials_match_batch(spark, tmp_path):
         tuple(r) for r in similarity.label_balance(emb).collect()
     )
     assert got and got == want
+
+
+def test_stream_debounce_kept_anchored_across_batches(spark, tmp_path):
+    """Kept-anchored throttle: verdicts must match a sequential Python
+    fold of the SAME semantics, including a chain that straddles the
+    micro-batch boundary (u1's 30s-spaced burst: the batch lag screen
+    would drop every 30s event, the kept-anchored chain re-keeps every
+    other one)."""
+    rows = [
+        # u1 click at 0,30,60,90,120 -> kept 0, drop 30, kept 60,
+        # drop 90, kept 120 (kept-anchored; lag-screen would drop all 4)
+        (1, 1, "click", 0), (2, 1, "click", 30), (3, 1, "click", 60),
+        (4, 1, "click", 90), (5, 1, "click", 120),
+        # u2: isolated events far apart -> all kept
+        (6, 2, "click", 0), (7, 2, "click", 400),
+        # u1 view: independent key
+        (8, 1, "view", 10), (9, 1, "view", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ep long"
+    ).select("event_id", "user_id", "event_type",
+             F.timestamp_seconds("ep").alias("ts"))
+    d = str(tmp_path / "db_in")
+    # split mid-chain: u1's 0-60 in batch 1, 90-120 in batch 2
+    df.filter(F.col("event_id") <= 3).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("event_id") > 3).coalesce(1).write.mode("append").parquet(d)
+    out, ckpt = str(tmp_path / "db_out"), str(tmp_path / "db_ck")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    streaming.stream_debounce(
+        stream, out, ckpt, window_s=60, available_now=True
+    ).awaitTermination(180)
+
+    got = {r.event_id: r.kept
+           for r in streaming.read_debounced(spark, out).collect()}
+
+    # sequential reference fold over the full input
+    want, last = {}, {}
+    for eid, uid, typ, ep in sorted(rows, key=lambda t: (t[3], t[0])):
+        k = (uid, typ)
+        kept = k not in last or ep - last[k] >= 60
+        if kept:
+            last[k] = ep
+        want[eid] = kept
+    assert len(got) == len(rows)
+    assert got == want
+    assert got[3] is True and got[4] is False  # the cross-batch re-keep
+
+
+def test_stream_debounce_idle_state_evicted(spark, tmp_path):
+    """Bounded state: a (user, type) key idle past idle_timeout_min is
+    evicted — observable because the key's next event is kept even
+    though it arrives inside window_s of the last kept event."""
+    import time
+
+    mk = lambda eid, ep: spark.createDataFrame(  # noqa: E731
+        [(eid, 1, "click", ep)],
+        "event_id long, user_id long, event_type string, ep long",
+    ).select("event_id", "user_id", "event_type",
+             F.timestamp_seconds("ep").alias("ts"))
+    d = str(tmp_path / "ev_in")
+    out, ckpt = str(tmp_path / "ev_out"), str(tmp_path / "ev_ck")
+    drain = lambda: streaming.stream_debounce(  # noqa: E731
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ).parquet(d),
+        out, ckpt, window_s=3600,
+        idle_timeout_min=0.0005,  # 30 ms — expire between drains
+        available_now=True,
+    ).awaitTermination(120)
+
+    mk(1, 0).coalesce(1).write.mode("append").parquet(d)
+    drain()
+    time.sleep(2)  # the key idles past the timeout
+    mk(2, 10).coalesce(1).write.mode("append").parquet(d)  # other key? no — same key
+    drain()
+
+    got = {r.event_id: r.kept
+           for r in streaming.read_debounced(spark, out).collect()}
+    # without eviction event 2 (10s after the kept event, window 3600s)
+    # would be dropped; the evicted key treats it as fresh -> kept
+    assert got == {1: True, 2: True}
+
+
+def test_stream_debounce_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming.stream_debounce(
+            None, str(tmp_path / "o"), str(tmp_path / "c"), window_s=0
+        )
