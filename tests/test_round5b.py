@@ -337,3 +337,37 @@ def test_kcore_symmetrized_input_equivalent(spark):
     b = sorted(map(tuple, graph.kcore(und, k=2, rounds=2, cache=False,
                                       symmetrized=True).collect()))
     assert a == b and a
+
+
+# --------------------------------------------------------------------------
+# scale-contract plan pins for the value-histogram family (the global
+# ordering must consume the bounded-domain histogram, never the row
+# stream — the response_gap contract)
+# --------------------------------------------------------------------------
+
+def _single_partition_above_aggregate(df, needle):
+    plan = plan_of(df, "simple")
+    sp = plan.index("Exchange SinglePartition")
+    agg = plan.index("HashAggregate")
+    assert sp < agg, "rank window must consume the histogram aggregate"
+    assert needle in plan[agg:agg + 500]
+
+
+def test_hist_equidepth_no_row_stream_global_sort(spark):
+    df = spark.range(4000).select((F.col("id") % 97).cast("double")
+                                  .alias("value"))
+    _single_partition_above_aggregate(logops.hist_equidepth(df), "keys=[v")
+
+
+def test_pareto_share_no_row_stream_global_sort(spark):
+    o = _orders(spark, [(i, i % 50, float(i % 97) + 1, 0)
+                        for i in range(1, 400)])
+    _single_partition_above_aggregate(logops.pareto_share(o),
+                                      "keys=[dollars")
+
+
+def test_abandon_hazard_no_row_stream_global_sort(spark):
+    rows = [(f"c{i}", j, "conn", "OK", 0, 1)
+            for i in range(200) for j in range(i % 5 + 1)]
+    _single_partition_above_aggregate(
+        transcript.abandon_hazard(_parsed(spark, rows)), "keys=[depth")
