@@ -181,9 +181,13 @@ PRIORITY_QUERIES = [
 ]
 
 # Never-officially-verified queries that did not fit round 5's window —
-# the remaining 28 of round 4's 68-query backlog; they are emitted
-# immediately after PRIORITY_QUERIES so round 6's window picks them up
-# first and clears the backlog.
+# the remaining 28 of round 4's 68-query backlog plus the operators
+# registered after the round-5 window froze; they are emitted
+# immediately after PRIORITY_QUERIES so a future window (or any reader
+# replaying the driver protocol) picks them up first. Every name here
+# is sweep-green in the committed ORACLE_FULL_r05.json (257/257), which
+# is the standing evidence for whatever sits outside the 50-query
+# official window.
 NEXT_ROTATION = [
     "conv_episode_stats",
     "text_langid_confusion",
