@@ -2207,14 +2207,36 @@ def seasonal_spikes(
     Shape: one (type, day, hod) count aggregate off the scan, one
     (type, hod) rollup of THAT relation (tiny), a hash join back on
     (type, hod), and a codegen filter. Day/hour are integer micros
-    arithmetic — no timezone-dependent truncation."""
+    arithmetic — no timezone-dependent truncation. The cell aggregate
+    (:func:`seasonal_cells`) is a mergeable integer partial — the
+    streaming twin (streaming.stream_seasonal_partials /
+    read_seasonal_spikes) commits it per epoch and re-derives the
+    report through :func:`spikes_from_cells`, bit-exact to batch."""
+    return spikes_from_cells(
+        seasonal_cells(events), min_ratio_ppm, min_base_events, scale
+    )
+
+
+def seasonal_cells(events: DataFrame) -> DataFrame:
+    """The (event_type, day, hod) hourly count cells — the mergeable
+    integer partial under :func:`seasonal_spikes` (cells of shards /
+    epochs merge by adding n)."""
     day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
     hod = F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
-    cells = (
+    return (
         events.select("event_type", day.alias("day"), hod.alias("hod"))
         .groupBy("event_type", "day", "hod")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def spikes_from_cells(
+    cells: DataFrame, min_ratio_ppm: int = 2_000_000,
+    min_base_events: int = 8, scale: int = 1_000_000,
+) -> DataFrame:
+    """The baseline + ratio tail of :func:`seasonal_spikes`, shared with
+    the streaming partials reader so both paths compute the ratio once,
+    after all counts are merged."""
     base = cells.groupBy("event_type", "hod").agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
     ).filter(F.col("total") >= min_base_events)

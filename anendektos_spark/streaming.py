@@ -1374,3 +1374,55 @@ def read_debounced(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(output_dir).select(
         "user_id", "event_type", "event_id", "sec", "kept"
     )
+
+def stream_seasonal_partials(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuously maintained seasonal-anomaly baseline: each
+    micro-batch aggregates its events to (event_type, day, hod) hourly
+    count cells (logops.seasonal_cells — the mergeable integer partial
+    under seasonal_spikes) committed to an epoch-keyed partition under
+    the same exactly-once overwrite-per-epoch protocol as the other
+    partial streams. ``read_seasonal_spikes`` merges by integer addition
+    and re-derives the spike report through the SAME shared tail
+    (logops.spikes_from_cells) — bit-identical to a batch
+    seasonal_spikes over the union of all streamed events (counts
+    commute; the baseline and ratio are computed once, after the
+    merge)."""
+    from .functions.logops import seasonal_cells
+
+    def commit(batch: DataFrame, epoch_id: int) -> None:
+        seasonal_cells(batch).write.mode("overwrite").parquet(
+            f"{output_dir}/epoch={epoch_id}"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_seasonal_spikes(
+    spark: SparkSession,
+    partials_dir: str,
+    min_ratio_ppm: int = 2_000_000,
+    min_base_events: int = 8,
+) -> DataFrame:
+    """Merge the streamed per-epoch (type, day, hod) cells by integer
+    addition and emit the full spike report (logops.seasonal_spikes
+    shape) through the shared baseline/ratio tail."""
+    from .functions.logops import spikes_from_cells
+
+    merged = (
+        spark.read.parquet(partials_dir)
+        .groupBy("event_type", "day", "hod")
+        .agg(F.sum("n").alias("n"))
+    )
+    return spikes_from_cells(merged, min_ratio_ppm, min_base_events)

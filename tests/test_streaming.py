@@ -1006,3 +1006,48 @@ def test_stream_debounce_validation(spark, tmp_path):
         streaming.stream_debounce(
             None, str(tmp_path / "o"), str(tmp_path / "c"), window_s=0
         )
+
+
+def test_stream_seasonal_partials_match_batch(spark, tmp_path):
+    """Continuously maintained seasonal baseline: merging the streamed
+    per-epoch (type, day, hod) cells must reproduce the batch
+    seasonal_spikes report bit-for-bit (counts commute; the baseline and
+    ratio compute once, after the merge)."""
+    from anendektos_spark.functions import logops
+
+    d86 = 86_400
+    rows = (
+        [(i, 1, "click", day * d86 + i) for day, cnt in
+         [(0, 1), (1, 1), (2, 1)] for i in range(cnt)]
+        + [(100 + i, 1, "click", 3 * d86 + i) for i in range(5)]
+        + [(200, 1, "view", 0), (201, 1, "view", d86)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ep long"
+    ).select("event_id", "user_id", "event_type",
+             F.timestamp_seconds("ep").alias("ts"))
+    d = str(tmp_path / "ssp_in")
+    # split so the spiking hour's counts straddle epochs
+    df.filter(F.col("event_id") < 102).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("event_id") >= 102).coalesce(1).write.mode("append").parquet(d)
+    out, ckpt = str(tmp_path / "ssp_out"), str(tmp_path / "ssp_ck")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    streaming.stream_seasonal_partials(
+        stream, out, ckpt, available_now=True
+    ).awaitTermination(180)
+    assert len(list(__import__("pathlib").Path(out).glob("epoch=*"))) >= 2
+
+    streamed = sorted(
+        tuple(r)
+        for r in streaming.read_seasonal_spikes(spark, out).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in logops.seasonal_spikes(df).collect()
+    )
+    assert streamed and streamed == batch
